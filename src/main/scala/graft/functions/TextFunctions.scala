@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.io.Source
+
+/** Scalar text operators, all composed from `org.apache.spark.sql.functions`
+  * so whole-stage codegen fuses them into a single generated pass per row.
+  *
+  * Semantics mirror the reference's text-cleaning closure
+  * (/root/reference/main.R:96-103, operators T1-T5 in SURVEY.md §2.4):
+  * lower → strip URLs → strip @mentions → remove stopwords → squish.
+  * Order matters: lowering precedes the (lowercased) stopword match and the
+  * final squish collapses the holes left by the removals.
+  *
+  * Scale note: these are pure narrow per-row expressions — no shuffle, no
+  * state. At 100 TB they pipeline inside the scan stage and cost one pass.
+  */
+object TextFunctions {
+
+  /** Snowball Spanish stopword list, pinned as a resource (SURVEY.md §7:
+    * do not trust runtime library defaults to be byte-identical). */
+  lazy val spanishStopwords: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/stopwords_es.txt")
+    try Source.fromInputStream(in, "UTF-8").getLines().map(_.trim).filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** T2 — URL strip. Pattern from /root/reference/main.R:99; valid Java regex
+    * as-is ([\.|/] is a portable character class). */
+  val urlPattern = "\\s?(f|ht)(tp)(s?)(://)([^\\.]*)[\\.|/](\\S*)"
+
+  /** T3 — @mention strip. (?U) so \w is Unicode-aware like ICU's. */
+  val mentionPattern = "(?U)@\\w+"
+
+  /** T4 — whole-word stopword alternation. (?U) makes \b Unicode-aware,
+    * matching tm's perl (*UCP) semantics — accented words (él, más) would
+    * otherwise fail at the boundary. */
+  def stopwordPattern(words: Seq[String]): String =
+    words.map(java.util.regex.Pattern.quote).mkString("(?U)\\b(?:", "|", ")\\b")
+
+  lazy val spanishStopwordPattern: String = stopwordPattern(spanishStopwords)
+
+  /** T1-T5 composed: the full reference cleaning pipeline as one Column
+    * expression (reference applies the same closure to content and
+    * quoted_content via mutate_at, main.R:93-104). */
+  def cleanText(c: Column, stopwords: String): Column =
+    squish(regexp_replace(regexp_replace(regexp_replace(lower(c), urlPattern, ""), mentionPattern, ""), stopwords, ""))
+
+  def cleanText(c: Column): Column = cleanText(c, spanishStopwordPattern)
+
+  /** T5 — str_squish: trim + collapse internal whitespace runs. */
+  def squish(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+
+  // ---------------------------------------------------------------- analysis
+
+  /** Whitespace tokenization; empty string → zero tokens (split of "" yields
+    * one empty element, so filter it out). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single punctuation marks
+    * each count as one token — a cheap deterministic proxy for a BPE
+    * tokenizer's token count. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeishPattern), lit(0)))
+
+  /** Quality-score features (ratios over the raw string). All codegen'd. */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0).otherwise(
+      size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / n.cast("double"))
+  }
+
+  def upperRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0).otherwise(
+      size(regexp_extract_all(c, lit("[A-Z]"), lit(0))).cast("double") / n.cast("double"))
+  }
+
+  def stopwordRatio(c: Column, stopwordList: Seq[String]): Column = {
+    val toks = tokens(lower(c))
+    val stops = filter(toks, t => t.isInCollection(stopwordList))
+    when(size(toks) === 0, 0.0).otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite heuristic quality score in [0,1]: favors moderate length,
+    * low punctuation density, few ALL-CAPS characters. Deterministic and
+    * SQL-expressible (oracle-checkable). */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(200.0), lit(1.0))
+    val punct = punctRatio(c)
+    val upper = upperRatio(c)
+    greatest(lit(0.0), lenScore * (lit(1.0) - punct) * (lit(1.0) - upper))
+  }
+
+  /** Document fingerprint: MD5 of the normalized (lowercased, squished)
+    * text. Stable across engines (MD5 is everywhere), usable as an exact
+    * dedup key at any scale. */
+  def fingerprint(c: Column): Column = md5(squish(lower(c)))
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword heuristic
+    * language ID. Deliberately small and ASCII-safe so the same heuristic is
+    * expressible as oracle SQL. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "es" -> "\\b(?:de|la|que|el|en|los|del|las|por|una|para|con|es|un)\\b",
+    "en" -> "\\b(?:the|of|and|to|in|is|that|it|was|for|on|are|as|with)\\b",
+    "fr" -> "\\b(?:le|les|des|une|est|dans|que|pour|qui|sur|pas|au|ce)\\b",
+    "de" -> "\\b(?:der|die|das|und|ist|nicht|ein|eine|mit|auf|den|von)\\b",
+  )
+
+  /** Heuristic language ID: count marker-word hits per language; argmax wins
+    * (ties broken by language code order); no hits → "und" (undetermined). */
+  def langId(c: Column): Column = {
+    val lowered = lower(c)
+    val scored = langMarkers.map { case (code, pat) =>
+      (code, size(regexp_extract_all(lowered, lit(pat), lit(0))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((code, score), acc) =>
+      when(score === best && score > 0, lit(code)).otherwise(acc)
+    }
+  }
+}

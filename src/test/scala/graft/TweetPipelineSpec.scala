@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.TweetPipeline
+import graft.sources.TweetSource
+import org.apache.spark.sql.functions._
+
+class TweetPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val raw = TweetSource.read(spark, fixture("stream_basic.json"))
+  lazy val out = TweetPipeline.transform(raw).orderBy("date_created").cache()
+
+  test("F1: retweets, non-es, null-lang rows dropped") {
+    val users = out.select("user").as[String].collect().toSet
+    assert(!users.contains("bob"))   // lang=en
+    assert(!users.contains("carla")) // is_retweet
+    assert(!users.contains("dani"))  // lang null → NA predicate drops
+  }
+
+  test("P1: exactly the 7 sink columns, renamed") {
+    assert(out.columns.toSeq == Seq(
+      "date_created", "user", "content", "source", "location",
+      "quoted_user", "quoted_content"))
+  }
+
+  test("P1: created_at parsed to timestamp") {
+    val ts = out.filter($"user" === "ana").select($"date_created".cast("string")).as[String].head()
+    assert(ts == "2019-10-23 03:15:02")
+  }
+
+  test("T1-T5 applied to content: url/mention/stopwords gone, squished") {
+    val c = out.filter($"user" === "ana").select("content").as[String].head()
+    assert(c == "marcha grande chile #chile")
+  }
+
+  test("P2 applied to quoted_content too") {
+    val qc = out.filter($"user" === "fede").select("quoted_content").as[String].head()
+    assert(qc == "histórico seguimos")
+  }
+
+  test("D1: keep-first dedup on cleaned content") {
+    // ana and eva clean to the same content; ana (earlier) survives
+    val survivors = out.select("user").as[String].collect().toSet
+    assert(survivors.contains("ana") && !survivors.contains("eva"))
+  }
+
+  test("corrupt/blank lines don't produce rows") {
+    // fixture has an empty line; filter on is_retweet drops the all-null row
+    assert(out.count() == 3) // ana, fede, hugo
+  }
+
+  test("S4: empty input short-circuits to empty output") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TweetSource.rawSchema)
+    assert(TweetPipeline.transform(empty).isEmpty)
+  }
+
+  test("plan quality: single shuffle, pushed filters, partial dedup before exchange") {
+    val df = TweetPipeline.transform(raw)
+    df.collect() // finalize the adaptive plan
+    // AQE toString repeats the initial plan below the final one — keep final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly one Exchange from the dedup; F1/P1/P2 are narrow
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    // both filter conjuncts reach the JSON scan
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,es)"))
+    // map-side keep-first (WindowGroupLimit Partial) bounds shuffle volume
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"))
+  }
+}
