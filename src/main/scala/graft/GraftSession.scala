@@ -19,9 +19,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+      // rejects by default; read it as int64 nanos-since-epoch instead. Exact
+      // integer nanos also sidesteps cross-engine truncation in the oracle
+      // compare (DuckDB keeps ns, Spark TimestampType would truncate to us).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def cpusFromEnv: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4)
+  def cpusFromEnv: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4)
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
