@@ -42,6 +42,26 @@ object TextFunctions {
 
   lazy val spanishStopwordPattern: String = stopwordPattern(spanishStopwords)
 
+  /** ASCII-dialect variants for oracle-checked queries: DuckDB's RE2 has no
+    * (?U) flag (there `U` means ungreedy!), and both Java-without-(?U) and
+    * RE2 use ASCII \w/\b — so on ASCII corpora (documents.parquet is
+    * verified pure-ASCII) these patterns behave identically in both
+    * engines. The (?U) forms above remain the tweet-parity versions. */
+  def plainWordPattern(words: Seq[String]): String =
+    words.mkString("\\b(?:", "|", ")\\b")
+
+  lazy val asciiSpanishStopwordPattern: String = plainWordPattern(spanishStopwords)
+
+  val asciiMentionPattern = "@\\w+"
+
+  /** English function-word list (same words the langId 'en' marker uses);
+    * small by design so oracle SQL stays readable. */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+    "on", "are", "as", "with")
+
+  lazy val englishStopwordPattern: String = plainWordPattern(englishStopwords)
+
   /** T1-T5 composed: the full reference cleaning pipeline as one Column
     * expression (reference applies the same closure to content and
     * quoted_content via mutate_at, main.R:93-104). */
@@ -49,6 +69,21 @@ object TextFunctions {
     squish(regexp_replace(regexp_replace(regexp_replace(lower(c), urlPattern, ""), mentionPattern, ""), stopwords, ""))
 
   def cleanText(c: Column): Column = cleanText(c, spanishStopwordPattern)
+
+  /** cleanText with ASCII-dialect patterns — identical output to the (?U)
+    * form on ASCII input, and reproducible in DuckDB RE2 for the oracle. */
+  def cleanTextAscii(c: Column): Column =
+    squish(regexp_replace(regexp_replace(regexp_replace(lower(c),
+      urlPattern, ""), asciiMentionPattern, ""), asciiSpanishStopwordPattern, ""))
+
+  /** Regex-hit stopword density: whole-word stopword matches over total
+    * whitespace tokens. Pure narrow expression, zero state. */
+  def stopwordHitRatio(c: Column, pattern: String): Column = {
+    val nTok = size(tokens(c))
+    when(nTok === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast("double") /
+        nTok.cast("double"))
+  }
 
   /** T5 — str_squish: trim + collapse internal whitespace runs. */
   def squish(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")

@@ -26,6 +26,12 @@ final case class GraftQuery(
     oracle: Option[String])
 
 object GraftQuery {
+  /** Every registered query: star-schema coverage matrix (§2.7), text
+    * analysis / dedup, similarity search. SparkEntry derives its maps from
+    * this single list. */
+  lazy val all: Seq[GraftQuery] =
+    StarQueries.all ++ TextQueries.all ++ SimQueries.all
+
   /** Exact decimal view of a 2-decimal double measure column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.GraftQuery.{dec, dsum, dsumSql}
+import graft.sources.Tables
+
+/** Registered queries exercising the SURVEY.md §2.7 coverage matrix over the
+  * TPC-H-ish star schema: joins (broadcast/SMJ/left/semi/anti), aggregations
+  * (hash-agg, distinct, HLL sketch, rollup), window functions (top-k, lag,
+  * sessionization), sort/limit, and set operations.
+  *
+  * Scale notes, per query, live next to the code: dimension joins are
+  * explicitly `broadcast()`, aggregates rely on partial (map-side) agg, and
+  * every top-k goes through a per-partition limit before the shuffle
+  * (Spark's WindowGroupLimit handles rank<=k pushdown automatically).
+  */
+object StarQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- aggregation: TPC-H Q1-style pricing summary ----------------------
+    // Partial agg on 6 groups → final agg is tiny; the scan is the cost at
+    // any scale. All double sums go through exact decimal (GraftQuery.dsum).
+    GraftQuery(
+      "q01_pricing_summary",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("2001-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- join: broadcast dimension chain ---------------------------------
+    // nation (25 rows) and region (5 rows) are broadcast — no shuffle of the
+    // customer fact side at any scale; the agg output is 5 rows.
+    GraftQuery(
+      "q02_region_customer_rollup",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            count(lit(1)).as("customers"),
+            dsum(col("c_acctbal")).as("total_acctbal")),
+      Some(s"""SELECT r_name, COUNT(*) AS customers,
+        ${dsumSql("c_acctbal")} AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""")),
+
+    // ---- join + agg + top-k: TPC-H Q3-style shipping priority ------------
+    // customer filter prunes ~4/5 of the build side; revenue in exact
+    // decimal; top-10 with a unique tie-break (orderkey) so the limit is
+    // deterministic across engines and partitionings.
+    GraftQuery(
+      "q03_top_revenue_orders",
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10""")),
+
+    // ---- left outer join preserving unmatched rows -----------------------
+    GraftQuery(
+      "q04_customer_order_counts",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("order_count")),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    // ---- left-semi join (EXISTS) -----------------------------------------
+    GraftQuery(
+      "q05_customers_with_open_orders",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""")),
+
+    // ---- left-anti join (NOT EXISTS) -------------------------------------
+    GraftQuery(
+      "q06_customers_without_orders",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)""")),
+
+    // ---- window top-k per group ------------------------------------------
+    // rank <= k over a window lets Spark apply WindowGroupLimit (map-side
+    // partial top-k before the shuffle) — the scale-safe top-k formulation.
+    GraftQuery(
+      "q07_top_orders_per_segment",
+      (s, d) => {
+        val joined = Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        joined
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM customer JOIN orders ON c_custkey = o_custkey) t
+        WHERE rn <= 3""")),
+
+    // ---- window lag / running delta --------------------------------------
+    GraftQuery(
+      "q08_order_price_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("prev_price"),
+            (col("o_totalprice") - col("prev_price")).as("price_delta"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          o_totalprice - lag(o_totalprice, 1) OVER w AS price_delta
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    // ---- global sort + limit ---------------------------------------------
+    // Spark turns orderBy+limit into TakeOrderedAndProject (per-partition
+    // top-k, then a k-row merge on the driver) — no global sort at scale.
+    GraftQuery(
+      "q09_priciest_parts",
+      (s, d) =>
+        Tables.part(s, d)
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+          .limit(10)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""")),
+
+    // ---- set operations ---------------------------------------------------
+    GraftQuery(
+      "q10_union_active_custkeys",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+          .union(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+          .distinct()
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        UNION
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""")),
+
+    GraftQuery(
+      "q11_intersect_repeat_custkeys",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+          .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""")),
+
+    GraftQuery(
+      "q12_except_churned_custkeys",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+          .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""")),
+
+    // ---- rollup (grouping sets) ------------------------------------------
+    GraftQuery(
+      "q13_rollup_returns",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // ---- distinct aggregation --------------------------------------------
+    GraftQuery(
+      "q14_suppliers_per_nation",
+      (s, d) =>
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count_distinct(col("s_suppkey")).as("supplier_cnt"),
+            dsum(col("s_acctbal")).as("total_acctbal")),
+      Some(s"""SELECT n_name, COUNT(DISTINCT s_suppkey) AS supplier_cnt,
+        ${dsumSql("s_acctbal")} AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    // ---- events: tumbling time window over int64-nanos timestamps --------
+    // ts is read as nanos-since-epoch (spark.sql.legacy.parquet.nanosAsLong);
+    // integer `div` keeps the bucket math exact in both engines.
+    GraftQuery(
+      "q15_events_hourly",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(expr("ts div 3600000000000").as("hour_bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value")),
+      Some(s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- events: JSON extraction from a string props column --------------
+    GraftQuery(
+      "q16_events_json_props",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt")),
+      Some("""SELECT event_type,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
+        FROM events GROUP BY event_type""")),
+
+    // ---- events: HLL++ sketch (no exact-SQL oracle; rows-only check) -----
+    // approx_count_distinct is the 100 TB-safe form of COUNT(DISTINCT):
+    // constant-size sketch, map-side combinable, no key shuffle.
+    GraftQuery(
+      "q17_events_approx_users",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+      None),
+
+    // ---- events: sessionization via window + cumulative gap count --------
+    // Batch formulation of session_window: a new session starts after a
+    // >30 min gap. Exercises lag + conditional aggregation; at scale this
+    // is one shuffle on user_id (the same key the window needs).
+    GraftQuery(
+      "q18_events_sessions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 1800000000000L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH w AS (
+          SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+            lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_ts
+          FROM events)
+        SELECT user_id,
+          SUM(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000
+            THEN 1 ELSE 0 END) AS sessions,
+          COUNT(*) AS n_events
+        FROM w GROUP BY user_id""")),
+  )
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Registered text-analysis / dedup queries over documents.parquet — the
+  * LLM-data-pipeline operator surface (SURVEY.md §2.4-2.5 analogs plus the
+  * training-data ops from the brief: cleaning, token stats, quality scoring,
+  * fingerprint dedup, language ID, shingle→minhash→bucket near-dup).
+  *
+  * Every Spark expression here is a narrow codegen'd column op; the only
+  * shuffles are the dedup groupBy (hash partial-agg on a 32-byte key) and
+  * the minhash bucket self-join (LSH candidate pairs, never all-pairs).
+  *
+  * Oracle parity: all regexes use the ASCII dialect (see TextFunctions) so
+  * Java and DuckDB RE2 agree; the corpus is verified pure-ASCII.
+  */
+object TextQueries {
+
+  /** DuckDB expression for the whitespace token list of `text`. */
+  private val sqlToks =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
+
+  /** doc_id, shingle_set (distinct word-3-grams), minhash (min md5 of the
+    * shingles). Array subscripts: Spark `toks[i]` is 0-based, DuckDB
+    * 1-based — the two formulations below index the same trigrams. */
+  private def minhashed(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("shingle_set", array_distinct(col("shingles")))
+      .withColumn("minhash", array_min(transform(col("shingles"), x => md5(x))))
+
+  private val sqlMinhashCte: String =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+      sh AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks)-1, 1)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        FROM toks),
+      mh AS (SELECT doc_id, list_distinct(shingles) AS shingle_set,
+        list_min(list_transform(shingles, s -> md5(s))) AS minhash
+        FROM sh)"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- T1-T5 cleaning pipeline (reference parity over documents) -------
+    GraftQuery(
+      "d01_clean_text",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), cleanTextAscii(col("text")).as("clean")),
+      Some(s"""SELECT doc_id,
+        regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(text), '$urlPattern', '', 'g'),
+          '$asciiMentionPattern', '', 'g'),
+          '$asciiSpanishStopwordPattern', '', 'g')), '\\s+', ' ', 'g') AS clean
+        FROM documents""")),
+
+    // ---- token counting: whitespace + BPE-ish subword proxy --------------
+    GraftQuery(
+      "d02_token_stats",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish"),
+          length(col("text")).cast("bigint").as("len_chars")),
+      Some(s"""SELECT doc_id,
+        CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS BIGINT) AS n_bpeish,
+        CAST(length(text) AS BIGINT) AS len_chars
+        FROM documents""")),
+
+    // ---- quality scoring --------------------------------------------------
+    GraftQuery(
+      "d03_quality",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          punctRatio(col("text")).as("punct_ratio"),
+          upperRatio(col("text")).as("upper_ratio"),
+          qualityScore(col("text")).as("quality_score")),
+      Some("""SELECT doc_id, punct_ratio, upper_ratio,
+          greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+            * (1.0 - punct_ratio) * (1.0 - upper_ratio)) AS quality_score
+        FROM (
+          SELECT doc_id, text,
+            CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) END AS upper_ratio
+          FROM documents) t""")),
+
+    // ---- exact-dedup fingerprint (per-doc key) ---------------------------
+    GraftQuery(
+      "d04_fingerprints",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents""")),
+
+    // ---- exact dedup at scale: hash-groupBy on the fingerprint -----------
+    // Partial (map-side) agg collapses dup groups before the shuffle; the
+    // shuffled key is a fixed 32-byte hash — the 100 TB-safe exact-dedup.
+    GraftQuery(
+      "d05_dedup_groups",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(fingerprint(col("text")).as("fingerprint"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_docs")),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""")),
+
+    // ---- heuristic language ID -------------------------------------------
+    GraftQuery(
+      "d06_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), langId(col("text")).as("lang_pred")),
+      Some {
+        val hits = langMarkers.map { case (code, pat) =>
+          s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
+        }.mkString(", ")
+        val g = langMarkers.map { case (code, _) => s"${code}_n" }
+          .mkString("greatest(", ", ", ")")
+        val cases = langMarkers.map { case (code, _) =>
+          s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
+        }.mkString(" ")
+        s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, $g AS g, ${langMarkers.map(m => s"${m._1}_n").mkString(", ")}
+            FROM (SELECT doc_id, $hits FROM documents) h) s"""
+      }),
+
+    // ---- stopword density -------------------------------------------------
+    GraftQuery(
+      "d07_stopword_ratio",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          stopwordHitRatio(col("text"), englishStopwordPattern).as("stopword_ratio")),
+      Some(s"""SELECT doc_id,
+        CASE WHEN len($sqlToks) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(lower(text), '$englishStopwordPattern')) AS DOUBLE)
+            / CAST(len($sqlToks) AS DOUBLE) END AS stopword_ratio
+        FROM documents""")),
+
+    // ---- shingle → minhash (word-3-gram, md5-min signature) --------------
+    GraftQuery(
+      "d08_minhash_3gram",
+      (s, d) => minhashed(s, d).select(col("doc_id"), col("minhash")),
+      Some(s"""$sqlMinhashCte SELECT doc_id, minhash FROM mh""")),
+
+    // ---- near-dup candidate pairs: LSH bucket join + verify jaccard ------
+    // The scale shape: join on the minhash bucket (tiny groups), never
+    // all-pairs; exact 3-gram Jaccard only on candidates.
+    GraftQuery(
+      "d09_near_dup_pairs",
+      (s, d) => {
+        val m = minhashed(s, d)
+        val a = m.select(col("doc_id").as("a_id"), col("shingle_set").as("a_sh"),
+          col("minhash"))
+        val b = m.select(col("doc_id").as("b_id"), col("shingle_set").as("b_sh"),
+          col("minhash").as("minhash_b"))
+        a.join(b, col("minhash") === col("minhash_b") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+              size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+              .as("jaccard"))
+      },
+      Some(s"""$sqlMinhashCte
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) AS jaccard
+        FROM mh a JOIN mh b ON a.minhash = b.minhash AND a.doc_id < b.doc_id""")),
+  )
+}
