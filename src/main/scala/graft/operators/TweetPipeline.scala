@@ -47,17 +47,37 @@ object TweetPipeline {
   def clean(df: DataFrame): DataFrame =
     Seq("content", "quoted_content").foldLeft(df)((d, c) => d.withColumn(c, cleanText(col(c))))
 
-  /** D1, parity form: keep the FIRST row in encounter order per distinct
-    * content (R duplicated() semantics, incl. null==null). The window
-    * formulation is deterministic where dropDuplicates is arbitrary.
-    * `monotonically_increasing_id` preserves encounter order within and
-    * across input partitions without a global sort. */
-  def dedupKeepFirst(df: DataFrame, key: String = "content"): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col("_rid"))
-    df.withColumn("_rid", monotonically_increasing_id())
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rid", "_rn")
+  /** D1, deterministic form: keep the first row per distinct `key` under a
+    * data-derived total order (default: every non-key column, ascending,
+    * nulls last). R's duplicated() keeps "first in encounter order", but
+    * encounter order is not reproducible across multi-file input (file →
+    * partition assignment varies run to run — round-3 verdict #4), so the
+    * engine's contract is "first by timestamp/user order" — stable no
+    * matter how the input is split.
+    *
+    * Null-key skew guard (round-3 verdict #5): a plain
+    * Window.partitionBy(key) sends EVERY null-key row to one task — a
+    * straggler at 100 TB where null content is common. Stage 1 salts the
+    * null group across partitions (per-salt winners, map-side
+    * WindowGroupLimit keeps shuffle volume ≈ distinct keys); stage 2 ranks
+    * only the surviving candidates (≤ one per (key, salt), so the null
+    * group holds at most #salts rows — no straggler). Output is
+    * deterministic: the global ord-min always survives both stages. */
+  def dedupKeepFirst(df: DataFrame, key: String = "content",
+      ordering: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val keyCol = col(key)
+    val ord =
+      if (ordering.nonEmpty) ordering
+      else df.columns.filterNot(_ == key).map(c => col(c).asc_nulls_last).toSeq
+    val salted = df.withColumn("_salt",
+      when(keyCol.isNull, pmod(spark_partition_id(), lit(32))).otherwise(lit(0)))
+    val w1 = Window.partitionBy(keyCol, col("_salt")).orderBy(ord: _*)
+    val candidates = salted
+      .withColumn("_rn", row_number().over(w1)).filter(col("_rn") === 1)
+    val w2 = Window.partitionBy(keyCol).orderBy(ord: _*)
+    candidates
+      .withColumn("_rn2", row_number().over(w2)).filter(col("_rn2") === 1)
+      .drop("_salt", "_rn", "_rn2")
   }
 
   /** D1, scale form: order-arbitrary dedup (one hash exchange, partial agg

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDateTime
+
+import graft.cli.Main
+import graft.sinks.{ParquetTweetSink, TweetSink}
+import graft.streaming.TweetStream
+
+/** C1 streaming loop, S5-S8 sink contract, C2/C3 CLI, F2 keys filter. */
+class StreamingEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private val anaLine =
+    """{"created_at":"Wed Oct 23 03:15:02 +0000 2019","screen_name":"ana","text":"La marcha más grande de Chile https://t.co/abc123 @pinera #chile","source":"s","location":null,"quoted_screen_name":null,"quoted_text":null,"is_retweet":false,"lang":"es"}"""
+  private val evaLine = // cleans to the same content as ana → in-batch dup
+    """{"created_at":"Wed Oct 23 03:15:06 +0000 2019","screen_name":"eva","text":"La   marcha más grande de   Chile https://t.co/xyz999 @boric #chile","source":"s","location":null,"quoted_screen_name":null,"quoted_text":null,"is_retweet":false,"lang":"es"}"""
+  private val hugoLine =
+    """{"created_at":"Wed Oct 23 03:15:09 +0000 2019","screen_name":"hugo","text":"texto único sin nada que limpiar #santiago","source":"s","location":null,"quoted_screen_name":null,"quoted_text":null,"is_retweet":false,"lang":"es"}"""
+
+  test("C1: per-batch dedup scope, empty-batch no-write, bounded drain") {
+    val bronze = tmpDir("bronze")
+    val dbDir = tmpDir("db")
+    // distinct mtimes → deterministic batch order (FileStreamSource sorts
+    // by modification time)
+    val f1 = bronze.resolve("stream_20191023_031500.json")
+    Files.writeString(f1, s"$anaLine\n$evaLine\n$hugoLine\n")
+    f1.toFile.setLastModified(1000000L)
+    val f2 = bronze.resolve("stream_20191023_031600.json")
+    Files.writeString(f2, s"$anaLine\n") // cross-batch dup: must survive
+    f2.toFile.setLastModified(2000000L)
+    val f3 = bronze.resolve("stream_20191023_031700.json")
+    Files.writeString(f3, "") // S4: empty chunk → warn, no write
+    f3.toFile.setLastModified(3000000L)
+
+    val table = dbDir.resolve("tweet_data.db").toString
+    val sink = new ParquetTweetSink(spark, table)
+    TweetStream.runAvailableNow(spark, bronze.toString, sink, keys = None,
+      checkpointDir = dbDir.resolve("ckpt").toString)
+
+    val out = spark.read.parquet(table)
+    // batch1: {ana-or-eva deduped, hugo}; batch2: ana again (per-batch
+    // scope — the reference never dedups across chunks, main.R:105)
+    assert(out.count() == 3)
+    val users = out.select("user").as[String].collect().toSet
+    assert(users == Set("ana", "hugo")) // eva lost in-batch; ana appears twice
+    assert(out.filter($"user" === "ana").count() == 2)
+    // sink-assigned contiguous ids, monotone across batches
+    val ids = out.select("tweet_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("F2: keys pattern matches any key, case-insensitive, quoted") {
+    val p = TweetStream.keysPattern("#chile,#chiledesperto, #santiago")
+    assert("gran marcha #CHILE hoy".matches(s".*$p.*"))
+    assert("vamos #santiago".matches(s".*$p.*"))
+    assert(!"no keywords here".matches(s".*$p.*"))
+    // regex metacharacters in keys must be literal
+    assert(TweetStream.keysPattern("a+b").r.findFirstIn("xa+by").isDefined)
+  }
+
+  test("S6: collision-safe name prefixes timestamp only when target exists") {
+    val now = () => LocalDateTime.of(2019, 10, 23, 3, 15, 2)
+    assert(TweetSink.collisionSafeName("/x/tweets.db", _ => false, now) ==
+      "/x/tweets.db")
+    assert(TweetSink.collisionSafeName("/x/tweets.db", _ => true, now) ==
+      "/x/20191023_031502_tweets.db")
+  }
+
+  test("S5/S6: ensureTable creates declared schema; second create renames") {
+    val dbDir = tmpDir("db2")
+    val path = dbDir.resolve("tweet_data.db").toString
+    val first = new ParquetTweetSink(spark, path).ensureTable()
+    assert(first == path)
+    assert(spark.read.parquet(path).schema == TweetSink.schema)
+    val second = new ParquetTweetSink(spark, path).ensureTable()
+    assert(second != path && Paths.get(second).getFileName.toString.endsWith("_tweet_data.db"))
+  }
+
+  test("C2: CLI parses all 7 flags incl. short forms") {
+    val Right(c) = Main.parse(Seq("--database", "x.db", "--keys", "#a,#b",
+      "--initial-setup", "-f", "--raw-data-dir", "rd", "-c", "3", "-t", "30")): @unchecked
+    assert(c == Main.Config("x.db", "#a,#b", initialSetup = true,
+      forceStream = true, rawDataDir = "rd", streamChunks = 3, streamTimeout = 30))
+    assert(Main.parse(Seq("--nope")).isLeft)
+    assert(Main.parse(Seq("-c", "zero")).isLeft)
+  }
+
+  test("C3: mode quirk — stream iff initial_setup == force_stream") {
+    def m(setup: Boolean, force: Boolean) =
+      Main.modes(Main.Config(initialSetup = setup, forceStream = force))
+    assert(m(false, false) == (false, true))  // normal run: stream only
+    assert(m(true, false) == (true, false))   // setup only
+    assert(m(true, true) == (true, true))     // setup then stream
+    assert(m(false, true) == (false, false))  // the reference quirk: nothing
+  }
+}

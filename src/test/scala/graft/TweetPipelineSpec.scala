@@ -55,16 +55,38 @@ class TweetPipelineSpec extends SparkSpec {
     assert(TweetPipeline.transform(empty).isEmpty)
   }
 
-  test("plan quality: single shuffle, pushed filters, partial dedup before exchange") {
+  test("plan quality: two bounded shuffles, pushed filters, partial dedup before exchange") {
     val df = TweetPipeline.transform(raw)
     df.collect() // finalize the adaptive plan
     // AQE toString repeats the initial plan below the final one — keep final only
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // exactly one Exchange from the dedup; F1/P1/P2 are narrow
-    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+    // stage-1 exchange on (content, salt) over the full input; stage-2
+    // exchange on content over per-salt winners only (≈ distinct keys).
+    // F1/P1/P2 stay narrow — no other exchange may appear.
+    assert("Exchange".r.findAllIn(plan).size == 2, s"expected 2 exchanges:\n$plan")
     // both filter conjuncts reach the JSON scan
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,es)"))
     // map-side keep-first (WindowGroupLimit Partial) bounds shuffle volume
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"))
+  }
+
+  test("D1: dedup output is stable under input row/partition reordering") {
+    val base = TweetPipeline.clean(TweetPipeline.filterProject(raw))
+    val shuffled = base.orderBy($"user".desc).repartition(7)
+    val a = TweetPipeline.dedupKeepFirst(base).collect().toSet
+    val b = TweetPipeline.dedupKeepFirst(shuffled).collect().toSet
+    assert(a == b)
+  }
+
+  test("D1: null key — exactly one survivor, picked by data order") {
+    val df = Seq(
+      (null.asInstanceOf[String], "2020-01-02", "u2"),
+      (null.asInstanceOf[String], "2020-01-01", "u1"),
+      ("x", "2020-01-03", "u3"),
+    ).toDF("content", "date_created", "user")
+    val out = TweetPipeline.dedupKeepFirst(df).collect()
+    assert(out.length == 2)
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getString(2) == "u1") // earliest (date, user) wins
   }
 }
