@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *   - `bruteTopK`: exact cosine top-k against one probe vector — the
+  *     correctness baseline. One narrow pass + TakeOrdered; fine at any
+  *     scale for single probes.
+  *   - IVF (inverted-file) index: k-means-lite coarse quantizer (seeded
+  *     deterministically, `iters` Lloyd steps via [[CentroidAggregator]]),
+  *     vectors assigned to their nearest centroid's cell; a query probes
+  *     only the `nprobe` nearest cells. At 100 TB the cell assignment is
+  *     one narrow pass (centroids broadcast as literals), the index is
+  *     cell-partitioned, and a probe touches nprobe/k of the data instead
+  *     of all of it.
+  *
+  * The coarse quantizer (k centroids) is driver-side by design — real IVF
+  * quantizers are tiny (k ≤ 2^16) next to the vector set; only the cell
+  * assignment and per-cell scans distribute.
+  */
+object VectorSearch {
+
+  /** Typed UDAF: elementwise mean of double arrays (the Lloyd-step
+    * centroid update). Buffer is (running sum, count); merge is
+    * elementwise — associative and commutative, so Spark's partial
+    * aggregation applies map-side. */
+  final case class CentroidBuf(var sum: Array[Double], var n: Long)
+
+  class CentroidAggregator extends Aggregator[Seq[Double], CentroidBuf, Seq[Double]] {
+    override def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
+    override def reduce(b: CentroidBuf, a: Seq[Double]): CentroidBuf = {
+      if (b.n == 0L) CentroidBuf(a.toArray, 1L)
+      else {
+        var i = 0
+        while (i < b.sum.length) { b.sum(i) += a(i); i += 1 }
+        b.n += 1; b
+      }
+    }
+    override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
+      if (x.n == 0L) y
+      else if (y.n == 0L) x
+      else {
+        var i = 0
+        while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+        x.n += y.n; x
+      }
+    }
+    override def finish(b: CentroidBuf): Seq[Double] =
+      if (b.n == 0L) Seq.empty else b.sum.map(_ / b.n).toSeq
+    override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  val centroidUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new CentroidAggregator, ExpressionEncoder[Seq[Double]]())
+
+  /** Exact cosine top-k of `emb` (array<float/double>) vs the probe row
+    * `probeId`. */
+  def bruteTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, k: Int): DataFrame = {
+    val probe = emb.filter(col(idCol) === probeId)
+      .select(asDouble(col(vecCol)).as("q_emb"))
+    emb.filter(col(idCol) =!= probeId)
+      .select(col(idCol), asDouble(col(vecCol)).as("emb"))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), cosine(col("emb"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Nearest-centroid cell id for a vector column, centroids inlined as
+    * literals (broadcast by value — no join, stays in codegen). Ties break
+    * to the lower cell index; distance is cosine similarity (argmax). */
+  def cellOf(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("cell"))
+    }
+    // array_max on (score, -cell) structs → max score, ties to lower cell
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("s").as("s"), (-s.getField("cell")).as("negCell"))): _*))
+    (-best.getField("negCell")).cast("int")
+  }
+
+  /** Build the IVF index: deterministic seeds (the k lowest-id vectors),
+    * `iters` Lloyd steps, returns (centroids, assigned) where assigned =
+    * input + `cell` column. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 1): (Seq[Seq[Double]], DataFrame) = {
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as("emb"))
+    var centroids: Seq[Seq[Double]] =
+      base.orderBy(col(idCol).asc).limit(k)
+        .select(col("emb")).collect().map(_.getSeq[Double](0)).toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cell", cellOf(col("emb"), centroids))
+      val updated = assigned.groupBy(col("cell"))
+        .agg(centroidUdaf(col("emb")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      it += 1
+    }
+    (centroids, base.withColumn("cell", cellOf(col("emb"), centroids)))
+  }
+
+  /** ANN top-k: probe the `nprobe` cells whose centroids are nearest the
+    * query vector; exact cosine within those cells only. */
+  def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String, probeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val probeVec = assigned.filter(col(idCol) === probeId)
+      .select(col("emb")).head.getSeq[Double](0)
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cosineLocal(probeVec, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+    assigned
+      .filter(col("cell").isin(probeCells: _*) && col(idCol) =!= probeId)
+      .select(col(idCol), cosine(col("emb"), typedlit(probeVec)).as("cos_sim"),
+        col("cell"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side cosine for the tiny quantizer math. */
+  def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -24,26 +24,7 @@ import graft.sources.Tables
   * bit-identical across engines.
   */
 object SimQueries {
-
-  /** Left-fold dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
-
-  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
-
-  /** DuckDB mirrors of the fold expressions above. */
-  private def sqlDot(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
-  private def sqlNorm(a: String): String =
-    s"sqrt(list_sum(list_transform($a, x -> x * x)))"
-  private def sqlCos(a: String, b: String): String =
-    s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+  import graft.functions.VectorFunctions._
 
   /** Sign-bit LSH bucket over the first `bits` dimensions (1-based
     * element_at in Spark matches DuckDB's 1-based subscripts). */
@@ -128,5 +109,42 @@ object SimQueries {
               ORDER BY cos_sim DESC, b_id ASC) AS rn
           FROM p)
         SELECT a_id, rn, b_id, cos_sim FROM r WHERE rn <= 3""")),
+
+    // ---- embedding-cosine near-dup pairs (LSH-bucketed, thresholded) -----
+    GraftQuery(
+      "e04_embedding_neardup",
+      (s, d) => {
+        val base = bucketed(s, d)
+        val a = base.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+          col("bucket"))
+        val b = base.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+          col("bucket").as("bucket_b"))
+        a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("cos_sim"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          ${sqlSignBucket("embedding", Bits)} AS bucket
+        FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${sqlCos("a.e", "b.e")} AS cos_sim
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${sqlCos("a.e", "b.e")} >= 0.4""")),
+
+    // ---- IVF ANN top-k (coarse quantizer + nprobe cells) -----------------
+    // No SQL oracle (k-means-lite centroids from a custom Aggregator);
+    // driver records the rows-only check — always k rows.
+    GraftQuery(
+      "e05_ivf_topk",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val emb = Tables.embeddings(s, d)
+        val (centroids, assigned) =
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 1)
+        VectorSearch.ivfTopK(assigned, centroids, "vec_id",
+          probeId = 0L, k = 10, nprobe = 2)
+      },
+      None),
   )
 }

@@ -183,5 +183,28 @@ object TextQueries {
           CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
           CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) AS jaccard
         FROM mh a JOIN mh b ON a.minhash = b.minhash AND a.doc_id < b.doc_id""")),
+
+    // ---- SimHash-64 signatures (xxhash64-based — no DuckDB equivalent,
+    // rows-only check; deterministic for fixed input) ----------------------
+    GraftQuery(
+      "d10_simhash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), graft.operators.NearDup.simhashOf("text").as("simhash")),
+      None),
+
+    // ---- SimHash banded near-dup pairs (Hamming ≤ 8 on candidates) ------
+    GraftQuery(
+      "d11_simhash_pairs",
+      (s, d) => graft.operators.NearDup.simhashPairs(Tables.documents(s, d)),
+      None),
+
+    // ---- MinHash+LSH banded near-dup (MLlib, 5 hash tables, seed 42) ----
+    GraftQuery(
+      "d12_minhash_lsh_pairs",
+      (s, d) => graft.operators.NearDup
+        .minhashLshPairs(Tables.documents(s, d), maxDistance = 0.5)
+        .select(col("a_id"), col("b_id")),
+      None),
   )
 }
