@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the decode / feature-extract / frame-sample
+  * operators a training-data pipeline runs over them.
+  *
+  * Engine-relevant parts (all real and tested): the schema contract, the
+  * iterator/batch shape of the decode pass (`mapPartitions` — the Scala
+  * analog of an Arrow-batched Pandas UDF: one JVM-side pass per
+  * partition, no per-row UDF dispatch, no shuffle), partition
+  * preservation, and null/short-payload handling.
+  *
+  * The codec itself is STUBBED — this container ships no image/audio
+  * libraries, so `decodeStub` derives deterministic fake dimensions and
+  * features from the payload bytes. The seam to replace is exactly one
+  * function marked STUB below; its signature (bytes → decoded struct) is
+  * what a JNI/libvips/ffmpeg binding would implement.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType),                // opaque encoded bytes
+    StructField("meta", MapType(StringType, StringType)),
+  ))
+
+  /** Deterministic synthetic media table derived from a documents frame —
+    * payload bytes are the md5 of the text (stable across runs/engines),
+    * kind round-robins by id. Test/bench input only. */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      to_binary(md5(col("text")), lit("hex")).as("payload"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+
+  final case class Decoded(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float])
+
+  /** STUB — the codec boundary. A real deployment swaps this single
+    * function for an actual decoder (libvips/ffmpeg via JNI, or a
+    * vectorized Arrow UDF); everything around it — batching, schema,
+    * partitioning — is the production shape. The fake is deterministic in
+    * the payload bytes so tests and oracle row counts are stable. */
+  private[graft] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    if (payload == null || payload.isEmpty) (0, 0, 0, Array.emptyFloatArray)
+    else {
+      val w = 64 + (payload(0) & 0x3f)
+      val h = 64 + (payload(payload.length - 1) & 0x3f)
+      val frames = kind match {
+        case "video" => 1 + (payload(payload.length / 2) & 0x0f)
+        case _ => 1
+      }
+      val features = payload.take(8).map(b => (b & 0xff) / 255.0f)
+      (w, h, frames, features)
+    }
+  }
+
+  /** Decode + feature-extract over a media frame. One `mapPartitions`
+    * pass: rows stream through an iterator (constant memory), partitioning
+    * is preserved (narrow dependency — verify no Exchange in the plan). */
+  def decodeFeatures(media: DataFrame): Dataset[Decoded] = {
+    val enc = Encoders.product[Decoded]
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f, feats) = decodeStub(r.getString(1), r.getAs[Array[Byte]](2))
+        Decoded(r.getLong(0), r.getString(1), w, h, f, feats)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video rows: emit ≤ `every`-spaced frame indices
+    * per video (posexplode of a generated sequence — the narrow,
+    * vectorizable formulation; image/audio rows pass through with frame 0). */
+  def sampleFrames(decoded: Dataset[Decoded], every: Int): DataFrame =
+    decoded.toDF()
+      .withColumn("frame_idx",
+        explode(when(col("kind") === "video",
+          sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(every)))
+          .otherwise(array(lit(0)))))
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        col("width"), col("height"))
+
+  /** Resize metadata transform: clamps decoded dims to a max edge,
+    * preserving aspect ratio — pure column arithmetic (a real resize would
+    * live behind the same decode seam). */
+  def resizePlan(decoded: Dataset[Decoded], maxEdge: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxEdge.toDouble) / greatest(col("width"), col("height"), lit(1)))
+    decoded.toDF().select(
+      col("media_id"),
+      col("width"), col("height"),
+      round(col("width") * scale).cast("int").as("out_width"),
+      round(col("height") * scale).cast("int").as("out_height"))
+  }
+}

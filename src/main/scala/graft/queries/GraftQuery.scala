@@ -30,7 +30,7 @@ object GraftQuery {
     * analysis / dedup, similarity search. SparkEntry derives its maps from
     * this single list. */
   lazy val all: Seq[GraftQuery] =
-    StarQueries.all ++ TextQueries.all ++ SimQueries.all
+    StarQueries.all ++ TextQueries.all ++ SimQueries.all ++ MediaQueries.all
 
   /** Exact decimal view of a 2-decimal double measure column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
