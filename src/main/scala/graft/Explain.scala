@@ -1,0 +1,28 @@
+package graft
+
+/** Plan-inspection main: prints the formatted physical plan of one or more
+  * registered queries (all of them with no args). Usage:
+  *
+  *   sbt "runMain graft.Explain [sfDir] [queryName ...]"
+  *
+  * This is the `.explain("formatted")` feedback loop the build runs after
+  * every operator change — check for: PushedFilters reaching the scan, the
+  * expected ReadSchema (column pruning), broadcast vs shuffle joins,
+  * WholeStageCodegen span width, and absence of duplicate subplans. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.getOrCreate("graft-explain")
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          println(s"\n========== $n ==========")
+          fn(spark, sfDir).explain("formatted")
+        case None => System.err.println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

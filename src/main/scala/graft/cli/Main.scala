@@ -82,6 +82,12 @@ object Main {
         sink.ensureTable()
       }
       if (doStream) {
+        // C4: token from env (main.R:193-200) — consumed by a network
+        // source connector when one is configured; the bronze file-source
+        // replay ignores it.
+        val auth = graft.sources.TwitterAuth.fromEnv()
+        if (!auth.isComplete)
+          log.warn("twitter auth incomplete; streaming from bronze files only")
         log.info(s"starting stream: ${cfg.streamChunks} chunks of ${cfg.streamTimeout}s")
         TweetStream.run(spark, cfg.rawDataDir, sink, cfg.streamChunks,
           cfg.streamTimeout.toLong, Some(cfg.keys),

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with `doGenCode`) for the two text operators
+  * whose `functions._` formulations dominate the bench profile:
+  *
+  *   - [[ScrubWords]] — whole-word stopword removal. The regex form
+  *     (`regexp_replace(c, "\\b(?:w1|…|w308)\\b", "")`) retries a 308-way
+  *     alternation at every character position; this expression does one
+  *     linear pass with an O(1) hash-set probe per word.
+  *   - [[SimHash64]] — 64-bit SimHash over whitespace tokens. The SQL
+  *     `aggregate`/`zip_with` form allocates a 64-element array per token and
+  *     re-evaluates `xxhash64(token)` once per bit; this expression hashes
+  *     each token once and keeps 64 scalar counters.
+  *
+  * Both are null-safe unary string expressions that stay inside whole-stage
+  * codegen (the generated code calls the static helpers in [[TextOps]]), so
+  * they fuse with the surrounding scan/project stage — no UDF boundary, no
+  * serialization. Semantics notes live on each class.
+  */
+object TextExprs {
+
+  /** Remove every maximal ASCII-word run (`[A-Za-z0-9_]+`) of `c` that is in
+    * `words`, keeping all other characters. Equivalent to
+    * `regexp_replace(c, "\\b(?:" + words.mkString("|") + ")\\b", "")` (ASCII
+    * `\b`/`\w` dialect) for stopword lists whose entries are pure ASCII word
+    * characters — verified by TextFunctionsSpec against the regex form. */
+  def scrubWords(c: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(ScrubWords(GraftSqlBridge.expression(c), words))
+
+  /** One-pass SimHash-64 of the whitespace tokens of `c` (xxhash64, seed 42,
+    * same hash family as `functions.xxhash64`). */
+  def simhash64(c: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(c)))
+}
+
+/** Whole-word stopword scrub: removes maximal `[A-Za-z0-9_]+` runs contained
+  * in the word set.
+  *
+  * Equivalence with the ASCII regex form `\b(?:w1|…)\b` for pure-word-char
+  * entries: `\b` bounds a match by non-word characters (or string edges) on
+  * both sides, and the alternation entries are all word characters, so a
+  * match is exactly a maximal word run equal to some entry. Entries that
+  * contain non-word characters (e.g. accented Spanish stopwords under the
+  * ASCII dialect) can never equal a maximal run and must be handled by a
+  * separate (much smaller) regex pass — see TextFunctions.cleanTextAscii.
+  */
+case class ScrubWords(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "scrub_words"
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.scrub(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.scrub($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubWords =
+    copy(child = newChild)
+}
+
+/** SimHash-64 over whitespace tokens: each token's xxhash64 (seed 42) votes
+  * +1/−1 per bit position; the signature takes the sign of each counter.
+  * Tokens are maximal runs of non-`\s` bytes (`\s` = ASCII
+  * space/tab/LF/VT/FF/CR, the Java regex default) — identical token
+  * boundaries to `filter(split(trim(c), "\\s+"), t -> length(t) > 0)`.
+  * Empty/whitespace-only input hashes to signature 0. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Static helpers called from both interpreted eval and generated code. */
+object TextOps {
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Single pass over the string: copy through everything except maximal
+    * ASCII-word runs found in `stop`. */
+  def scrub(input: UTF8String, stop: java.util.HashSet[String]): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWordChar(c)) {
+        var j = i + 1
+        while (j < n && isWordChar(s.charAt(j))) j += 1
+        if (!stop.contains(s.substring(i, j))) sb.append(s, i, j)
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // ASCII whitespace bytes of Java regex \s; multi-byte UTF-8 chars all have
+  // the high bit set, so byte-level scanning is UTF-8 safe.
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** One-pass SimHash-64 over the UTF-8 bytes (no tokens array, one
+    * xxhash64 per token). */
+  def simhash64(input: UTF8String): Long = {
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    val n = input.numBytes
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (isWs(Platform.getByte(base, off + i))) i += 1
+      else {
+        var j = i + 1
+        while (j < n && !isWs(Platform.getByte(base, off + j))) j += 1
+        val h = XXH64.hashUnsafeBytes(base, off + i, j - i, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counters(k) += 1 else counters(k) -= 1
+          k += 1
+        }
+        i = j
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counters(k) > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+}

@@ -71,10 +71,26 @@ object TextFunctions {
   def cleanText(c: Column): Column = cleanText(c, spanishStopwordPattern)
 
   /** cleanText with ASCII-dialect patterns — identical output to the (?U)
-    * form on ASCII input, and reproducible in DuckDB RE2 for the oracle. */
-  def cleanTextAscii(c: Column): Column =
-    squish(regexp_replace(regexp_replace(regexp_replace(lower(c),
-      urlPattern, ""), asciiMentionPattern, ""), asciiSpanishStopwordPattern, ""))
+    * form on ASCII input, and reproducible in DuckDB RE2 for the oracle.
+    *
+    * Perf: the 308-word alternation regex is split into a single-pass
+    * hash-set scrub (ScrubWords, a codegen'd Catalyst expression) for the
+    * 224 pure-ASCII-word entries plus a 84-word regex for the accented
+    * entries. Equivalent to the one-big-regex form: under ASCII `\b`, a
+    * pure-word entry matches exactly a maximal word run (handled by the
+    * scrub) and a removal can never create a new word-run adjacency (runs
+    * are bounded by non-word chars), so the two passes commute with the
+    * single pass. TextFunctionsSpec asserts equality against the regex
+    * form; the DuckDB oracle keeps the one-regex formulation. */
+  def cleanTextAscii(c: Column): Column = {
+    val (pure, accented) = spanishStopwords.partition(_.forall(ch =>
+      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+        (ch >= '0' && ch <= '9') || ch == '_'))
+    val noUrls = regexp_replace(regexp_replace(lower(c), urlPattern, ""),
+      asciiMentionPattern, "")
+    val scrubbed = TextExprs.scrubWords(noUrls, pure)
+    squish(regexp_replace(scrubbed, plainWordPattern(accented), ""))
+  }
 
   /** Regex-hit stopword density: whole-word stopword matches over total
     * whitespace tokens. Pure narrow expression, zero state. */

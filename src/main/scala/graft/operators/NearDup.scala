@@ -1,26 +1,34 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextExprs, TextFunctions}
 
 /** Near-duplicate detection at scale — the three standard families, each
-  * bucketed so candidate generation is a join on a small key, never an
-  * all-pairs product:
+  * bucketed so candidate generation never goes all-pairs:
   *
   *   1. md5-minhash on word-3-grams (TextQueries.d08/d09 — oracle-checked)
-  *   2. banded MinHash+LSH via MLlib (`minhashLshPairs`) — n hash tables,
-  *      candidates = vectors sharing any band bucket, verified by exact
-  *      Jaccard on the candidate set only
-  *   3. SimHash-64 (`simhash`) — one 64-bit signature per doc; near-dups
-  *      share a 16-bit band; verification = Hamming distance on candidates
+  *   2. banded MinHash (`minhashLshPairs`) — `numTables` independent minhash
+  *     functions (xxhash64 salted by table index); candidates = docs sharing
+  *     any per-table signature; verified by exact Jaccard on candidates only
+  *   3. SimHash-64 (`simhashOf`) — one 64-bit signature per doc; near-dups
+  *     share a 16-bit band; verification = Hamming distance on candidates
   *
-  * At 100 TB: signatures are narrow per-row expressions (one pass,
-  * codegen'd); the candidate joins shuffle on band keys whose group sizes
-  * are bounded by design (band width chooses the precision/recall point),
-  * so no skewed all-null or hot-key partitions.
+  * Candidate generation is a groupBy on the bucket key + within-bucket pair
+  * expansion ([[pairsWithinBuckets]]) rather than a bucket self-join: the
+  * self-join form computes the signature pipeline once per side (Catalyst
+  * does not reuse the exchange across differently-aliased sides) and — worse
+  * — inlines the whole signature expression into the join's pushed-down
+  * `isnotnull` filter, evaluating it twice more per row. The groupBy form
+  * computes signatures exactly once and shuffles them exactly once.
+  *
+  * At 100 TB: signatures are narrow per-row codegen'd expressions; the
+  * shuffle key is the band/bucket value whose group sizes are bounded by
+  * design (band width picks the precision/recall point), so no hot keys.
+  * Docs too short to sign get a per-doc unique bucket (`coalesce` with
+  * doc_id) instead of a shared null bucket — a null hot-key would send
+  * every short doc to one task.
   */
 object NearDup {
 
@@ -35,57 +43,66 @@ object NearDup {
           .otherwise(expr("cast(array() as array<string>)")))
       .drop("toks")
 
-  /** MinHash+LSH banded near-dup pairs (MLlib): shingles → binary
-    * HashingTF vectors → `numTables` minhash signatures → candidate pairs
-    * from LSH OR-amplification → exact Jaccard distance filter.
-    * Deterministic for a fixed seed. Returns (a_id, b_id, jaccard_dist)
-    * with a_id < b_id and jaccard_dist <= maxDistance. */
+  /** All unordered (i<j) pairs within each group of `grouped`, where
+    * `grouped` has a `docs` column holding the group's sorted
+    * array<struct<...>>; emits one row per pair with columns `a`/`b` (the
+    * two structs). Groups of size 1 produce nothing. The expansion is a
+    * generator expression — no join, no second pass over the input. */
+  def pairsWithinBuckets(grouped: DataFrame): DataFrame =
+    grouped
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(docs)-2),
+          |  i -> transform(sequence(i+1, size(docs)-1),
+          |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Banded MinHash near-dup pairs, natively: shingles → `numTables`
+    * independent minhash values (xxhash64 salted with the table index) →
+    * group docs by (table, minhash) → within-bucket candidate pairs →
+    * dedup pairs seen in several tables → exact Jaccard distance filter.
+    * Deterministic (fixed hash family). Returns (a_id, b_id, jaccard_dist)
+    * with a_id < b_id and jaccard_dist <= maxDistance.
+    *
+    * Recall at Jaccard similarity j with T tables: 1-(1-j)^T — e.g. 8
+    * tables catch a j=0.6 pair with p≈0.9993. Precision comes free from
+    * the exact verify step. */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDistance: Double = 0.5,
-      numTables: Int = 5, seed: Long = 42L): DataFrame = {
+      numTables: Int = 8): DataFrame = {
     val sh = shingled(docs, textCol)
-      .filter(size(col("shingle_set")) > 0) // MinHash requires ≥1 set bit
+      .filter(size(col("shingle_set")) > 0)
       .select(col(idCol), col("shingle_set"))
-    val tf = new HashingTF()
-      .setInputCol("shingle_set").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(sh)
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numTables).setSeed(seed)
-    val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, maxDistance, "jaccard_dist")
-      .select(
-        col(s"datasetA.$idCol").as("a_id"),
-        col(s"datasetB.$idCol").as("b_id"),
-        col("jaccard_dist"))
-      .filter(col("a_id") < col("b_id"))
+    // one row per (table, per-table minhash) — the LSH bucket key
+    val banded = sh.select(col(idCol), col("shingle_set"),
+      explode(expr(
+        s"""transform(sequence(0, ${numTables - 1}),
+           |  t -> struct(t AS t, array_min(transform(shingle_set, s -> xxhash64(s, t))) AS mh))"""
+          .stripMargin)).as("bk"))
+    val grouped = banded
+      .groupBy(col("bk.t"), col("bk.mh"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("shingle_set")))).as("docs"))
+    pairsWithinBuckets(grouped)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.shingle_set").as("a_sh"), col("b.shingle_set").as("b_sh"))
+      // a pair can share a bucket in several tables — keep one copy
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_sh")).as("a_sh"), first(col("b_sh")).as("b_sh"))
+      .select(col("a_id"), col("b_id"),
+        (lit(1.0) - size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxDistance)
   }
 
-  /** SimHash-64 of a whitespace-tokenized string column as one SQL
-    * expression: per token, xxhash64 contributes +1/-1 to each of 64 bit
-    * counters; the signature takes bit j where counter j ends positive.
-    * A single `aggregate` fold — no explode, no shuffle, stays inside
-    * whole-stage codegen. */
-  def simhashOf(colName: String): Column = {
-    val toksSql = s"filter(split(trim($colName), '\\\\s+'), t -> length(t) > 0)"
-    expr(
-      s"""aggregate(
-         |  $toksSql,
-         |  array_repeat(0L, 64),
-         |  (acc, t) -> zip_with(acc,
-         |      transform(sequence(0, 63),
-         |        j -> IF((shiftright(xxhash64(t), j) % 2) != 0, 1L, -1L)),
-         |      (a, b) -> a + b),
-         |  acc -> aggregate(
-         |      transform(sequence(0, 63),
-         |        j -> IF(acc[j] > 0, shiftleft(1L, j), 0L)),
-         |      0L, (s, x) -> s + x))""".stripMargin)
-  }
+  /** SimHash-64 of a whitespace-tokenized string column — a native codegen
+    * Catalyst expression (one xxhash64 per token, 64 scalar counters; see
+    * TextExprs.SimHash64). No shuffle, fuses into the scan stage. */
+  def simhashOf(colName: String): Column = TextExprs.simhash64(col(colName))
 
   /** SimHash near-dup pairs: band each 64-bit signature into four 16-bit
-    * keys, join on (band index, band value), verify candidates by Hamming
-    * distance. Returns (a_id, b_id, hamming) with a_id < b_id. */
+    * keys, group docs by (band index, band value), expand within-bucket
+    * candidate pairs, verify by Hamming distance. Returns
+    * (a_id, b_id, hamming) with a_id < b_id. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 8): DataFrame = {
     val sig = docs.select(col(idCol), simhashOf(textCol).as("simhash"))
@@ -93,15 +110,12 @@ object NearDup {
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, (shiftright(simhash, b*16) % 65536) AS v))"))
         .as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.v"))
-    val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sig"),
-      col("band"), col("v"))
-    val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sig"),
-      col("band").as("band_b"), col("v").as("v_b"))
-    a.join(b, col("band") === col("band_b") && col("v") === col("v_b") &&
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("bigint").as("hamming"))
+    val grouped = banded
+      .groupBy(col("bk.band"), col("bk.v"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash")))).as("docs"))
+    pairsWithinBuckets(grouped)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint").as("hamming"))
       .distinct() // a pair can collide in several bands
       .filter(col("hamming") <= maxHamming)
   }

@@ -271,8 +271,10 @@ object StarQueries {
           .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
           .groupBy(col("event_type"))
           .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt")),
+      // CAST(SUM(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT — cast back
+      // so the compared column type matches Spark's bigint sum.
       Some("""SELECT event_type,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
         FROM events GROUP BY event_type""")),
 
@@ -311,8 +313,8 @@ object StarQueries {
               ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_ts
           FROM events)
         SELECT user_id,
-          SUM(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000
-            THEN 1 ELSE 0 END) AS sessions,
+          CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
           COUNT(*) AS n_events
         FROM w GROUP BY user_id""")),
   )

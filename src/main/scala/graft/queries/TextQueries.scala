@@ -161,21 +161,29 @@ object TextQueries {
       (s, d) => minhashed(s, d).select(col("doc_id"), col("minhash")),
       Some(s"""$sqlMinhashCte SELECT doc_id, minhash FROM mh""")),
 
-    // ---- near-dup candidate pairs: LSH bucket join + verify jaccard ------
-    // The scale shape: join on the minhash bucket (tiny groups), never
-    // all-pairs; exact 3-gram Jaccard only on candidates.
+    // ---- near-dup candidate pairs: LSH bucket groupBy + verify jaccard ---
+    // The scale shape: group docs by minhash bucket (tiny groups by
+    // construction) and expand pairs within buckets — never all-pairs, and
+    // never a bucket self-join (which would compute the signature pipeline
+    // once per side plus twice more inside the pushed-down isnotnull join
+    // filter; see NearDup's scaladoc). Unsignable docs (<3 tokens) get a
+    // unique per-doc bucket instead of sharing the null key — at 100 TB a
+    // null hot-key would put every short doc in one straggler task.
     GraftQuery(
       "d09_near_dup_pairs",
       (s, d) => {
-        val m = minhashed(s, d)
-        val a = m.select(col("doc_id").as("a_id"), col("shingle_set").as("a_sh"),
-          col("minhash"))
-        val b = m.select(col("doc_id").as("b_id"), col("shingle_set").as("b_sh"),
-          col("minhash").as("minhash_b"))
-        a.join(b, col("minhash") === col("minhash_b") && col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-              size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+        import graft.operators.NearDup
+        val grouped = minhashed(s, d)
+          .select(col("doc_id"), col("shingle_set"),
+            coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
+              .as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(sort_array(collect_list(
+            struct(col("doc_id"), col("shingle_set")))).as("docs"))
+        NearDup.pairsWithinBuckets(grouped)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            (size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("double") /
+              size(array_union(col("a.shingle_set"), col("b.shingle_set"))).cast("double"))
               .as("jaccard"))
       },
       Some(s"""$sqlMinhashCte

@@ -100,4 +100,44 @@ class StreamingEtlSpec extends SparkSpec {
     assert(m(true, true) == (true, true))     // setup then stream
     assert(m(false, true) == (false, false))  // the reference quirk: nothing
   }
+
+  test("S2: bronze chunk sink writes timestamped NDJSON, creates dir, replayable") {
+    import graft.sinks.BronzeSink
+    import graft.sources.TweetSource
+    val bronze = tmpDir("bronze-s2").resolve("raw_data") // does not exist yet
+    val raw = TweetSource.read(spark,
+      writeFixture(tmpDir("fix"), s"$anaLine\n$hugoLine\n").toString)
+    val now = () => LocalDateTime.of(2019, 10, 23, 3, 15, 2)
+    val written = BronzeSink.writeChunk(raw.drop("_corrupt_record"),
+      bronze.toString, now)
+    assert(written.getFileName.toString == "stream_20191023_031502.json")
+    assert(Files.list(bronze).count() == 1) // temp write dir cleaned up
+    // the chunk replays through the same declared-schema source
+    val replay = TweetSource.read(spark, written.toString)
+    assert(replay.count() == 2)
+    assert(replay.select("screen_name").as[String].collect().toSet ==
+      Set("ana", "hugo"))
+  }
+
+  private def writeFixture(dir: Path, content: String): Path = {
+    val f = dir.resolve("stream_fixture.json")
+    Files.writeString(f, content)
+    f
+  }
+
+  test("C4: twitter auth from env keys, redactable options map") {
+    import graft.sources.TwitterAuth
+    val full = TwitterAuth.from(k => Some(s"val-$k"))
+    assert(full.isComplete)
+    assert(full.asOptions == Map(
+      "consumer.key" -> "val-TW_CONSUMER_KEY",
+      "consumer.secret" -> "val-TW_CONSUMER_SECRET",
+      "access.token" -> "val-TW_ACCESS_TOKEN",
+      "access.secret" -> "val-TW_ACCESS_SECRET"))
+    val partial = TwitterAuth.from(
+      k => if (k == "TW_CONSUMER_KEY") Some("x") else None)
+    assert(!partial.isComplete && partial.asOptions.size == 1)
+    val empty = TwitterAuth.from(_ => Some("")) // .Renviron ships empty strings
+    assert(!empty.isComplete)
+  }
 }
