@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen expressions for hashed word-3-gram shingling and banded
+  * MinHash signatures — the candidate-generation primitives of
+  * [[graft.operators.NearDup.minhashLshPairs]].
+  *
+  * The `functions._` formulation (`transform(shingle_set, s -> xxhash64(s, t))`
+  * per table) pays an interpreted lambda + a string re-hash per (shingle,
+  * table) — ~8× the string hashing and thousands of closure dispatches per
+  * row — and shuffles the string shingle sets to the verify step. These
+  * expressions hash each token once, derive shingle hashes by chaining
+  * (`hashLong`), and emit compact long arrays: per-row work drops to one
+  * string hash per token + one `hashLong` per (shingle, table), and the
+  * verify payload shrinks ~4× (8-byte hashes vs ~30-byte shingle strings).
+  *
+  * Shingle hash definition (both expressions share it): with
+  * h(tok) = xxhash64(tokenBytes, seed 42),
+  * sh_i = hashLong(h(tok_{i+2}), hashLong(h(tok_{i+1}), h(tok_i))).
+  * Per-table minhash: sig_t = min_i hashLong(t, sh_i). 64-bit Jaccard on
+  * the hashed shingle sets equals string-shingle Jaccard up to hash
+  * collisions (~2^-64 per pair).
+  */
+object MinHashExprs {
+
+  /** Sorted distinct hashed 3-gram shingles of a token array (array<long>);
+    * null if the input is null, empty if < 3 tokens. */
+  def shingleHashes(toks: Column): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(toks)))
+
+  /** `numTables` banded minhash values of a token array (array<long>);
+    * null if the input is null or has < 3 tokens. */
+  def minhashSigs(toks: Column, numTables: Int): Column =
+    GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(toks), numTables))
+}
+
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.shingleHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashOps.shingleHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+case class MinHashSigs(child: Expression, numTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.minhashSigs(input.asInstanceOf[ArrayData], numTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MinHashOps.minhashSigs($c, $numTables);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashOps {
+
+  /** Chained 3-gram shingle hashes of a token array; length max(n-2, 0). */
+  private def rawShingleHashes(toks: ArrayData): Array[Long] = {
+    val n = toks.numElements()
+    if (n < 3) return Array.emptyLongArray
+    val tokHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      tokHashes(i) = XXH64.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      i += 1
+    }
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      out(i) = XXH64.hashLong(tokHashes(i + 2),
+        XXH64.hashLong(tokHashes(i + 1), tokHashes(i)))
+      i += 1
+    }
+    out
+  }
+
+  def shingleHashes(toks: ArrayData): ArrayData = {
+    val raw = rawShingleHashes(toks)
+    java.util.Arrays.sort(raw)
+    // distinct on the sorted array, in place
+    var w = 0
+    var i = 0
+    while (i < raw.length) {
+      if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  def minhashSigs(toks: ArrayData, numTables: Int): ArrayData = {
+    val raw = rawShingleHashes(toks)
+    if (raw.isEmpty) return null
+    val sigs = Array.fill(numTables)(Long.MaxValue)
+    var i = 0
+    while (i < raw.length) {
+      var t = 0
+      while (t < numTables) {
+        val h = XXH64.hashLong(t.toLong, raw(i))
+        if (h < sigs(t)) sigs(t) = h
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,6 +38,13 @@ object TextExprs {
     * same hash family as `functions.xxhash64`). */
   def simhash64(c: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(c)))
+
+  /** Count of maximal ASCII-word runs of `c` contained in `words` —
+    * equivalent to `size(regexp_extract_all(c, "\\b(?:w1|…)\\b", 0))` for
+    * pure-word-char entries (same equivalence argument as [[ScrubWords]]),
+    * in one linear pass. */
+  def countWordsIn(c: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(CountWordsIn(GraftSqlBridge.expression(c), words))
 }
 
 /** Whole-word stopword scrub: removes maximal `[A-Za-z0-9_]+` runs contained
@@ -99,12 +106,56 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Whole-word hit counter: counts maximal `[A-Za-z0-9_]+` runs contained in
+  * the word set (see [[ScrubWords]] for the regex-equivalence argument). */
+case class CountWordsIn(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_words_in"
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.countWordsIn(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.countWordsIn($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountWordsIn =
+    copy(child = newChild)
+}
+
 /** Static helpers called from both interpreted eval and generated code. */
 object TextOps {
 
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
+
+  /** Count maximal ASCII-word runs of `input` found in `words`. */
+  def countWordsIn(input: UTF8String, words: java.util.HashSet[String]): Int = {
+    val s = input.toString
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (isWordChar(s.charAt(i))) {
+        var j = i + 1
+        while (j < n && isWordChar(s.charAt(j))) j += 1
+        if (words.contains(s.substring(i, j))) count += 1
+        i = j
+      } else i += 1
+    }
+    count
+  }
 
   /** Single pass over the string: copy through everything except maximal
     * ASCII-word runs found in `stop`. */

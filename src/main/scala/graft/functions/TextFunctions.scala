@@ -89,7 +89,14 @@ object TextFunctions {
     val noUrls = regexp_replace(regexp_replace(lower(c), urlPattern, ""),
       asciiMentionPattern, "")
     val scrubbed = TextExprs.scrubWords(noUrls, pure)
-    squish(regexp_replace(scrubbed, plainWordPattern(accented), ""))
+    // The accented entries contain non-ASCII characters, so they can only
+    // match in strings that contain non-ASCII bytes — gate the 84-way
+    // alternation behind a one-compare-per-char ASCII check (pure-ASCII
+    // corpora skip it entirely).
+    val accentedScrubbed = when(scrubbed.rlike("[^\\x00-\\x7F]"),
+      regexp_replace(scrubbed, plainWordPattern(accented), ""))
+      .otherwise(scrubbed)
+    squish(accentedScrubbed)
   }
 
   /** Regex-hit stopword density: whole-word stopword matches over total
@@ -159,19 +166,30 @@ object TextFunctions {
   /** Tiny per-language marker lexicons for the n-gram/stopword heuristic
     * language ID. Deliberately small and ASCII-safe so the same heuristic is
     * expressible as oracle SQL. */
-  val langMarkers: Seq[(String, String)] = Seq(
-    "es" -> "\\b(?:de|la|que|el|en|los|del|las|por|una|para|con|es|un)\\b",
-    "en" -> "\\b(?:the|of|and|to|in|is|that|it|was|for|on|are|as|with)\\b",
-    "fr" -> "\\b(?:le|les|des|une|est|dans|que|pour|qui|sur|pas|au|ce)\\b",
-    "de" -> "\\b(?:der|die|das|und|ist|nicht|ein|eine|mit|auf|den|von)\\b",
+  val langMarkerWords: Seq[(String, Seq[String])] = Seq(
+    "es" -> Seq("de", "la", "que", "el", "en", "los", "del", "las", "por",
+      "una", "para", "con", "es", "un"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was",
+      "for", "on", "are", "as", "with"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "que", "pour",
+      "qui", "sur", "pas", "au", "ce"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "auf", "den", "von"),
   )
 
+  /** Regex form of the marker lexicons (oracle SQL generation). */
+  val langMarkers: Seq[(String, String)] =
+    langMarkerWords.map { case (code, ws) => code -> plainWordPattern(ws) }
+
   /** Heuristic language ID: count marker-word hits per language; argmax wins
-    * (ties broken by language code order); no hits → "und" (undetermined). */
+    * (ties broken by language code order); no hits → "und" (undetermined).
+    * Hit counting is the native CountWordsIn expression (one linear pass
+    * per language vs an NFA alternation regex per language — same counts,
+    * see the regex-equivalence argument on ScrubWords). */
   def langId(c: Column): Column = {
     val lowered = lower(c)
-    val scored = langMarkers.map { case (code, pat) =>
-      (code, size(regexp_extract_all(lowered, lit(pat), lit(0))))
+    val scored = langMarkerWords.map { case (code, ws) =>
+      (code, TextExprs.countWordsIn(lowered, ws))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((code, score), acc) =>

@@ -22,7 +22,11 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the native one-pass expression (VectorExprs);
+    * bit-identical to `dot(a,b)/(norm(a)*norm(b))` (strict left-to-right
+    * accumulation, see CosineSim's scaladoc) but ~an order of magnitude
+    * faster in the candidate-pair hot loops. */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
 
   /** DuckDB mirrors of the above, for oracle SQL generation. */
   def sqlDot(a: String, b: String): String =

@@ -57,40 +57,46 @@ object NearDup {
           |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
 
-  /** Banded MinHash near-dup pairs, natively: shingles → `numTables`
-    * independent minhash values (xxhash64 salted with the table index) →
-    * group docs by (table, minhash) → within-bucket candidate pairs →
-    * dedup pairs seen in several tables → exact Jaccard distance filter.
-    * Deterministic (fixed hash family). Returns (a_id, b_id, jaccard_dist)
-    * with a_id < b_id and jaccard_dist <= maxDistance.
+  /** Banded MinHash near-dup pairs, natively: hashed 3-gram shingles →
+    * `numTables` independent minhash values (one codegen'd expression, see
+    * MinHashExprs) → group docs by (table, minhash) → within-bucket
+    * candidate pairs → dedup pairs seen in several tables → exact Jaccard
+    * distance filter on the hashed shingle sets (equal to string-shingle
+    * Jaccard up to 2^-64 hash collisions). Deterministic (fixed hash
+    * family). Returns (a_id, b_id, jaccard_dist) with a_id < b_id and
+    * jaccard_dist <= maxDistance.
     *
     * Recall at Jaccard similarity j with T tables: 1-(1-j)^T — e.g. 8
     * tables catch a j=0.6 pair with p≈0.9993. Precision comes free from
-    * the exact verify step. */
+    * the exact verify step. The shuffled payload per doc is one long
+    * array (8 B/shingle), not the shingle strings. */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDistance: Double = 0.5,
       numTables: Int = 8): DataFrame = {
-    val sh = shingled(docs, textCol)
-      .filter(size(col("shingle_set")) > 0)
-      .select(col(idCol), col("shingle_set"))
+    import graft.functions.MinHashExprs
+    val sh = docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("toks")) >= 3) // MinHash needs ≥1 shingle
+      .select(col(idCol),
+        MinHashExprs.shingleHashes(col("toks")).as("hs"),
+        MinHashExprs.minhashSigs(col("toks"), numTables).as("sigs"))
     // one row per (table, per-table minhash) — the LSH bucket key
-    val banded = sh.select(col(idCol), col("shingle_set"),
+    val banded = sh.select(col(idCol), col("hs"),
       explode(expr(
-        s"""transform(sequence(0, ${numTables - 1}),
-           |  t -> struct(t AS t, array_min(transform(shingle_set, s -> xxhash64(s, t))) AS mh))"""
-          .stripMargin)).as("bk"))
+        s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))"))
+        .as("bk"))
     val grouped = banded
       .groupBy(col("bk.t"), col("bk.mh"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("shingle_set")))).as("docs"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("hs")))).as("docs"))
     pairsWithinBuckets(grouped)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.shingle_set").as("a_sh"), col("b.shingle_set").as("b_sh"))
+        col("a.hs").as("a_hs"), col("b.hs").as("b_hs"))
       // a pair can share a bucket in several tables — keep one copy
       .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_sh")).as("a_sh"), first(col("b_sh")).as("b_sh"))
+      .agg(first(col("a_hs")).as("a_hs"), first(col("b_hs")).as("b_hs"))
       .select(col("a_id"), col("b_id"),
-        (lit(1.0) - size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard_dist"))
+        (lit(1.0) - size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+          size(array_union(col("a_hs"), col("b_hs"))).cast("double")).as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxDistance)
   }
 

@@ -317,5 +317,75 @@ object StarQueries {
             THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
           COUNT(*) AS n_events
         FROM w GROUP BY user_id""")),
+
+    // ---- as-of join: last click before each purchase, per user ----------
+    // TemporalJoins.asOfJoin (union + window, one shuffle on user_id) vs
+    // DuckDB's native ASOF LEFT JOIN. Clicks pre-deduped to one per
+    // (user, ts) — max event_id — so the as-of match is deterministic.
+    // Timestamps compared in MICROSECONDS on both sides: DuckDB truncates
+    // ns-precision parquet timestamps to its µs TIMESTAMP, so the µs
+    // domain (ts div 1000 / epoch_us) is the shared exact domain.
+    GraftQuery(
+      "q19_asof_attribution",
+      (s, d) => {
+        import graft.operators.TemporalJoins
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        val dw = Window.partitionBy(col("user_id"), col("ts_us"))
+          .orderBy(col("event_id").desc)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+          .withColumn("rn", row_number().over(dw))
+          .filter(col("rn") === 1).drop("rn")
+        TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts_us")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("asof.event_id").as("click_id"),
+            (col("ts_us") - col("asof.ts_us")).as("gap_us"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+          FROM events WHERE event_type = 'purchase'),
+        c0 AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+              ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'click'),
+        c AS (SELECT event_id, user_id, tsu FROM c0 WHERE rn = 1)
+        SELECT p.event_id AS purchase_id, p.user_id,
+          c.event_id AS click_id, p.tsu - c.tsu AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.tsu >= c.tsu""")),
+
+    // ---- range (interval) join: clicks within 1h before each purchase ---
+    // TemporalJoins.rangeJoin (bucketed equi-join on (user, hour-bucket))
+    // vs DuckDB's plain inequality join — candidate generation is bounded
+    // by the bucket key, never all-pairs. µs domain as in q19.
+    GraftQuery(
+      "q20_range_click_counts",
+      (s, d) => {
+        import graft.operators.TemporalJoins
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        TemporalJoins.rangeJoin(purchases, clicks, "user_id", "ts_us", "ts_us",
+          lowOffset = -3600000000L, highOffset = 0L)
+          .groupBy(col("l.event_id").as("purchase_id"),
+            col("l.user_id").as("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            min(col("l.ts_us") - col("r.ts_us")).as("min_gap_us"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+          COUNT(*) AS n_clicks,
+          MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us
+        FROM events p JOIN events c ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+            AND epoch_us(p.ts)
+        GROUP BY 1, 2""")),
   )
 }
