@@ -387,5 +387,35 @@ object StarQueries {
           AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
             AND epoch_us(p.ts)
         GROUP BY 1, 2""")),
+
+    // ---- cube (full grouping-sets lattice) -------------------------------
+    GraftQuery(
+      "q21_cube_order_stats",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+        COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    // ---- pivot (orderstatus columns per market segment) ------------------
+    // Spark's relational pivot vs the conditional-aggregation formulation
+    // in the oracle (COUNT over a CASE is 0 for empty cells in both).
+    GraftQuery(
+      "q22_pivot_status_by_segment",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1))),
+      Some("""SELECT c_mktsegment,
+          CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+          CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+          CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment""")),
   )
 }

@@ -207,12 +207,43 @@ object TextQueries {
       (s, d) => graft.operators.NearDup.simhashPairs(Tables.documents(s, d)),
       None),
 
-    // ---- MinHash+LSH banded near-dup (MLlib, 5 hash tables, seed 42) ----
+    // ---- banded MinHash near-dup (native, 8 tables; see NearDup) --------
     GraftQuery(
       "d12_minhash_lsh_pairs",
       (s, d) => graft.operators.NearDup
         .minhashLshPairs(Tables.documents(s, d), maxDistance = 0.5)
         .select(col("a_id"), col("b_id")),
       None),
+
+    // ---- term frequency stats: top term per doc by (tf, term) ------------
+    // The tf-df machinery of a TF-IDF pipeline with integer-only outputs
+    // (cross-engine float log() is not bit-stable; ordering by tf with a
+    // lexicographic tiebreak keeps the result exact). Two shuffles: one on
+    // (doc, term) for tf, one broadcast-able agg on term for df.
+    GraftQuery(
+      "d13_top_terms",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("term"))
+          .agg(count_distinct(col("doc_id")).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("term").asc)
+        tf.join(df, "term")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, tf.term ASC) AS rn
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df FROM r WHERE rn = 1""")),
   )
 }
