@@ -108,8 +108,14 @@ object TextFunctions {
         nTok.cast("double"))
   }
 
-  /** T5 — str_squish: trim + collapse internal whitespace runs. */
-  def squish(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  /** T5 — str_squish: collapse whitespace runs to single spaces, then trim.
+    * Order matters: Spark's `trim` strips only the space character, so
+    * trimming FIRST leaves a non-space edge run (tab/newline) to be
+    * collapsed into a leading/trailing space — collapsing first turns any
+    * edge whitespace into plain spaces that trim then removes (caught by
+    * PropertySpec's idempotence property; str_squish strips all edge
+    * whitespace). */
+  def squish(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
   // ---------------------------------------------------------------- analysis
 

@@ -90,4 +90,9 @@ object TweetPipeline {
     val cleaned = clean(filterProject(raw))
     if (keepFirst) dedupKeepFirst(cleaned) else dedup(cleaned)
   }
+
+  /** Typed pipeline output — same plan, Encoder-checked schema boundary
+    * (see [[Tweet]]). */
+  def transformTyped(raw: DataFrame, keepFirst: Boolean = true): org.apache.spark.sql.Dataset[Tweet] =
+    Tweet.typed(transform(raw, keepFirst))
 }

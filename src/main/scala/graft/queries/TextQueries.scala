@@ -54,11 +54,13 @@ object TextQueries {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"), cleanTextAscii(col("text")).as("clean")),
+      // trim AFTER collapsing (str_squish strips all edge whitespace; see
+      // TextFunctions.squish)
       Some(s"""SELECT doc_id,
-        regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           lower(text), '$urlPattern', '', 'g'),
           '$asciiMentionPattern', '', 'g'),
-          '$asciiSpanishStopwordPattern', '', 'g')), '\\s+', ' ', 'g') AS clean
+          '$asciiSpanishStopwordPattern', '', 'g'), '\\s+', ' ', 'g')) AS clean
         FROM documents""")),
 
     // ---- token counting: whitespace + BPE-ish subword proxy --------------
@@ -105,7 +107,7 @@ object TextQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), fingerprint(col("text")).as("fingerprint")),
       Some("""SELECT doc_id,
-        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         FROM documents""")),
 
     // ---- exact dedup at scale: hash-groupBy on the fingerprint -----------
@@ -118,7 +120,7 @@ object TextQueries {
           .groupBy(fingerprint(col("text")).as("fingerprint"))
           .agg(min(col("doc_id")).as("keeper_doc_id"),
             count(lit(1)).as("n_docs")),
-      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""")),
 
