@@ -26,8 +26,20 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def cpusFromEnv: Int =
-    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4)
+  /** Worker-thread count: SPARK_GRAFT_CPUS if set and valid, else every
+    * available core (the driver's config is local[32] on a 32-core box —
+    * a small fixed default would silently run at a fraction of the
+    * machine). A set-but-unparsable value warns instead of silently
+    * falling back, so a typo can't quietly skew bench parallelism. */
+  def cpusFromEnv: Int = sys.env.get("SPARK_GRAFT_CPUS") match {
+    case Some(v) => v.toIntOption.filter(_ > 0).getOrElse {
+      System.err.println(
+        s"[GraftSession] SPARK_GRAFT_CPUS='$v' is not a positive int; " +
+          s"using all ${Runtime.getRuntime.availableProcessors()} cores")
+      Runtime.getRuntime.availableProcessors()
+    }
+    case None => Runtime.getRuntime.availableProcessors()
+  }
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

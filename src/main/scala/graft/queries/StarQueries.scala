@@ -417,5 +417,30 @@ object StarQueries {
           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment""")),
+
+    // ---- date/time scalar functions over order dates ---------------------
+    // year/quarter/month extraction + month-truncation + day arithmetic
+    // (the §2.7 date-scalar surface, all codegen'd Catalyst built-ins).
+    GraftQuery(
+      "q23_date_scalars",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(
+            year(col("o_orderdate")).as("o_year"),
+            quarter(col("o_orderdate")).as("o_quarter"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_start"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            max(dayofmonth(col("o_orderdate"))).as("max_dom"),
+            count_distinct(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+              .as("active_days")),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+          COUNT(*) AS n_orders,
+          CAST(MAX(day(o_orderdate)) AS INT) AS max_dom,
+          COUNT(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS active_days
+        FROM orders GROUP BY 1, 2, 3""")),
   )
 }

@@ -247,5 +247,55 @@ object TextQueries {
               ORDER BY tf.tf DESC, tf.term ASC) AS rn
           FROM tf JOIN df USING (term))
         SELECT doc_id, term, tf, df FROM r WHERE rn = 1""")),
+
+    // ---- composite quality filter: the canonical training-data gate -----
+    // Combines the scalar signals (token count, quality score, stopword
+    // density, language) into one narrow filtering pass — the shape of a
+    // production corpus filter: all predicates fuse into the scan stage,
+    // output is the surviving doc ids + their signals.
+    GraftQuery(
+      "d14_quality_filter",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            tokenCount(col("text")).cast("bigint").as("n_tokens"),
+            qualityScore(col("text")).as("quality_score"),
+            stopwordHitRatio(col("text"), englishStopwordPattern)
+              .as("stopword_ratio"),
+            langId(col("text")).as("lang_pred"))
+          .filter(col("n_tokens") >= 30 && col("quality_score") >= 0.5 &&
+            col("stopword_ratio") >= 0.05 && col("lang_pred") === "en"),
+      Some {
+        val hits = langMarkers.map { case (code, pat) =>
+          s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
+        }.mkString(", ")
+        val g = langMarkers.map { case (code, _) => s"${code}_n" }
+          .mkString("greatest(", ", ", ")")
+        val cases = langMarkers.map { case (code, _) =>
+          s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
+        }.mkString(" ")
+        s"""WITH sig AS (
+            SELECT doc_id,
+              CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+              greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END)
+                * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END)) AS quality_score,
+              CASE WHEN len($sqlToks) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(lower(text), '$englishStopwordPattern')) AS DOUBLE)
+                  / CAST(len($sqlToks) AS DOUBLE) END AS stopword_ratio,
+              $hits
+            FROM documents),
+          scored AS (SELECT doc_id, n_tokens, quality_score, stopword_ratio,
+              CASE $cases ELSE 'und' END AS lang_pred
+            FROM (SELECT *, $g AS g FROM sig) t)
+          SELECT doc_id, n_tokens, quality_score, stopword_ratio, lang_pred
+          FROM scored
+          WHERE n_tokens >= 30 AND quality_score >= 0.5
+            AND stopword_ratio >= 0.05 AND lang_pred = 'en'"""
+      }),
   )
 }

@@ -125,6 +125,34 @@ class StreamingEtlSpec extends SparkSpec {
     f
   }
 
+  test("E2E: bronze producer → streaming transform → sink (the full reference loop)") {
+    import graft.sinks.BronzeSink
+    import graft.sources.TweetSource
+    val bronze = tmpDir("bronze-e2e").resolve("raw_data")
+    val dbDir = tmpDir("db-e2e")
+    // two chunks through the S2 producer, one through each timestamp
+    val fix1 = writeFixture(tmpDir("fx1"), s"$anaLine\n$evaLine\n")
+    val fix2 = writeFixture(tmpDir("fx2"), s"$hugoLine\n")
+    val t1 = LocalDateTime.of(2019, 10, 23, 3, 15, 0)
+    val t2 = LocalDateTime.of(2019, 10, 23, 3, 16, 0)
+    val c1 = BronzeSink.writeChunk(
+      TweetSource.read(spark, fix1.toString).drop("_corrupt_record"),
+      bronze.toString, () => t1)
+    val c2 = BronzeSink.writeChunk(
+      TweetSource.read(spark, fix2.toString).drop("_corrupt_record"),
+      bronze.toString, () => t2)
+    assert(c1 != c2)
+    val table = dbDir.resolve("tweet_data.db").toString
+    val sink = new ParquetTweetSink(spark, table)
+    sink.ensureTable()
+    TweetStream.runAvailableNow(spark, bronze.toString, sink, keys = None,
+      checkpointDir = dbDir.resolve("ckpt").toString)
+    val out = spark.read.parquet(table)
+    // chunk1: ana+eva dedupe to one row; chunk2: hugo
+    assert(out.count() == 2)
+    assert(out.select("user").as[String].collect().toSet == Set("ana", "hugo"))
+  }
+
   test("C4: twitter auth from env keys, redactable options map") {
     import graft.sources.TwitterAuth
     val full = TwitterAuth.from(k => Some(s"val-$k"))
