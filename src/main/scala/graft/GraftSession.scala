@@ -13,6 +13,8 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // SQL surface for the native expressions + the scrub-fusion rule
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -229,8 +229,10 @@ object TextQueries {
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy(col("term"))
-          .agg(count_distinct(col("doc_id")).as("df"))
+        // df derived FROM tf (rows are unique per (doc, term), so a plain
+        // count per term == count_distinct(doc) over raw tokens) — avoids
+        // a second scan + explode + shuffle of the corpus.
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("term").asc)
