@@ -100,6 +100,44 @@ object NearDup {
       .filter(col("jaccard_dist") <= maxDistance)
   }
 
+  /** Near-dup CLUSTERING (the 100 TB dedup shape): every doc maps to a
+    * representative — the minimum doc id sharing any LSH band bucket with
+    * it (itself if nothing collides; unsignable short docs are their own
+    * representative). Output (doc_id, rep_id), one row per input row.
+    *
+    * This is the scale-safe alternative to emitting candidate PAIRS: a
+    * duplicate group of size g produces g² pairs but only g cluster rows —
+    * measured on an 8×-replicated corpus, the pair form degrades
+    * super-linearly (1.4 s → 48 s for 8× rows at sf0.1) while this form
+    * stays linear. Training-data dedup (keep one per cluster:
+    * `filter(doc_id = rep_id)`) never needs the pairs.
+    *
+    * One-pass approximation of connected components: transitive chains
+    * (A~B~C without A~C sharing a bucket) may land in different clusters;
+    * near-exact duplicates share all/most buckets, so real dup groups
+    * collapse correctly. Iterate the mapping if full transitivity is
+    * required. */
+  def minhashLshRepresentatives(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numTables: Int = 8): DataFrame = {
+    import graft.functions.MinHashExprs
+    import org.apache.spark.sql.expressions.Window
+    val sigs = docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol),
+        MinHashExprs.minhashSigs(col("toks"), numTables).as("sigs"))
+    val banded = sigs.filter(col("sigs").isNotNull)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))"))
+        .as("bk"))
+    val bucketMin = banded.withColumn("bucket_rep",
+      min(col(idCol)).over(Window.partitionBy(col("bk.t"), col("bk.mh"))))
+    val reps = bucketMin.groupBy(col(idCol))
+      .agg(min(col("bucket_rep")).as("rep_id"))
+    // short docs (no signature) are their own representative
+    docs.select(col(idCol)).join(reps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep_id"), col(idCol)).as("rep_id"))
+  }
+
   /** SimHash-64 of a whitespace-tokenized string column — a native codegen
     * Catalyst expression (one xxhash64 per token, 64 scalar counters; see
     * TextExprs.SimHash64). No shuffle, fuses into the scan stage. */

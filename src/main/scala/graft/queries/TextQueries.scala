@@ -250,6 +250,15 @@ object TextQueries {
           FROM tf JOIN df USING (term))
         SELECT doc_id, term, tf, df FROM r WHERE rn = 1""")),
 
+    // ---- near-dup clustering: doc → representative (the dedup-at-scale
+    // shape — linear output even for giant duplicate groups, where the
+    // pair form is quadratic; see NearDup.minhashLshRepresentatives) -----
+    GraftQuery(
+      "d15_neardup_clusters",
+      (s, d) => graft.operators.NearDup
+        .minhashLshRepresentatives(Tables.documents(s, d)),
+      None),
+
     // ---- composite quality filter: the canonical training-data gate -----
     // Combines the scalar signals (token count, quality score, stopword
     // density, language) into one narrow filtering pass — the shape of a

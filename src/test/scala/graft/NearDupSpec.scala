@@ -59,6 +59,32 @@ class NearDupSpec extends SparkSpec {
       s"LSH missed ${truth -- lsh} (recall failure at jaccard ≥ 0.6)")
   }
 
+  test("minhashLshRepresentatives: replicas collapse, one row per doc, short docs self-rep") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"), // exact dup of 10
+      (12L, "alpha beta gamma delta epsilon zeta"), // exact dup of 10
+      (20L, "totally different content nothing shared whatsoever here"),
+      (30L, "too short") // < 3 tokens: unsignable
+    ).toDF("doc_id", "text")
+    val reps = NearDup.minhashLshRepresentatives(df)
+      .as[(Long, Long)].collect().toMap
+    assert(reps.size == 5) // one row per input row — linear, never pairs
+    assert(reps(10L) == 10L && reps(11L) == 10L && reps(12L) == 10L)
+    assert(reps(20L) == 20L)
+    assert(reps(30L) == 30L)
+    // dedup = keep rep rows only
+    assert(reps.count { case (id, rep) => id == rep } == 3)
+  }
+
+  test("minhashLshRepresentatives is partitioning-invariant") {
+    val base = docs.limit(50)
+    def run(parts: Int) = NearDup
+      .minhashLshRepresentatives(base.repartition(parts))
+      .as[(Long, Long)].collect().toSet
+    assert(run(1) == run(7))
+  }
+
   test("IVF: top-k contains the brute-force top-1; always k rows") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = VectorSearch.bruteTopK(emb, "vec_id", "embedding", 0L, 10)
