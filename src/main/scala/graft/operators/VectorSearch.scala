@@ -126,6 +126,27 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Embedding near-dup CLUSTERING: every vector maps to the minimum id
+    * sharing its sign-bit LSH bucket over the leading `bits` dimensions —
+    * the linear-output dedup shape (see NearDup.minhashLshRepresentatives
+    * for the pairs-vs-clusters scale argument: a duplicate group of size g
+    * is g rows here, g² rows as pairs). `bits` picks the bucket
+    * granularity: use ~log2(n/targetBucketSize) so bucket sizes stay
+    * bounded as the corpus grows — the 4-bit default of the e-queries is
+    * calibrated to the test fixture, not to 100 TB. */
+  def signLshRepresentatives(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int): DataFrame = {
+    val bucket = (0 until bits).map { i =>
+      when(element_at(col(vecCol), i + 1) > lit(0.0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = emb.select(col(idCol), bucket.as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+    bucketed
+      .withColumn("rep_id", min(col(idCol)).over(w))
+      .select(col(idCol), col("rep_id"))
+  }
+
   /** Driver-side cosine for the tiny quantizer math. */
   def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

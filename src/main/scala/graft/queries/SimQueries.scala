@@ -132,6 +132,17 @@ object SimQueries {
         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${sqlCos("a.e", "b.e")} >= 0.4""")),
 
+    // ---- embedding near-dup clustering (linear output; oracle = the
+    // same window-min in SQL) ---------------------------------------------
+    GraftQuery(
+      "e06_embedding_clusters",
+      (s, d) => graft.operators.VectorSearch
+        .signLshRepresentatives(Tables.embeddings(s, d), "vec_id", "embedding", Bits),
+      Some(s"""SELECT vec_id,
+          MIN(vec_id) OVER (PARTITION BY ${sqlSignBucket("embedding", Bits)})
+            AS rep_id
+        FROM embeddings""")),
+
     // ---- IVF ANN top-k (coarse quantizer + nprobe cells) -----------------
     // No SQL oracle (k-means-lite centroids from a custom Aggregator);
     // driver records the rows-only check — always k rows.
