@@ -146,12 +146,6 @@ object TextFunctions {
       size(regexp_extract_all(c, lit("[A-Z]"), lit(0))).cast("double") / n.cast("double"))
   }
 
-  def stopwordRatio(c: Column, stopwordList: Seq[String]): Column = {
-    val toks = tokens(lower(c))
-    val stops = filter(toks, t => t.isInCollection(stopwordList))
-    when(size(toks) === 0, 0.0).otherwise(size(stops).cast("double") / size(toks).cast("double"))
-  }
-
   /** Composite heuristic quality score in [0,1]: favors moderate length,
     * low punctuation density, few ALL-CAPS characters. Deterministic and
     * SQL-expressible (oracle-checkable). */

@@ -153,6 +153,25 @@ class StreamingEtlSpec extends SparkSpec {
     assert(out.select("user").as[String].collect().toSet == Set("ana", "hugo"))
   }
 
+  test("typed pipeline: transformTyped yields Dataset[Tweet] with the cleaned values") {
+    import graft.operators.{Tweet, TweetPipeline}
+    import graft.sources.TweetSource
+    val raw = TweetSource.read(spark,
+      writeFixture(tmpDir("fix-typed"), s"$hugoLine\n").toString)
+    val out: Seq[Tweet] = TweetPipeline.transformTyped(raw).collect().toSeq
+    assert(out.map(_.user) == Seq("hugo"))
+    assert(out.head.content == "texto único limpiar #santiago") // stopwords gone
+    assert(out.head.date_created != null && out.head.quoted_user == null)
+  }
+
+  test("SQL entry point: registerAll exposes the star schema to spark.sql") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'""".stripMargin).as[Long].head()
+    assert(n > 0)
+  }
+
   test("C4: twitter auth from env keys, redactable options map") {
     import graft.sources.TwitterAuth
     val full = TwitterAuth.from(k => Some(s"val-$k"))
