@@ -25,17 +25,22 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // failed queries report null (not their time-to-failure) so the driver
+    // can't mistake a crash for a fast run; they're excluded from total.
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failures = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

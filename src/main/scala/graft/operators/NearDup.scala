@@ -148,11 +148,19 @@ object NearDup {
     * candidate pairs, verify by Hamming distance. Returns
     * (a_id, b_id, hamming) with a_id < b_id. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 8): DataFrame = {
-    val sig = docs.select(col(idCol), simhashOf(textCol).as("simhash"))
+      textCol: String = "text", maxHamming: Int = 8): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol), simhashOf(textCol).as("simhash")), idCol, maxHamming)
+
+  /** Same, from precomputed signatures: `sig` has (idCol, simhash: long). */
+  def simhashPairsFromSigs(sig: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 8): DataFrame = {
     val banded = sig.select(col(idCol), col("simhash"),
       explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, (shiftright(simhash, b*16) % 65536) AS v))"))
+        // band key must be the UNSIGNED 16-bit value: arithmetic shiftright +
+        // signed % follows the signature's sign bit, so identical band bits
+        // with different bit-63 values would bucket apart (missed pairs).
+        "transform(sequence(0, 3), b -> struct(b AS band, (shiftrightunsigned(simhash, b*16) & 65535) AS v))"))
         .as("bk"))
     val grouped = banded
       .groupBy(col("bk.band"), col("bk.v"))

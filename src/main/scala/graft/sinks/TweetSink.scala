@@ -127,7 +127,7 @@ final class JdbcTweetSink(spark: SparkSession, url: String,
     s"""CREATE TABLE IF NOT EXISTS $table(
        |  tweet_id INTEGER PRIMARY KEY,
        |  date_created INTEGER,
-       |  user TEXT,
+       |  "user" TEXT,
        |  content TEXT,
        |  source TEXT,
        |  location TEXT,

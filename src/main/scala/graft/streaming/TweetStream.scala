@@ -30,13 +30,18 @@ object TweetStream {
     * (main.R:61, 133-137), emulated as a case-insensitive any-of-keys
     * match on the raw text, applied before the transform so the filter
     * sits directly above the scan. */
-  def keysPattern(keys: String): String =
-    keys.split(",").map(_.trim).filter(_.nonEmpty)
-      .map(Pattern.quote).mkString("(?i)(", "|", ")")
+  /** None when no usable token survives trimming (e.g. keys = "," or
+    * ", ") — compiling those into an empty alternation "(?i)()" would
+    * silently match every row instead of filtering. */
+  def keysPattern(keys: String): Option[String] = {
+    val toks = keys.split(",").map(_.trim).filter(_.nonEmpty)
+    if (toks.isEmpty) None
+    else Some(toks.map(Pattern.quote).mkString("(?i)(", "|", ")"))
+  }
 
   def withKeysFilter(raw: DataFrame, keys: Option[String]): DataFrame =
-    keys.filter(_.trim.nonEmpty) match {
-      case Some(k) => raw.filter(col("text").rlike(keysPattern(k)))
+    keys.flatMap(keysPattern) match {
+      case Some(p) => raw.filter(col("text").rlike(p))
       case None => raw
     }
 
@@ -64,9 +69,16 @@ object TweetStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(streamTimeoutSec * 1000L))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        log.info(s"streaming chunk ${seen.get + 1}/$chunks (batch $id)")
-        processBatch(sink)(batch, id)
-        seen.incrementAndGet()
+        // Gate HERE, not only in the polling loop below: the stream can
+        // start chunk N+1 before the async stop() lands, and the reference
+        // runs exactly stream_chunks chunks (main.R:202) — so a batch that
+        // arrives after the quota is dropped without touching the sink.
+        if (seen.get >= chunks) log.info(s"batch $id: chunk quota reached; skipping")
+        else {
+          log.info(s"streaming chunk ${seen.get + 1}/$chunks (batch $id)")
+          processBatch(sink)(batch, id)
+          seen.incrementAndGet()
+        }
         ()
       }
       .start()

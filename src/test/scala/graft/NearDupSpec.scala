@@ -41,6 +41,20 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.head.getLong(2) == 0L) // identical → hamming 0
   }
 
+  test("simhashPairs band key ignores the sign bit (unsigned banding)") {
+    // Signatures differing ONLY in bit 63: bands 0-2 are bit-identical, so
+    // the pair MUST bucket together (hamming 1). The signed form
+    // shiftright % 65536 gave band values of opposite sign and missed it.
+    val sigs = Seq(
+      (1L, (1L << 63) | 5L), // negative long, low bits 5
+      (2L, 5L),              // positive, same low bits
+      (3L, 0x1234567890abcdL),
+    ).toDF("doc_id", "simhash")
+    val pairs = NearDup.simhashPairsFromSigs(sigs)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.toSet == Set((1L, 2L, 1L)))
+  }
+
   test("minhashLshPairs candidates contain every truly-similar pair (sf0.001 docs)") {
     // ground truth: exact 3-gram jaccard ≥ 0.6 on all pairs (small sf only)
     val sh = NearDup.shingled(docs).select($"doc_id", $"shingle_set")

@@ -57,12 +57,15 @@ class StreamingEtlSpec extends SparkSpec {
   }
 
   test("F2: keys pattern matches any key, case-insensitive, quoted") {
-    val p = TweetStream.keysPattern("#chile,#chiledesperto, #santiago")
+    val p = TweetStream.keysPattern("#chile,#chiledesperto, #santiago").get
     assert("gran marcha #CHILE hoy".matches(s".*$p.*"))
     assert("vamos #santiago".matches(s".*$p.*"))
     assert(!"no keywords here".matches(s".*$p.*"))
     // regex metacharacters in keys must be literal
-    assert(TweetStream.keysPattern("a+b").r.findFirstIn("xa+by").isDefined)
+    assert(TweetStream.keysPattern("a+b").get.r.findFirstIn("xa+by").isDefined)
+    // separator-only keys must yield no filter, not a match-all "(?i)()"
+    assert(TweetStream.keysPattern(",").isEmpty)
+    assert(TweetStream.keysPattern(", ,").isEmpty)
   }
 
   test("S6: collision-safe name prefixes timestamp only when target exists") {
