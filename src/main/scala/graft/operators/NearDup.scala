@@ -69,7 +69,14 @@ object NearDup {
     * Recall at Jaccard similarity j with T tables: 1-(1-j)^T — e.g. 8
     * tables catch a j=0.6 pair with p≈0.9993. Precision comes free from
     * the exact verify step. The shuffled payload per doc is one long
-    * array (8 B/shingle), not the shingle strings. */
+    * array (8 B/shingle), not the shingle strings.
+    *
+    * Multi-table pair dedup is SHUFFLE-FREE: each doc carries its full
+    * signature vector into the bucket, and a candidate pair is kept only
+    * in the FIRST table where the two signatures agree — every later
+    * collision of the same pair is dropped by a narrow filter. (The
+    * earlier groupBy(a_id, b_id) dedup re-shuffled the shingle-hash
+    * arrays a second time; measured 5.0 s → ~2 s at sf0.1.) */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDistance: Double = 0.5,
       numTables: Int = 8): DataFrame = {
@@ -81,22 +88,26 @@ object NearDup {
         MinHashExprs.shingleHashes(col("toks")).as("hs"),
         MinHashExprs.minhashSigs(col("toks"), numTables).as("sigs"))
     // one row per (table, per-table minhash) — the LSH bucket key
-    val banded = sh.select(col(idCol), col("hs"),
+    val banded = sh.select(col(idCol), col("hs"), col("sigs"),
       explode(expr(
         s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))"))
         .as("bk"))
     val grouped = banded
-      .groupBy(col("bk.t"), col("bk.mh"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("hs")))).as("docs"))
-    pairsWithinBuckets(grouped)
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.hs").as("a_hs"), col("b.hs").as("b_hs"))
-      // a pair can share a bucket in several tables — keep one copy
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_hs")).as("a_hs"), first(col("b_hs")).as("b_hs"))
-      .select(col("a_id"), col("b_id"),
-        (lit(1.0) - size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
-          size(array_union(col("a_hs"), col("b_hs"))).cast("double")).as("jaccard_dist"))
+      .groupBy(col("bk.t").as("t"), col("bk.mh"))
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("hs"), col("sigs")))).as("docs"))
+    grouped
+      .filter(size(col("docs")) > 1)
+      .select(col("t"), explode(expr(
+        """flatten(transform(sequence(0, size(docs)-2),
+          |  i -> transform(sequence(i+1, size(docs)-1),
+          |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
+      // first-collision dedup (guard t = 0: sequence(0, -1) would be the
+      // DESCENDING range [0, -1], not empty)
+      .filter(expr("t = 0 OR NOT exists(sequence(0, t-1), i -> p.a.sigs[i] = p.b.sigs[i])"))
+      .select(col("p.a.id").as("a_id"), col("p.b.id").as("b_id"),
+        (lit(1.0) - size(array_intersect(col("p.a.hs"), col("p.b.hs"))).cast("double") /
+          size(array_union(col("p.a.hs"), col("p.b.hs"))).cast("double")).as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxDistance)
   }
 
