@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document fingerprinting by winnowing (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): hash every token k-gram with a
+  * rolling polynomial hash, then keep the minimum hash of each sliding
+  * window of `w` consecutive k-gram hashes. The guarantee: any token run
+  * of length ≥ w + k - 1 shared by two documents yields at least one
+  * shared fingerprint, while only ~2/(w+1) of all k-gram hashes are kept.
+  *
+  * The reference's dedup is exact-content only (/root/reference/main.R:105);
+  * this is the partial-overlap upgrade a training-data pipeline needs
+  * (contained copies, boilerplate, quote plagiarism — cases where whole-doc
+  * hashes like md5/minhash/simhash all miss because the containing doc
+  * differs globally).
+  *
+  * Everything is a narrow per-row codegen'd expression (no UDF, no
+  * shuffle); the only shuffles are in [[sharedFingerprintPairs]], keyed by
+  * fingerprint value. Cross-engine parity: the char fold is
+  * `(acc*131 + ascii(c)) % 2^31` (DuckDB `list_reduce(list_prepend(0, …))`
+  * mirrors Spark `aggregate` with a zero init), and all intermediates stay
+  * below 2^52 so BIGINT arithmetic never overflows in either engine.
+  */
+object Winnowing {
+
+  val K = 3      // tokens per k-gram
+  val W = 4      // k-gram hashes per winnowing window
+  val MOD = 2147483648L  // 2^31 — keeps th*1009*1009 + th < 2^52
+  val BASE = 1009L
+
+  /** SQL-expr forms. Per-token polynomial char hash in [0, 2^31): a fold
+    * of ascii codes with a zero init — ASCII corpus contract as in
+    * TextQueries (DuckDB `ascii` and Spark `ascii` agree on single-byte
+    * chars). */
+  private def thExpr(toks: String): String =
+    s"transform($toks, t -> aggregate(split(t, ''), 0L, (a, c) -> (a * 131 + ascii(c)) % $MOD))"
+
+  /** k-gram rolling hashes from token hashes: one value per window of K
+    * consecutive tokens. Empty when fewer than K tokens. */
+  private def khExpr(th: String): String =
+    s"""CASE WHEN size($th) >= $K THEN
+          transform(sequence(0, size($th) - $K),
+            i -> ((element_at($th, i + 1) * $BASE + element_at($th, i + 2)) * $BASE
+                  + element_at($th, i + 3)) % $MOD)
+        ELSE cast(array() as array<bigint>) END"""
+
+  /** Winnowed fingerprint set: distinct minima of each W-wide sliding
+    * window over the k-gram hash sequence (positions collapse — the value
+    * set is what dedup joins on). Fewer than W k-grams → the single global
+    * min. */
+  private def winnowExpr(kh: String): String =
+    s"""CASE WHEN size($kh) = 0 THEN cast(array() as array<bigint>)
+        ELSE array_distinct(transform(
+          sequence(0, greatest(size($kh) - $W, 0)),
+          i -> array_min(slice($kh, i + 1, $W)))) END"""
+
+  /** doc_id + `fps`: the winnowed fingerprint array (empty for docs with
+    * fewer than K tokens). One narrow pass, fused into the scan stage. */
+  def fingerprintSets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("th", expr(thExpr("toks")))
+      .withColumn("kh", expr(khExpr("th")))
+    base.select(col(idCol), expr(winnowExpr("kh")).as("fps"))
+  }
+
+  /** Exploded form: one row per (doc, fingerprint). */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    fingerprintSets(docs, idCol, textCol)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+
+  /** Candidate containment/overlap pairs: docs sharing ≥ `minShared`
+    * winnowed fingerprints, with the shared count. Scale shape: group by
+    * fingerprint value (bounded buckets — a fingerprint is a 31-bit hash
+    * of a K-token run; ubiquitous boilerplate runs are the one skew risk,
+    * capped via `maxBucket`), expand pairs within buckets, then count per
+    * pair. Output is (a_id, b_id, n_shared), a_id < b_id. */
+  def sharedFingerprintPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minShared: Int = 2,
+      maxBucket: Int = 64): DataFrame = {
+    val grouped = fingerprints(docs, idCol, textCol)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id")))).as("docs"))
+      // a fingerprint shared by more than maxBucket docs is boilerplate —
+      // quadratic pair expansion on it would dominate the stage; drop it
+      // (same cap must be applied in any oracle).
+      .filter(size(col("docs")) <= maxBucket)
+    NearDup.pairsWithinBuckets(grouped)
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -46,6 +46,31 @@ object TextQueries {
         list_min(list_transform(shingles, s -> md5(s))) AS minhash
         FROM sh)"""
 
+  /** DuckDB transliteration of Winnowing's fingerprint pipeline (same
+    * constants K=3, W=4, base 131/1009, mod 2^31; list_reduce over a
+    * prepended zero == Spark aggregate with a 0 init; 1-based subscripts
+    * vs Spark's 0-based sequence). */
+  private val sqlWinnowCte: String =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+      th AS (SELECT doc_id,
+          list_transform(toks, t -> list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (a, c) -> (a * 131 + c) % 2147483648)) AS th
+        FROM toks),
+      kh AS (SELECT doc_id,
+          CASE WHEN len(th) >= 3 THEN
+            list_transform(range(0, len(th) - 2),
+              i -> ((th[i + 1] * 1009 + th[i + 2]) * 1009 + th[i + 3]) % 2147483648)
+          ELSE CAST([] AS BIGINT[]) END AS kh
+        FROM th),
+      fp AS (SELECT doc_id,
+          CASE WHEN len(kh) = 0 THEN CAST([] AS BIGINT[])
+          ELSE list_distinct(list_transform(range(0, greatest(len(kh) - 4, 0) + 1),
+            i -> list_min(kh[i + 1 : i + 4]))) END AS fps
+        FROM kh),
+      f AS (SELECT doc_id, unnest(fps) AS fp FROM fp)"""
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- T1-T5 cleaning pipeline (reference parity over documents) -------
@@ -258,6 +283,28 @@ object TextQueries {
       (s, d) => graft.operators.NearDup
         .minhashLshRepresentatives(Tables.documents(s, d)),
       None),
+
+    // ---- winnowing (MOSS) document fingerprints: rolling k-gram hash +
+    // window-min selection. The partial-overlap dedup primitive — catches
+    // contained copies that whole-doc hashes (d04/d08/d10) miss. Narrow
+    // per-row expressions, no shuffle. ------------------------------------
+    GraftQuery(
+      "d16_winnow_fingerprints",
+      (s, d) => graft.operators.Winnowing.fingerprints(Tables.documents(s, d)),
+      Some(s"$sqlWinnowCte SELECT doc_id, fp FROM f")),
+
+    // ---- overlap candidate pairs from shared winnowed fingerprints:
+    // bucket-grouped (never all-pairs), boilerplate buckets capped. -------
+    GraftQuery(
+      "d17_winnow_shared_pairs",
+      (s, d) => graft.operators.Winnowing
+        .sharedFingerprintPairs(Tables.documents(s, d)),
+      Some(s"""$sqlWinnowCte,
+        ok AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.fp IN (SELECT fp FROM ok)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
     // ---- composite quality filter: the canonical training-data gate -----
     // Combines the scalar signals (token count, quality score, stopword

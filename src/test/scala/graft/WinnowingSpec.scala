@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Winnowing
+import graft.sources.Tables
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprints: deterministic, bounded, empty for short docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "one two"),                                       // < K tokens
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))                   // identical text → identical set
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L)) // unsignable → no rows
+    assert(byDoc(1L).forall(h => h >= 0 && h < Winnowing.MOD))
+    // 8 tokens → 6 k-grams → 3 windows → ≤ 3 distinct fingerprints, ≥ 1
+    assert(byDoc(1L).size >= 1 && byDoc(1L).size <= 3)
+  }
+
+  test("winnowing guarantee: a shared run of ≥ W+K-1 tokens shares a fingerprint") {
+    // Docs share a 6-token run (W+K-1 = 6) embedded in different contexts.
+    val shared = "lorem ipsum dolor sit amet consectetur"
+    val df = Seq(
+      (1L, s"unrelated prefix words here $shared and a suffix tail"),
+      (2L, s"$shared totally different continuation text follows now"),
+    ).toDF("doc_id", "text")
+    val byDoc = Winnowing.fingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "overlapping docs must share at least one winnowed fingerprint")
+  }
+
+  test("sharedFingerprintPairs finds the contained copy, a_id < b_id") {
+    val copied = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (10L, s"intro paragraph before $copied closing remark"),
+      (20L, s"$copied"),
+      (30L, "completely disjoint vocabulary nothing in common whatsoever at all today"),
+    ).toDF("doc_id", "text")
+    val pairs = Winnowing.sharedFingerprintPairs(df)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 20L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => a == 30L || b == 30L })
+  }
+
+  test("fingerprints are partitioning-invariant and plan is shuffle-free") {
+    val base = Tables.documents(spark, sfDir).limit(40)
+    def run(parts: Int) = Winnowing.fingerprints(base.repartition(parts))
+      .as[(Long, Long)].collect().toSet
+    assert(run(1) == run(5))
+    val plan = Winnowing.fingerprints(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+  }
+}
