@@ -18,12 +18,21 @@ import graft.functions.TextFunctions
   * hashes like md5/minhash/simhash all miss because the containing doc
   * differs globally).
   *
-  * Everything is a narrow per-row codegen'd expression (no UDF, no
-  * shuffle); the only shuffles are in [[sharedFingerprintPairs]], keyed by
-  * fingerprint value. Cross-engine parity: the char fold is
-  * `(acc*131 + ascii(c)) % 2^31` (DuckDB `list_reduce(list_prepend(0, …))`
-  * mirrors Spark `aggregate` with a zero init), and all intermediates stay
-  * below 2^52 so BIGINT arithmetic never overflows in either engine.
+  * The fingerprint pipeline is ONE native codegen expression
+  * ([[graft.functions.WinnowFingerprints]]) — no UDF, no shuffle; the only
+  * shuffles are in [[sharedFingerprintPairs]], keyed by fingerprint value.
+  * Cross-engine parity: the char fold is `(acc*131 + ascii(c)) % 2^31`
+  * (DuckDB `list_reduce(list_prepend(0, …))` mirrors it with a zero init),
+  * and all intermediates stay below 2^52 so BIGINT arithmetic never
+  * overflows in either engine.
+  *
+  * Round-5 post-mortem (why native, not `functions._`): the original
+  * th → kh → fps alias-chain formulation (kept below as the test-only
+  * reference) was hash-identical but non-terminating at sf0.1 —
+  * `InferFiltersFromGenerate` + predicate pushdown inlined the whole chain
+  * into a `size(fps) > 0` filter, re-evaluating the char fold per lambda
+  * iteration (O(windows × k-grams × chars) interpreted steps per row). The
+  * native expression is opaque to that rewrite. See WinnowExprs scaladoc.
   */
 object Winnowing {
 
@@ -32,10 +41,10 @@ object Winnowing {
   val MOD = 2147483648L  // 2^31 — keeps th*1009*1009 + th < 2^52
   val BASE = 1009L
 
-  /** SQL-expr forms. Per-token polynomial char hash in [0, 2^31): a fold
-    * of ascii codes with a zero init — ASCII corpus contract as in
-    * TextQueries (DuckDB `ascii` and Spark `ascii` agree on single-byte
-    * chars). */
+  /** SQL-expr forms — RETAINED ONLY as the independent reference
+    * formulation for WinnowingSpec's parity test (never registered in a
+    * query; see the round-5 post-mortem above). Per-token polynomial char
+    * hash in [0, 2^31): a fold of ascii codes with a zero init. */
   private def thExpr(toks: String): String =
     s"transform($toks, t -> aggregate(split(t, ''), 0L, (a, c) -> (a * 131 + ascii(c)) % $MOD))"
 
@@ -59,9 +68,18 @@ object Winnowing {
           i -> array_min(slice($kh, i + 1, $W)))) END"""
 
   /** doc_id + `fps`: the winnowed fingerprint array (empty for docs with
-    * fewer than K tokens). One narrow pass, fused into the scan stage. */
+    * fewer than K tokens). One narrow O(chars) codegen'd pass, fused into
+    * the scan stage. */
   def fingerprintSets(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.WinnowExprs.winnowFingerprints(col(textCol), K, W).as("fps"))
+
+  /** The original SQL-expression formulation — test-only parity reference
+    * (WinnowingSpec asserts it computes the same fingerprint sets as the
+    * native expression; the DuckDB oracle CTE transliterates this form). */
+  private[graft] def fingerprintSetsReference(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("th", expr(thExpr("toks")))
       .withColumn("kh", expr(khExpr("th")))

@@ -53,6 +53,29 @@ class WinnowingSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 30L || b == 30L })
   }
 
+  test("native expression matches the SQL-expr reference formulation") {
+    // The DuckDB oracle transliterates the reference form; the native
+    // codegen expression (round-6 rewrite, see WinnowExprs scaladoc) must
+    // produce identical fingerprint SETS per doc (element order is free —
+    // native emits sorted, reference first-occurrence).
+    val edge = Seq(
+      (100L, "  leading and \t tab\nnewline   runs collapse  "),
+      (101L, "exactly three toks"),
+      (102L, "four tokens right here"),          // kn=2 < W → global min
+      (103L, "one two"),                         // < K → empty
+      (104L, ""),
+      (105L, "rep rep rep rep rep rep rep rep"), // identical k-grams
+      (106L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ).toDF("doc_id", "text")
+    for (df <- Seq(edge, Tables.documents(spark, sfDir).limit(100))) {
+      val native = Winnowing.fingerprintSets(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val ref = Winnowing.fingerprintSetsReference(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(native == ref)
+    }
+  }
+
   test("fingerprints are partitioning-invariant and plan is shuffle-free") {
     val base = Tables.documents(spark, sfDir).limit(40)
     def run(parts: Int) = Winnowing.fingerprints(base.repartition(parts))
