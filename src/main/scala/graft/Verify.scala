@@ -10,7 +10,13 @@ object Verify {
     // nanosAsLong + timezone configs the events queries depend on).
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_VERIFY_ONLY=e02,e03 dumps just those queries
+    // (same knob shape as Bench's SPARK_GRAFT_BENCH_ONLY).
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

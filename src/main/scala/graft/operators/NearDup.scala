@@ -76,10 +76,23 @@ object NearDup {
     * in the FIRST table where the two signatures agree — every later
     * collision of the same pair is dropped by a narrow filter. (The
     * earlier groupBy(a_id, b_id) dedup re-shuffled the shingle-hash
-    * arrays a second time; measured 5.0 s → ~2 s at sf0.1.) */
+    * arrays a second time; measured 5.0 s → ~2 s at sf0.1.)
+    *
+    * `maxBucket` caps the quadratic in-bucket expansion (same guard as
+    * Winnowing.sharedFingerprintPairs): a bucket larger than `maxBucket`
+    * is a near-identical boilerplate cluster — g²/2 struct pairs each
+    * carrying two full `hs` arrays inside one generator row would OOM the
+    * task on a dup-heavy corpus. Dropped-bucket policy: the over-cap
+    * bucket's pairs are dropped ENTIRELY, even if the same pair also
+    * collides in a later table — the first-collision filter tests
+    * signature equality only, so a pair whose first-colliding table is
+    * capped never survives anywhere. Deterministic, and errs toward
+    * dropping exactly the boilerplate clusters the cap targets; use
+    * [[minhashLshRepresentatives]] (linear output, uncapped) when giant
+    * dup groups must still collapse. */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDistance: Double = 0.5,
-      numTables: Int = 8): DataFrame = {
+      numTables: Int = 8, maxBucket: Int = 64): DataFrame = {
     import graft.functions.MinHashExprs
     val sh = docs
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
@@ -97,7 +110,7 @@ object NearDup {
       .agg(sort_array(collect_list(
         struct(col(idCol).as("id"), col("hs"), col("sigs")))).as("docs"))
     grouped
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
       .select(col("t"), explode(expr(
         """flatten(transform(sequence(0, size(docs)-2),
           |  i -> transform(sequence(i+1, size(docs)-1),

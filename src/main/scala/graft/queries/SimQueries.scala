@@ -33,18 +33,49 @@ object SimQueries {
       when(element_at(emb, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def sqlSignBucket(emb: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"(CASE WHEN $emb[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+  // Bucket-width scaling: bits grows with the corpus so the EXPECTED
+  // bucket size stays ≤ TargetBucket vectors — a fixed bits would make
+  // every bucket 1/2^bits of the corpus, a straggler by construction at
+  // scale (round-5 verdict, What's wrong #4). Clamped to [MinBits (the
+  // fixture calibration), MaxBits (embedding has 64 dims; 2^16 buckets is
+  // plenty before a second hyperplane family is the right move)].
+  private[queries] val TargetBucket = 32L
+  private[queries] val MinBits = 4
+  private[queries] val MaxBits = 16
+
+  /** bits = clamp(ceil(log2(ceil(n / TargetBucket))), MinBits, MaxBits),
+    * computed with exact integer arithmetic. The DuckDB oracle mirrors it
+    * in float log2 ([[sqlBitsCte]]) — the two agree everywhere because
+    * libm log2 is exact at powers of two and the true log2 of a non-power
+    * is irrational (never rounds across the ceil boundary). */
+  private[queries] def bitsFor(n: Long): Int = {
+    val buckets = math.max(1L, (n + TargetBucket - 1) / TargetBucket)
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceilLog2
+    math.min(MaxBits, math.max(MinBits, b))
+  }
+
+  /** `nb` CTE holding the same bits value, derived in SQL from COUNT(*). */
+  private val sqlBitsCte: String =
+    s"""nb AS (SELECT greatest($MinBits, least($MaxBits,
+        CAST(ceil(log2(greatest(ceil(CAST(COUNT(*) AS DOUBLE) / $TargetBucket), 1))) AS INT))) AS bits
+      FROM embeddings)"""
+
+  /** Dynamic-bits SQL bucket: each candidate bit gated on `i < bits`. */
+  private def sqlSignBucket(emb: String, bitsCol: String): String =
+    (0 until MaxBits).map { i =>
+      s"(CASE WHEN $i < $bitsCol AND $emb[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
-  private val Bits = 4
+  /** Corpus-derived bits for the sf dir's embeddings table (one
+    * metadata-only parquet count). */
+  private def derivedBits(s: SparkSession, d: String): Int =
+    bitsFor(Tables.embeddings(s, d).count())
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"),
       asDouble(col("embedding")).as("emb"),
-      signBucket(col("embedding"), Bits).as("bucket"))
+      signBucket(col("embedding"), derivedBits(s, d)).as("bucket"))
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -74,13 +105,14 @@ object SimQueries {
     GraftQuery(
       "e02_lsh_buckets",
       (s, d) => bucketed(s, d).select(col("vec_id"), col("bucket")),
-      Some(s"""SELECT vec_id, ${sqlSignBucket("embedding", Bits)} AS bucket
-        FROM embeddings""")),
+      Some(s"""WITH $sqlBitsCte
+        SELECT vec_id, ${sqlSignBucket("embedding", "bits")} AS bucket
+        FROM embeddings, nb""")),
 
     // ---- bucketed ANN: top-3 neighbors within each vector's bucket -------
-    // Join key is the bucket (16 groups at 4 bits) — the LSH candidate
-    // join. row_number ≤ 3 gets map-side WindowGroupLimit before the
-    // shuffle on a_id.
+    // Join key is the bucket (2^bits groups, bits corpus-derived so groups
+    // stay ~TargetBucket-sized) — the LSH candidate join. row_number ≤ 3
+    // gets map-side WindowGroupLimit before the shuffle on a_id.
     GraftQuery(
       "e03_bucket_ann",
       (s, d) => {
@@ -97,10 +129,11 @@ object SimQueries {
           .filter(col("rn") <= 3)
           .select(col("a_id"), col("rn"), col("b_id"), col("cos_sim"))
       },
-      Some(s"""WITH b AS (SELECT vec_id,
+      Some(s"""WITH $sqlBitsCte,
+        b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-          ${sqlSignBucket("embedding", Bits)} AS bucket
-        FROM embeddings),
+          ${sqlSignBucket("embedding", "bits")} AS bucket
+        FROM embeddings, nb),
         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
             ${sqlCos("a.e", "b.e")} AS cos_sim
           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -124,10 +157,11 @@ object SimQueries {
           .filter(col("cos_sim") >= 0.4)
           .select(col("a_id"), col("b_id"), col("cos_sim"))
       },
-      Some(s"""WITH b AS (SELECT vec_id,
+      Some(s"""WITH $sqlBitsCte,
+        b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-          ${sqlSignBucket("embedding", Bits)} AS bucket
-        FROM embeddings)
+          ${sqlSignBucket("embedding", "bits")} AS bucket
+        FROM embeddings, nb)
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${sqlCos("a.e", "b.e")} AS cos_sim
         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${sqlCos("a.e", "b.e")} >= 0.4""")),
@@ -137,11 +171,13 @@ object SimQueries {
     GraftQuery(
       "e06_embedding_clusters",
       (s, d) => graft.operators.VectorSearch
-        .signLshRepresentatives(Tables.embeddings(s, d), "vec_id", "embedding", Bits),
-      Some(s"""SELECT vec_id,
-          MIN(vec_id) OVER (PARTITION BY ${sqlSignBucket("embedding", Bits)})
+        .signLshRepresentatives(Tables.embeddings(s, d), "vec_id", "embedding",
+          derivedBits(s, d)),
+      Some(s"""WITH $sqlBitsCte
+        SELECT vec_id,
+          MIN(vec_id) OVER (PARTITION BY ${sqlSignBucket("embedding", "bits")})
             AS rep_id
-        FROM embeddings""")),
+        FROM embeddings, nb""")),
 
     // ---- IVF ANN top-k (coarse quantizer + nprobe cells) -----------------
     // No SQL oracle (k-means-lite centroids from a custom Aggregator);

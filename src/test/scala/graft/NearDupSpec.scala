@@ -73,6 +73,27 @@ class NearDupSpec extends SparkSpec {
       s"LSH missed ${truth -- lsh} (recall failure at jaccard ≥ 0.6)")
   }
 
+  test("minhashLshPairs caps boilerplate buckets; representatives still collapse them") {
+    // A 200-doc exact-dup cluster (the dup-heavy 100 TB case): every table
+    // puts all 200 in ONE bucket — uncapped that is 19,900 struct pairs per
+    // generator row. With maxBucket=64 the cluster's pairs are dropped
+    // entirely (documented policy), a below-cap 10-doc cluster still yields
+    // all C(10,2) pairs, and the run stays in bounded time/memory.
+    val boiler = (0L until 200L).map(i =>
+      (i, "shared boilerplate header repeated verbatim across the whole corpus"))
+    val small = (1000L until 1010L).map(i =>
+      (i, "a modest duplicate cluster below the bucket cap threshold"))
+    val df = (boiler ++ small).toDF("doc_id", "text")
+    val pairs = NearDup.minhashLshPairs(df, maxDistance = 0.1)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.length == 45, s"expected C(10,2)=45 pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a >= 1000L && b >= 1000L && a < b })
+    // the linear-output clustering form handles the giant cluster instead
+    val reps = NearDup.minhashLshRepresentatives(df)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 200L).forall(reps(_) == 0L))
+  }
+
   test("minhashLshRepresentatives: replicas collapse, one row per doc, short docs self-rep") {
     val df = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
