@@ -6,10 +6,40 @@ import graft.operators.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-pipeline queries: binary payload columns + decode /
-  * feature-extract / frame-sample plumbing (decode itself is the
-  * documented STUB seam — deterministic fake, so row counts and shapes
-  * are stable; no DuckDB oracle, rows-only checks). */
+  * feature-extract / frame-sample plumbing. The decode codec is the
+  * documented STUB seam, but the stub is DETERMINISTIC md5-byte
+  * arithmetic (payload = unhex(md5(text)); dims/frames from masked
+  * bytes) — so both queries are fully DuckDB-expressible and get real
+  * hash-checked oracles (round-5 verdict, What's missing #2): the SQL
+  * below re-derives each payload byte from the md5 hex digits. */
 object MediaQueries {
+
+  /** SQL int value of the hex digit at 1-based `pos` of lowercase-hex
+    * column `hx`. */
+  private def hexDigit(hx: String, pos: Int): String =
+    s"(CASE WHEN substr($hx, $pos, 1) BETWEEN '0' AND '9' " +
+      s"THEN ascii(substr($hx, $pos, 1)) - 48 " +
+      s"ELSE ascii(substr($hx, $pos, 1)) - 87 END)"
+
+  /** SQL value of payload byte `i` (0-based) where the payload is
+    * unhex(`hx`): two hex digits at 1-based positions 2i+1, 2i+2. */
+  private def hexByte(hx: String, i: Int): String =
+    s"(${hexDigit(hx, 2 * i + 1)} * 16 + ${hexDigit(hx, 2 * i + 2)})"
+
+  /** Decoded-stub CTE: mirrors Multimodal.syntheticMedia (kind
+    * round-robins by id, payload = md5 bytes) + decodeStub (width/height
+    * from first/last payload byte & 0x3f, video frames from the middle
+    * byte & 0x0f). Payload length is always 16 (md5), so "last" = byte 15
+    * and "middle" = byte 8. */
+  private val sqlDecodedCte: String =
+    s"""dec AS (SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS kind,
+        CAST(64 + (${hexByte("md5(text)", 0)} % 64) AS INT) AS width,
+        CAST(64 + (${hexByte("md5(text)", 15)} % 64) AS INT) AS height,
+        CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 2
+          THEN 1 + (${hexByte("md5(text)", 8)} % 16) ELSE 1 END AS INT) AS n_frames
+      FROM documents)"""
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -22,7 +52,7 @@ object MediaQueries {
           .toDF()
           .select(col("media_id"), col("kind"), col("width"), col("height"),
             col("n_frames")),
-      None),
+      Some(s"WITH $sqlDecodedCte SELECT * FROM dec")),
 
     // frame sampling: videos explode to strided frame indices
     GraftQuery(
@@ -31,6 +61,12 @@ object MediaQueries {
         Multimodal.sampleFrames(
           Multimodal.decodeFeatures(Multimodal.syntheticMedia(Tables.documents(s, d))),
           every = 4),
-      None),
+      Some(s"""WITH $sqlDecodedCte
+        SELECT media_id, kind,
+          CAST(unnest(CASE WHEN kind = 'video'
+            THEN generate_series(0, n_frames - 1, 4)
+            ELSE [CAST(0 AS BIGINT)] END) AS INT) AS frame_idx,
+          width, height
+        FROM dec""")),
   )
 }

@@ -65,13 +65,13 @@ object TweetSink {
   * rowids in insertion order. `contiguousIds = true` reproduces that with
   * max(id) + row_number over the batch's data order — correct, but the
   * global row_number serializes the batch through one task, so it is the
-  * parity mode for modest batches. At 100 TB scale set
-  * `contiguousIds = false`: ids come from monotonically_increasing_id + a
-  * base offset — unique and ascending per batch, not dense, fully
-  * parallel (the reference never promises density either; SQLite rowids
-  * skip after deletes). */
+  * opt-in parity mode for modest batches (pinned by StreamingEtlSpec's S7
+  * parity test). The DEFAULT is the scale path: ids from
+  * monotonically_increasing_id + a base offset — unique and ascending per
+  * batch, not dense, fully parallel (the reference never promises density
+  * either; SQLite rowids skip after deletes). */
 final class ParquetTweetSink(spark: SparkSession, path: String,
-    contiguousIds: Boolean = true) extends TweetSink {
+    contiguousIds: Boolean = false) extends TweetSink {
   private val log = LoggerFactory.getLogger(getClass)
   private var resolved: Option[String] = None
 

@@ -1,0 +1,42 @@
+package graft
+
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+import scala.concurrent.{Await, Future}
+
+import graft.queries.GraftQuery
+
+/** Every registered query must materialize through the noop sink at
+  * sf0.001 inside a per-query time budget. This is the in-`sbt test`
+  * tripwire for planner pathologies — round 5 shipped a query whose plan
+  * was fine at unit-test row counts but non-terminating at bench scale
+  * (InferFiltersFromGenerate inlining, see Winnowing's post-mortem), and
+  * nothing before the driver's sf0.1 bench exercised full materialization
+  * of every registered query. A budget violation here is a plan-shape bug,
+  * not a slow machine: at sf0.001 every query runs in well under a second
+  * when the plan is right.
+  *
+  * (This catches crashes and gross blowups; the procedural rule from the
+  * round-5 verdict still applies — every NEW query gets a recorded sf0.1
+  * spot-bench via SPARK_GRAFT_BENCH_ONLY before the round closes.) */
+class BenchSmokeSpec extends SparkSpec {
+
+  private val budget = 90.seconds
+
+  test(s"every registered query materializes at sf0.001 within $budget") {
+    val failures = Seq.newBuilder[String]
+    GraftQuery.all.foreach { q =>
+      val f = Future(q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+      try Await.result(f, budget)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelAllJobs()
+          failures += s"${q.name}: exceeded $budget at sf0.001 — plan-shape pathology"
+        case e: Throwable =>
+          failures += s"${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, fs.mkString("\n"))
+  }
+}

@@ -51,9 +51,45 @@ class StreamingEtlSpec extends SparkSpec {
     val users = out.select("user").as[String].collect().toSet
     assert(users == Set("ana", "hugo")) // eva lost in-batch; ana appears twice
     assert(out.filter($"user" === "ana").count() == 2)
-    // sink-assigned contiguous ids, monotone across batches
-    val ids = out.select("tweet_id").as[Long].collect().sorted.toSeq
-    assert(ids == Seq(1L, 2L, 3L))
+    // sink-assigned ids, scale-path default: unique and batch-ascending
+    // (dense SQLite-style rowids are the opt-in parity mode — see the S7
+    // parity test)
+    val ids = out.select("tweet_id").as[Long].collect()
+    assert(ids.distinct.length == 3 && ids.forall(_ >= 1L))
+  }
+
+  test("S7 parity: contiguousIds=true gives dense SQLite rowids; default is unique-ascending") {
+    import java.sql.Timestamp
+    def batch(users: String*) = users.toSeq.map(u =>
+      (Timestamp.valueOf("2019-10-23 03:15:09"), u, s"content $u", "s",
+        null: String, null: String, null: String))
+      .toDF("date_created", "user", "content", "source", "location",
+        "quoted_user", "quoted_content")
+    // SQLite-parity mode: rowids 1..n in data order, continuing densely
+    // across appends (INTEGER PRIMARY KEY semantics, main.R:29-38).
+    val parityTable = tmpDir("db-parity").resolve("tweet_data.db").toString
+    val parity = new ParquetTweetSink(spark, parityTable, contiguousIds = true)
+    parity.ensureTable()
+    parity.append(batch("ana", "eva"))
+    parity.append(batch("hugo", "ines"))
+    val byUser = spark.read.parquet(parityTable)
+      .select("user", "tweet_id").as[(String, Long)].collect().toMap
+    assert(byUser.values.toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    assert(Set(byUser("hugo"), byUser("ines")) == Set(3L, 4L)) // dense continuation
+    // Scale-path default: unique, every batch strictly above the previous
+    // max, no global-window serialization (ids may be sparse).
+    val scaleTable = tmpDir("db-scale").resolve("tweet_data.db").toString
+    val scale = new ParquetTweetSink(spark, scaleTable)
+    scale.ensureTable()
+    scale.append(batch("ana", "eva"))
+    val b1Max = spark.read.parquet(scaleTable)
+      .select("tweet_id").as[Long].collect().max
+    scale.append(batch("hugo", "ines"))
+    val all = spark.read.parquet(scaleTable)
+      .select("user", "tweet_id").as[(String, Long)].collect()
+    assert(all.map(_._2).distinct.length == 4)
+    assert(all.filter(r => r._1 == "hugo" || r._1 == "ines")
+      .forall(_._2 > b1Max))
   }
 
   test("F2: keys pattern matches any key, case-insensitive, quoted") {
