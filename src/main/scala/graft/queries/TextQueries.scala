@@ -306,6 +306,102 @@ object TextQueries {
         WHERE a.fp IN (SELECT fp FROM ok)
         GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
+    // ---- intra-document repetition (Gopher-style duplication signal) -----
+    // rep_ratio = fraction of word-3-gram occurrences that are repeats of
+    // an earlier gram in the same doc (1 - distinct/total). High values
+    // flag boilerplate/spam/looped generations — the standard pre-training
+    // quality gate that whole-doc dedup misses. Narrow per-row pass; the
+    // division is one exact-int / exact-int op, bit-stable cross-engine.
+    GraftQuery(
+      "d18_repetition",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("grams",
+            when(size(col("toks")) >= 3,
+              expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+          .select(
+            col("doc_id"),
+            size(col("grams")).cast("bigint").as("n_grams"),
+            when(size(col("grams")) === 0, lit(0.0))
+              .otherwise(lit(1.0) -
+                size(array_distinct(col("grams"))).cast("double") /
+                  size(col("grams")).cast("double"))
+              .as("rep_ratio")),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM toks)
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+              / CAST(len(grams) AS DOUBLE) END AS rep_ratio
+        FROM g""")),
+
+    // ---- deterministic stratified sampling (corpus-mixing primitive) -----
+    // Hash-based Bernoulli sampling with per-stratum rates: keep a doc iff
+    // md5(doc_id) sorts below the stratum's hex threshold. The 100 TB
+    // corpus-mixing shape: no shuffle, no RNG state, reproducible across
+    // engines/runs/partitionings (the property rand()-based sampling
+    // lacks), and the rate is exact in expectation (md5 is uniform over
+    // 16^32; '80…' = 1/2, '40…' = 1/4). Even-numbered sources keep 50%,
+    // odd 25% — stands in for real mixing weights (wiki vs crawl).
+    GraftQuery(
+      "d19_stratified_sample",
+      (s, d) => {
+        val key = md5(col("doc_id").cast("string"))
+        val half = lit("80000000000000000000000000000000")
+        val quarter = lit("40000000000000000000000000000000")
+        val threshold =
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, half)
+            .otherwise(quarter)
+        Tables.documents(s, d)
+          .filter(key < threshold)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""SELECT doc_id, source FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+            THEN '80000000000000000000000000000000'
+            ELSE '40000000000000000000000000000000' END""")),
+
+    // ---- word-shape quality stats (mean/max token length, alpha frac) ----
+    // The remaining Gopher-ish heuristics over token shape: degenerate
+    // corpora show as extreme mean word length or low alphabetic fraction.
+    // Single narrow pass; sums are exact ints so divisions are bit-stable.
+    GraftQuery(
+      "d20_word_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(
+            col("doc_id"),
+            when(size(col("toks")) === 0, lit(0.0))
+              .otherwise(expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double") /
+                size(col("toks")).cast("double"))
+              .as("mean_word_len"),
+            coalesce(expr("array_max(transform(toks, t -> length(t)))"), lit(0))
+              .cast("bigint").as("max_word_len"),
+            when(size(col("toks")) === 0, lit(0.0))
+              .otherwise(expr("size(filter(toks, t -> t rlike '^[A-Za-z]+$'))").cast("double") /
+                size(col("toks")).cast("double"))
+              .as("alpha_frac")),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+          CAST(coalesce(list_max(list_transform(toks, t -> len(t))), 0) AS BIGINT)
+            AS max_word_len,
+          CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+')))
+              AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS alpha_frac
+        FROM toks""")),
+
     // ---- composite quality filter: the canonical training-data gate -----
     // Combines the scalar signals (token count, quality score, stopword
     // density, language) into one narrow filtering pass — the shape of a
