@@ -26,6 +26,18 @@ object GraftSession {
       // integer nanos also sidesteps cross-engine truncation in the oracle
       // compare (DuckDB keeps ns, Spark TimestampType would truncate to us).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate derives `size(e) > 0` from explode(e) and
+      // pushes it below the projections that define e, substituting the
+      // FULL alias chain into the filter condition — so every explode whose
+      // input is a computed array (tokens → shingles/chunks/grams here)
+      // re-evaluates that chain several times per row, and for nested HOF
+      // chains the re-evaluation is per lambda iteration (the round-5
+      // winnowing blowup: O(windows × grams × chars) interpreted steps per
+      // row). The filter it adds only skips empty arrays, which Generate
+      // handles for free; every generate input in this engine is computed,
+      // so the rule is pure downside. Excluded session-wide.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Worker-thread count: SPARK_GRAFT_CPUS if set and valid, else every

@@ -179,6 +179,71 @@ object SimQueries {
             AS rep_id
         FROM embeddings, nb""")),
 
+    // ---- ANN recall@3: bucketed-LSH answers vs brute-force truth ---------
+    // The evaluation harness every approximate index needs: on a 5%
+    // deterministic probe sample (vec_id % 20 = 0), compare the e03-style
+    // in-bucket top-3 against the exact cosine top-3 and emit per-probe
+    // recall. Scale shape: the probe set is tiny — broadcast against the
+    // corpus for the exact side (narrow scan, no corpus shuffle); the ANN
+    // side is the usual bucket join; recall is an integer hit-count / 3.0
+    // (0, 1/3, 2/3, 1 — identical IEEE doubles in both engines).
+    GraftQuery(
+      "e07_ann_recall",
+      (s, d) => {
+        val bb = bucketed(s, d)
+        val probes = bb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+            col("bucket"))
+        val w = Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        val truth = bb
+          .select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+          .crossJoin(broadcast(probes.select(col("a_id"), col("a_emb"))))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("b_id"))
+        val ann = probes
+          .join(bb.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+              col("bucket").as("bucket_b")),
+            col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("b_id"))
+        val hits = truth.join(ann, Seq("a_id", "b_id"))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+        probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH $sqlBitsCte,
+        b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          ${sqlSignBucket("embedding", "bits")} AS bucket
+        FROM embeddings, nb),
+        probes AS (SELECT vec_id AS a_id, e AS ae, bucket FROM b
+          WHERE vec_id % 20 = 0),
+        truth AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        ann AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c
+            ON p.bucket = c.bucket AND p.a_id <> c.vec_id) t WHERE rn <= 3),
+        hits AS (SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t JOIN ann a ON t.a_id = a.a_id AND t.b_id = a.b_id
+          GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
+
     // ---- IVF ANN top-k (coarse quantizer + nprobe cells) -----------------
     // No SQL oracle (k-means-lite centroids from a custom Aggregator);
     // driver records the rows-only check — always k rows.

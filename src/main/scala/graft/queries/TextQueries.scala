@@ -402,6 +402,104 @@ object TextQueries {
               AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS alpha_frac
         FROM toks""")),
 
+    // ---- benchmark decontamination (gram-overlap semi-join) --------------
+    // The standard pre-training step: flag corpus docs sharing a word-3-gram
+    // with a held-out benchmark/eval set. The "benchmark" here is the
+    // deterministic 1/16 slice md5(doc_id) LIKE '0%' (no separate fixture
+    // table exists). 100 TB shape: the benchmark gram set is tiny relative
+    // to the corpus — collected to a broadcast hash set, so the corpus side
+    // is a narrow scan + broadcast semi-join with NO corpus shuffle; the
+    // only exchange is the final per-doc count (map-side partial agg on
+    // doc_id). Output: contaminated doc ids + how many distinct grams hit.
+    GraftQuery(
+      "d21_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("grams",
+            when(size(col("toks")) >= 3,
+              expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+          .withColumn("is_bench",
+            substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        val bench = docs.filter(col("is_bench"))
+          .select(explode(col("grams")).as("gram")).distinct()
+        docs.filter(!col("is_bench"))
+          .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+          .join(broadcast(bench), "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bench_grams"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE CAST([] AS VARCHAR[]) END AS grams,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+          FROM toks),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
+        corpus AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+          FROM g WHERE NOT is_bench)
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+        FROM corpus c JOIN bench b USING (gram)
+        GROUP BY 1""")),
+
+    // ---- cross-document chunk dedup (C4/Dolma line-dedup analog) ---------
+    // The corpus has no newlines, so the "line" unit is a non-overlapping
+    // 10-token chunk; a chunk is duplicated if it occurs in >= 2 distinct
+    // docs. Per doc: chunk count, duplicated-chunk count, duplicated
+    // fraction (the signal C4 uses to drop boilerplate lines). Scale shape:
+    // both shuffles key on md5(chunk) — a fixed 32-byte key with map-side
+    // partial agg, never the chunk text itself; identical rationale to the
+    // d05 fingerprint groupBy. dup_frac is exact-int / exact-int.
+    GraftQuery(
+      "d22_chunk_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("chunks",
+            when(size(col("toks")) >= 10,
+              expr("transform(sequence(0, size(toks) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+        val ch = docs
+          .select(col("doc_id"), explode(col("chunks")).as("c"))
+          .select(col("doc_id"), md5(col("c")).as("ch"))
+        val global = ch.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val per = ch.join(global, "ch")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+            when(coalesce(col("n_chunks"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("n_dup_chunks").cast("double") /
+                col("n_chunks").cast("double"))
+              .as("dup_frac"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        ck AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 10 THEN
+              list_transform(range(0, len(toks) // 10),
+                i -> array_to_string(toks[i*10 + 1 : i*10 + 10], ' '))
+            ELSE CAST([] AS VARCHAR[]) END AS chunks
+          FROM toks),
+        e AS (SELECT doc_id, md5(unnest(chunks)) AS ch FROM ck),
+        gl AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY 1),
+        per AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+          FROM e JOIN gl USING (ch) GROUP BY 1)
+        SELECT t.doc_id,
+          coalesce(per.n_chunks, 0) AS n_chunks,
+          coalesce(per.n_dup_chunks, 0) AS n_dup_chunks,
+          CASE WHEN coalesce(per.n_chunks, 0) = 0 THEN 0.0
+            ELSE CAST(per.n_dup_chunks AS DOUBLE) / CAST(per.n_chunks AS DOUBLE)
+          END AS dup_frac
+        FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id""")),
+
     // ---- composite quality filter: the canonical training-data gate -----
     // Combines the scalar signals (token count, quality score, stopword
     // density, language) into one narrow filtering pass — the shape of a
