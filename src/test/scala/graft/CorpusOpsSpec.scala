@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.GraftQuery
+
+/** Semantic pins for the corpus-level training-data queries (d21/d22/e07)
+  * on synthetic mini-corpora with known answers. The DuckDB oracle proves
+  * engine parity on the fixture tables; these prove the operators compute
+  * the INTENDED quantity (contamination hits, duplicated-chunk fractions,
+  * recall) on inputs constructed to exercise each branch.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String, dir: String): DataFrame =
+    GraftQuery.all.find(_.name == name).get.run(spark, dir)
+
+  /** Writes `documents`/`embeddings` parquet into a fresh temp dir. */
+  private def corpus(docs: Seq[(Long, String)],
+      embs: Seq[(Long, Array[Float])] = Nil): String = {
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    if (docs.nonEmpty)
+      docs.toDF("doc_id", "text").withColumn("source",
+          org.apache.spark.sql.functions.lit("src0"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    if (embs.nonEmpty)
+      embs.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** doc_ids partitioned by d21's benchmark rule md5(id) LIKE '0%'. */
+  private lazy val (benchIds, corpusIds) =
+    (0L until 200L).partition(i => md5Hex(i.toString).startsWith("0"))
+
+  test("d21: docs sharing a 3-gram with the benchmark slice are flagged") {
+    val bench = benchIds.head          // in the held-out slice
+    val hit = corpusIds.head           // shares a full 3-gram with bench
+    val clean = corpusIds(1)           // no shared gram
+    val short0 = corpusIds(2)          // < 3 tokens: no grams at all
+    val dir = corpus(Seq(
+      bench -> "alpha beta gamma delta",
+      hit -> "zz alpha beta gamma yy",
+      clean -> "one two three four five",
+      short0 -> "alpha beta"))
+    val out = run("d21_decontaminate", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hit shares exactly "alpha beta gamma" (distinct grams counted once)
+    assert(out == Map(hit -> 1L))
+  }
+
+  test("d21: benchmark docs themselves are excluded from the output") {
+    val dir = corpus(Seq(
+      benchIds.head -> "alpha beta gamma",
+      benchIds(1) -> "alpha beta gamma"))  // identical, both held out
+    assert(run("d21_decontaminate", dir).isEmpty)
+  }
+
+  test("d22: duplicated-chunk fraction per doc, short docs yield zero") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")   // one full chunk
+    val uniqA = (11 to 20).map(i => s"a$i").mkString(" ")
+    val uniqB = (21 to 30).map(i => s"b$i").mkString(" ")
+    val dir = corpus(Seq(
+      1L -> s"$shared $uniqA",  // 2 chunks, 1 duplicated
+      2L -> s"$shared $uniqB",  // 2 chunks, 1 duplicated
+      3L -> uniqA.take(29),     // < 10 tokens: 0 chunks, frac 0.0
+      4L -> ((1 to 13).map(i => s"c$i").mkString(" ")))) // 1 chunk, 3 spare toks
+    val out = run("d22_chunk_dedup", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    // intra-doc repeats don't count: the chunk must span >= 2 DISTINCT docs
+    val intra = corpus(Seq(5L -> s"$shared $shared"))
+    val r5 = run("d22_chunk_dedup", intra).collect().head
+    assert((r5.getLong(1), r5.getLong(2)) == ((2L, 0L)))
+  }
+
+  test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
+      "0.0 when they don't") {
+    // All vectors share sign pattern on dims 1-4 (bits = MinBits at this
+    // corpus size) → one bucket → ANN == brute force → recall 1.0.
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j < 4) 1.0f else (seed * (j + 1)).toFloat)
+    val sameBucket = (0L to 5L).map(i => i -> v(i.toInt + 1))
+    val r1 = run("e07_ann_recall", corpus(Nil, sameBucket)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1 == Map(0L -> 1.0)) // only vec_id 0 is a probe (% 20)
+    // Probe alone in its bucket (negative dim-1 sign) → no candidates →
+    // zero ANN answers → recall 0.0, probe still present in the output.
+    val lone = (0L -> Array(-1.0f, 1, 1, 1, 5, 5, 5, 5)) +:
+      (1L to 5L).map(i => i -> v(i.toInt + 1))
+    val r0 = run("e07_ann_recall", corpus(Nil, lone)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r0 == Map(0L -> 0.0))
+  }
+}
