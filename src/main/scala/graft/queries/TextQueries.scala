@@ -500,6 +500,35 @@ object TextQueries {
           END AS dup_frac
         FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id""")),
 
+    // ---- cross-snapshot dedup: new crawl anti-joined against the prior
+    // dump. The other standard corpus-refresh op (alongside d21's benchmark
+    // decontamination): keep only new-snapshot docs whose normalized
+    // fingerprint is absent from the previous snapshot. Snapshots are
+    // stand-ins derived from the source id's parity (even = prior dump,
+    // odd = new crawl). Scale shape: shuffle LEFT ANTI join on the fixed
+    // 32-byte fingerprint — both sides hash-partitioned, no row ever
+    // crosses twice; were the prior dump small it would broadcast (same
+    // 64 MB threshold as every join here), and at 100 TB a bloom-filter
+    // pre-pass on the fingerprint would cut the shuffled new-crawl bytes.
+    GraftQuery(
+      "d23_cross_snapshot_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("fp", fingerprint(col("text")))
+          .withColumn("snap", substring(col("source"), 4, 10).cast("int") % 2)
+        val prior = docs.filter(col("snap") === 0).select(col("fp"))
+        docs.filter(col("snap") === 1)
+          .join(prior, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp").as("fingerprint"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          CAST(substr(source, 4) AS INT) % 2 AS snap
+        FROM documents)
+        SELECT n.doc_id, n.fp AS fingerprint FROM f n
+        WHERE n.snap = 1
+          AND NOT EXISTS (SELECT 1 FROM f p WHERE p.snap = 0 AND p.fp = n.fp)""")),
+
     // ---- composite quality filter: the canonical training-data gate -----
     // Combines the scalar signals (token count, quality score, stopword
     // density, language) into one narrow filtering pass — the shape of a

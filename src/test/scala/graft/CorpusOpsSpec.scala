@@ -21,11 +21,14 @@ class CorpusOpsSpec extends SparkSpec {
 
   /** Writes `documents`/`embeddings` parquet into a fresh temp dir. */
   private def corpus(docs: Seq[(Long, String)],
+      embs: Seq[(Long, Array[Float])] = Nil): String =
+    sourcedCorpus(docs.map { case (id, t) => (id, t, "src0") }, embs)
+
+  private def sourcedCorpus(docs: Seq[(Long, String, String)],
       embs: Seq[(Long, Array[Float])] = Nil): String = {
     val dir = Files.createTempDirectory("graft-corpus").toString
     if (docs.nonEmpty)
-      docs.toDF("doc_id", "text").withColumn("source",
-          org.apache.spark.sql.functions.lit("src0"))
+      docs.toDF("doc_id", "text", "source")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     if (embs.nonEmpty)
       embs.toDF("vec_id", "embedding")
@@ -84,6 +87,18 @@ class CorpusOpsSpec extends SparkSpec {
     val intra = corpus(Seq(5L -> s"$shared $shared"))
     val r5 = run("d22_chunk_dedup", intra).collect().head
     assert((r5.getLong(1), r5.getLong(2)) == ((2L, 0L)))
+  }
+
+  test("d23: new-crawl docs drop iff their NORMALIZED fingerprint exists " +
+      "in the prior snapshot") {
+    val dir = sourcedCorpus(Seq(
+      (1L, "Hello   World", "src0"),  // prior dump (even source)
+      (2L, "hello world", "src1"),    // dup after lower+squish → dropped
+      (3L, "hello world!", "src3"),   // differs by one char → survives
+      (4L, "fresh content here", "src19"))) // survives
+    val out = run("d23_cross_snapshot_dedup", dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(3L, 4L))
   }
 
   test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
