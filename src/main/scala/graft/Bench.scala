@@ -49,6 +49,11 @@ object Bench {
         } catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
+      // Collect the previous query's garbage OUTSIDE the timed window —
+      // otherwise a heap full of e.g. cross-join pairs from query N lands
+      // as a multi-second GC pause inside query N+1's timing (measured:
+      // q13 7.6 s mid-suite vs 1.8 s isolated).
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
