@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -528,6 +529,44 @@ object TextQueries {
         SELECT n.doc_id, n.fp AS fingerprint FROM f n
         WHERE n.snap = 1
           AND NOT EXISTS (SELECT 1 FROM f p WHERE p.snap = 0 AND p.fp = n.fp)""")),
+
+    // ---- vocab coverage: cumulative corpus coverage of the top-N vocab ---
+    // The tokenizer-training primitive: rank terms by corpus frequency and
+    // report, per rank, the cumulative fraction of all token occurrences
+    // the top-rank vocabulary covers (where to cut a vocab / what OOV rate
+    // to expect). Scale shape: term counts are a partial-agg groupBy
+    // (vocab ≪ corpus); the top-1000 cut is TakeOrderedAndProject (bounded
+    // driver/exchange bytes); the running sum is a single-partition window
+    // over ≤1000 rows — bounded by construction, NOT a corpus-sized global
+    // window. cum_frac = exact-int cumulative / exact-int total.
+    GraftQuery(
+      "d24_vocab_coverage",
+      (s, d) => {
+        val byFreq = Window.orderBy(col("tf").desc, col("term").asc)
+        val tf = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val total = tf.agg(sum(col("tf")).as("total"))
+        tf.orderBy(col("tf").desc, col("term").asc).limit(1000)
+          .crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(byFreq).cast("bigint"))
+          .withColumn("cum_tf",
+            sum(col("tf")).over(byFreq.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .select(col("rank"), col("term"), col("tf"),
+            (col("cum_tf").cast("double") / col("total").cast("double"))
+              .as("cum_frac"))
+      },
+      Some(s"""WITH t AS (SELECT unnest($sqlToks) AS term FROM documents),
+        tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+        top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC LIMIT 1000)
+        SELECT row_number() OVER (ORDER BY tf DESC, term ASC) AS rank,
+          term, tf,
+          CAST(CAST(SUM(tf) OVER (ORDER BY tf DESC, term ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+        FROM top, tot""")),
 
     // ---- composite quality filter: the canonical training-data gate -----
     // Combines the scalar signals (token count, quality score, stopword

@@ -101,6 +101,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set(3L, 4L))
   }
 
+  test("d24: cumulative vocab coverage over frequency-ranked terms") {
+    // corpus tokens: aa ×4, bb ×2, cc ×1, dd ×1 → total 8
+    val dir = corpus(Seq(
+      1L -> "aa aa bb cc",
+      2L -> "aa aa bb dd"))
+    val out = run("d24_vocab_coverage", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == (("aa", 4L, 0.5)))
+    assert(out(2L) == (("bb", 2L, 0.75)))
+    assert(out(3L) == (("cc", 1L, 0.875))) // freq tie → lexicographic order
+    assert(out(4L) == (("dd", 1L, 1.0)))
+  }
+
   test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
       "0.0 when they don't") {
     // All vectors share sign pattern on dims 1-4 (bits = MinBits at this
