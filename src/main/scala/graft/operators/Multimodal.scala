@@ -33,7 +33,11 @@ object Multimodal {
     * payload bytes are the md5 of the text (stable across runs/engines),
     * kind round-robins by id. Test/bench input only. */
   def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    // Null text means no payload: dropped at the source seam (a real media
+    // table would enforce payload NOT NULL at ingest). Keeps the stub and
+    // the m01/m02 DuckDB oracles total over the same row set — the stub's
+    // (0,0,0) null branch vs SQL NULL propagation would otherwise diverge.
+    docs.filter(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),

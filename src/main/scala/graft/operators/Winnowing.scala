@@ -83,7 +83,11 @@ object Winnowing {
     val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("th", expr(thExpr("toks")))
       .withColumn("kh", expr(khExpr("th")))
-    base.select(col(idCol), expr(winnowExpr("kh")).as("fps"))
+    // null text → null fps, matching the native expression's null-in/
+    // null-out contract (the CASE chain alone would yield [] instead).
+    base.select(col(idCol),
+      when(col("toks").isNull, lit(null).cast("array<bigint>"))
+        .otherwise(expr(winnowExpr("kh"))).as("fps"))
   }
 
   /** Exploded form: one row per (doc, fingerprint). */

@@ -39,7 +39,8 @@ object MediaQueries {
         CAST(64 + (${hexByte("md5(text)", 15)} % 64) AS INT) AS height,
         CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 2
           THEN 1 + (${hexByte("md5(text)", 8)} % 16) ELSE 1 END AS INT) AS n_frames
-      FROM documents)"""
+      FROM documents
+      WHERE text IS NOT NULL)"""
 
   val all: Seq[GraftQuery] = Seq(
 

@@ -24,6 +24,35 @@ object TextQueries {
   private val sqlToks =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
 
+  /** Spark SQL expression for the word-3-gram list of a column named
+    * `toks` — single definition shared by every gram-based query (d08/d09
+    * via [[minhashed]] keep their own historically-pinned copy; d18/d21
+    * use this one). Guarded: <3 tokens → empty array. */
+  private val sparkGrams: String =
+    """CASE WHEN size(toks) >= 3 THEN
+         transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+       ELSE cast(array() as array<string>) END"""
+
+  /** The same gram list in DuckDB SQL (1-based subscripts). */
+  private val sqlGrams: String =
+    """CASE WHEN len(toks) >= 3 THEN
+         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       ELSE CAST([] AS VARCHAR[]) END"""
+
+  /** DuckDB form of TextFunctions.fingerprint — lower → squish → trim →
+    * md5. ONE definition: d04/d05/d23 all hash-compare against it, and the
+    * lower/squish/trim order is a known cross-engine gotcha. */
+  private val sqlFingerprint: String =
+    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
+  /** Snapshot id parsed from the source tag — NULL (never an error) when
+    * the suffix isn't an int, in BOTH engines: Spark's cast is try-like,
+    * so the oracle must use TRY_CAST; a strict CAST would crash DuckDB on
+    * any source not shaped 'src<N>' while Spark silently yields NULL. */
+  private def snapOf: org.apache.spark.sql.Column =
+    expr("cast(substr(source, 4) as int)")
+  private val sqlSnap = "TRY_CAST(substr(source, 4) AS INT)"
+
   /** doc_id, shingle_set (distinct word-3-grams), minhash (min md5 of the
     * shingles). Array subscripts: Spark `toks[i]` is 0-based, DuckDB
     * 1-based — the two formulations below index the same trigrams. */
@@ -132,8 +161,7 @@ object TextQueries {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"), fingerprint(col("text")).as("fingerprint")),
-      Some("""SELECT doc_id,
-        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      Some(s"""SELECT doc_id, $sqlFingerprint AS fingerprint
         FROM documents""")),
 
     // ---- exact dedup at scale: hash-groupBy on the fingerprint -----------
@@ -146,7 +174,7 @@ object TextQueries {
           .groupBy(fingerprint(col("text")).as("fingerprint"))
           .agg(min(col("doc_id")).as("keeper_doc_id"),
             count(lit(1)).as("n_docs")),
-      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      Some(s"""SELECT $sqlFingerprint AS fingerprint,
         MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""")),
 
@@ -318,10 +346,7 @@ object TextQueries {
       (s, d) =>
         Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
-          .withColumn("grams",
-            when(size(col("toks")) >= 3,
-              expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
-              .otherwise(expr("cast(array() as array<string>)")))
+          .withColumn("grams", expr(sparkGrams))
           .select(
             col("doc_id"),
             size(col("grams")).cast("bigint").as("n_grams"),
@@ -331,12 +356,7 @@ object TextQueries {
                   size(col("grams")).cast("double"))
               .as("rep_ratio")),
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-        g AS (SELECT doc_id,
-            CASE WHEN len(toks) >= 3 THEN
-              list_transform(range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-            ELSE CAST([] AS VARCHAR[]) END AS grams
-          FROM toks)
+        g AS (SELECT doc_id, $sqlGrams AS grams FROM toks)
         SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
           CASE WHEN len(grams) = 0 THEN 0.0
             ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
@@ -358,15 +378,14 @@ object TextQueries {
         val half = lit("80000000000000000000000000000000")
         val quarter = lit("40000000000000000000000000000000")
         val threshold =
-          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, half)
-            .otherwise(quarter)
+          when(snapOf % 2 === 0, half).otherwise(quarter)
         Tables.documents(s, d)
           .filter(key < threshold)
           .select(col("doc_id"), col("source"))
       },
-      Some("""SELECT doc_id, source FROM documents
+      Some(s"""SELECT doc_id, source FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) <
-          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+          CASE WHEN $sqlSnap % 2 = 0
             THEN '80000000000000000000000000000000'
             ELSE '40000000000000000000000000000000' END""")),
 
@@ -417,10 +436,7 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
-          .withColumn("grams",
-            when(size(col("toks")) >= 3,
-              expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
-              .otherwise(expr("cast(array() as array<string>)")))
+          .withColumn("grams", expr(sparkGrams))
           .withColumn("is_bench",
             substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
         val bench = docs.filter(col("is_bench"))
@@ -432,11 +448,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_bench_grams"))
       },
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-        g AS (SELECT doc_id,
-            CASE WHEN len(toks) >= 3 THEN
-              list_transform(range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-            ELSE CAST([] AS VARCHAR[]) END AS grams,
+        g AS (SELECT doc_id, $sqlGrams AS grams,
             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
           FROM toks),
         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
@@ -516,15 +528,15 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .withColumn("fp", fingerprint(col("text")))
-          .withColumn("snap", substring(col("source"), 4, 10).cast("int") % 2)
+          .withColumn("snap", snapOf % 2)
         val prior = docs.filter(col("snap") === 0).select(col("fp"))
         docs.filter(col("snap") === 1)
           .join(prior, Seq("fp"), "left_anti")
           .select(col("doc_id"), col("fp").as("fingerprint"))
       },
-      Some("""WITH f AS (SELECT doc_id,
-          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-          CAST(substr(source, 4) AS INT) % 2 AS snap
+      Some(s"""WITH f AS (SELECT doc_id,
+          $sqlFingerprint AS fp,
+          $sqlSnap % 2 AS snap
         FROM documents)
         SELECT n.doc_id, n.fp AS fingerprint FROM f n
         WHERE n.snap = 1

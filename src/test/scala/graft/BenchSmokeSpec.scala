@@ -31,7 +31,21 @@ class BenchSmokeSpec extends SparkSpec {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelAllJobs()
-          failures += s"${q.name}: exceeded $budget at sf0.001 — plan-shape pathology"
+          // Wait (bounded) for the hung action to actually die — an
+          // orphaned save() would keep competing for cores and make the
+          // NEXT queries blow their budgets too, smearing one pathology
+          // into a misleading multi-query failure. Repeat the cancel:
+          // a job submitted between the first cancel and the action
+          // noticing is not covered by it.
+          var drained = false
+          val deadline = System.nanoTime() + 30.seconds.toNanos
+          while (!drained && System.nanoTime() < deadline) {
+            try { Await.ready(f, 1.second); drained = true }
+            catch { case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelAllJobs() }
+          }
+          failures += s"${q.name}: exceeded $budget at sf0.001 — plan-shape pathology" +
+            (if (drained) "" else " (action did not terminate after cancel)")
         case e: Throwable =>
           failures += s"${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage}"
       }

@@ -66,13 +66,15 @@ class WinnowingSpec extends SparkSpec {
       (104L, ""),
       (105L, "rep rep rep rep rep rep rep rep"), // identical k-grams
       (106L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (107L, null.asInstanceOf[String]),         // null in → null out (both)
     ).toDF("doc_id", "text")
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toSet)).toMap
     for (df <- Seq(edge, Tables.documents(spark, sfDir).limit(100))) {
-      val native = Winnowing.fingerprintSets(df).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-      val ref = Winnowing.fingerprintSetsReference(df).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val native = sets(Winnowing.fingerprintSets(df))
+      val ref = sets(Winnowing.fingerprintSetsReference(df))
       assert(native == ref)
+      if (df eq edge) assert(native(107L).isEmpty) // None: null fps
     }
   }
 
