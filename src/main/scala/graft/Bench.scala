@@ -50,6 +50,15 @@ object Bench {
           .groupBy("r_name").count()
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        // One 64-row pass of the native text-cleaning expression: the
+        // first text query otherwise absorbs ~1.7 s of one-time codegen /
+        // regex-compile cost that has nothing to do with its own plan
+        // (measured: d01 2.4 s as first timed query vs 0.7 s warm).
+        try graft.sources.Tables.documents(spark, sfDir).limit(64)
+          .select(graft.functions.TextFunctions.cleanTextAscii(
+            org.apache.spark.sql.functions.col("text")).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
       // Collect the previous query's garbage OUTSIDE the timed window —

@@ -283,14 +283,17 @@ object TextQueries {
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        // df derived FROM tf (rows are unique per (doc, term), so a plain
-        // count per term == count_distinct(doc) over raw tokens) — avoids
-        // a second scan + explode + shuffle of the corpus.
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
+        // df as a window count over tf (tf rows are unique per (doc,
+        // term), so rows-per-term == count_distinct(doc) over raw
+        // tokens). A groupBy+join formulation would recompute the whole
+        // scan→explode→groupBy lineage once per join side (the self-join
+        // recompute trap — no ReusedExchange across differently-aliased
+        // sides); the window keeps ONE lineage: agg shuffle → term window
+        // → doc window.
+        val byTerm = Window.partitionBy(col("term"))
+        val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("term").asc)
-        tf.join(df, "term")
+        tf.withColumn("df", count(lit(1)).over(byTerm))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("term"), col("tf"), col("df"))
@@ -475,15 +478,23 @@ object TextQueries {
             when(size(col("toks")) >= 10,
               expr("transform(sequence(0, size(toks) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
               .otherwise(expr("cast(array() as array<string>)")))
-        val ch = docs
+        // One lineage, no self-join: a groupBy+join-back formulation
+        // would recompute the scan→chunk→explode→md5 pipeline once per
+        // side (self-join recompute trap). Instead: per-(doc, chunk)
+        // occurrence counts, then rows-per-chunk == distinct docs via a
+        // count-only window (no collect_set — a boilerplate chunk shared
+        // by millions of docs stays a streamed count, not a giant set).
+        val occ = docs
           .select(col("doc_id"), explode(col("chunks")).as("c"))
           .select(col("doc_id"), md5(col("c")).as("ch"))
-        val global = ch.groupBy(col("ch"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        val per = ch.join(global, "ch")
+          .groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("occ"))
+        val per = occ
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("ch"))))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .agg(sum(col("occ")).as("n_chunks"),
+            sum(when(col("nd") >= 2, col("occ")).otherwise(0L))
+              .as("n_dup_chunks"))
         docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
