@@ -598,47 +598,89 @@ object TextQueries {
     // output is the surviving doc ids + their signals.
     GraftQuery(
       "d14_quality_filter",
-      (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            tokenCount(col("text")).cast("bigint").as("n_tokens"),
-            qualityScore(col("text")).as("quality_score"),
-            stopwordHitRatio(col("text"), englishStopwordPattern)
-              .as("stopword_ratio"),
-            langId(col("text")).as("lang_pred"))
-          .filter(col("n_tokens") >= 30 && col("quality_score") >= 0.5 &&
-            col("stopword_ratio") >= 0.05 && col("lang_pred") === "en"),
-      Some {
-        val hits = langMarkers.map { case (code, pat) =>
-          s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
-        }.mkString(", ")
-        val g = langMarkers.map { case (code, _) => s"${code}_n" }
-          .mkString("greatest(", ", ", ")")
-        val cases = langMarkers.map { case (code, _) =>
-          s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
-        }.mkString(" ")
-        s"""WITH sig AS (
-            SELECT doc_id,
-              CAST(len($sqlToks) AS BIGINT) AS n_tokens,
-              greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-                * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE) END)
-                * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE) END)) AS quality_score,
-              CASE WHEN len($sqlToks) = 0 THEN 0.0
-                ELSE CAST(len(regexp_extract_all(lower(text), '$englishStopwordPattern')) AS DOUBLE)
-                  / CAST(len($sqlToks) AS DOUBLE) END AS stopword_ratio,
-              $hits
-            FROM documents),
-          scored AS (SELECT doc_id, n_tokens, quality_score, stopword_ratio,
-              CASE $cases ELSE 'und' END AS lang_pred
-            FROM (SELECT *, $g AS g FROM sig) t)
+      (s, d) => qualityGated(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("stopword_ratio"), col("lang_pred")),
+      Some(s"""$sqlGatedCte
           SELECT doc_id, n_tokens, quality_score, stopword_ratio, lang_pred
-          FROM scored
-          WHERE n_tokens >= 30 AND quality_score >= 0.5
-            AND stopword_ratio >= 0.05 AND lang_pred = 'en'"""
-      }),
+          FROM gated""")),
+
+    // ---- the end-to-end corpus job: gate → keep-first exact dedup --------
+    // The capstone composition a production preprocessing run executes as
+    // ONE query: score + filter every doc (narrow scan-fused pass), then
+    // keep the lowest-id doc per normalized fingerprint AMONG THE
+    // SURVIVORS (gate-then-dedup order matters: a low-quality copy must
+    // not shadow its admissible duplicate). One lineage end to end — the
+    // keeper is a row_number window over the fingerprint, not a
+    // groupBy+join-back (self-join recompute trap); the single shuffle is
+    // the window exchange on the 32-byte fingerprint.
+    GraftQuery(
+      "d25_corpus_pipeline",
+      (s, d) => {
+        val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+        qualityGated(s, d)
+          .withColumn("fingerprint", fingerprint(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("fingerprint"), col("n_tokens"),
+            col("quality_score"))
+      },
+      Some(s"""$sqlGatedCte,
+          fp AS (SELECT doc_id, $sqlFingerprint AS fingerprint, n_tokens,
+              quality_score,
+              row_number() OVER (PARTITION BY $sqlFingerprint
+                ORDER BY doc_id) AS rn
+            FROM gated)
+          SELECT doc_id, fingerprint, n_tokens, quality_score
+          FROM fp WHERE rn = 1""")),
   )
+
+  /** The d14 quality gate as a reusable frame: every doc with its signal
+    * columns (text retained for downstream fingerprinting), filtered to
+    * the admitted set. Shared by d14 and the d25 pipeline. */
+  private def qualityGated(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        qualityScore(col("text")).as("quality_score"),
+        stopwordHitRatio(col("text"), englishStopwordPattern)
+          .as("stopword_ratio"),
+        langId(col("text")).as("lang_pred"))
+      .filter(col("n_tokens") >= 30 && col("quality_score") >= 0.5 &&
+        col("stopword_ratio") >= 0.05 && col("lang_pred") === "en")
+
+  /** The same gate in DuckDB SQL, ending in a `gated` CTE that also
+    * carries `text`. ONE definition for d14 and d25. */
+  private lazy val sqlGatedCte: String = {
+    val hits = langMarkers.map { case (code, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
+    }.mkString(", ")
+    val g = langMarkers.map { case (code, _) => s"${code}_n" }
+      .mkString("greatest(", ", ", ")")
+    val cases = langMarkers.map { case (code, _) =>
+      s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
+    }.mkString(" ")
+    s"""WITH sig AS (
+        SELECT doc_id, text,
+          CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+          greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+            * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END)
+            * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END)) AS quality_score,
+          CASE WHEN len($sqlToks) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(lower(text), '$englishStopwordPattern')) AS DOUBLE)
+              / CAST(len($sqlToks) AS DOUBLE) END AS stopword_ratio,
+          $hits
+        FROM documents),
+      scored AS (SELECT doc_id, text, n_tokens, quality_score, stopword_ratio,
+          CASE $cases ELSE 'und' END AS lang_pred
+        FROM (SELECT *, $g AS g FROM sig) t),
+      gated AS (SELECT * FROM scored
+        WHERE n_tokens >= 30 AND quality_score >= 0.5
+          AND stopword_ratio >= 0.05 AND lang_pred = 'en')"""
+  }
 }

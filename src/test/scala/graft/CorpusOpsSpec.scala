@@ -115,6 +115,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == (("dd", 1L, 1.0)))
   }
 
+  test("d25: gate-then-dedup — a gate-rejected copy never shadows its " +
+      "admissible duplicate") {
+    val good =
+      "the cat sat on the mat and then the dog ran to the park with a ball " * 3
+    val dir = corpus(Seq(
+      5L -> good.toUpperCase, // same fingerprint (lower-normalized), LOWER
+                              // id, but gate-rejected (upper ratio) — must
+                              // not consume the keeper slot
+      7L -> good,             // admissible original → keeper
+      8L -> good.replace(" ", "  "), // admissible dup → dropped
+      9L -> "xx"))            // gate reject
+    val out = run("d25_corpus_pipeline", dir).collect().map(_.getLong(0)).toSet
+    assert(out == Set(7L))
+  }
+
   test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
       "0.0 when they don't") {
     // All vectors share sign pattern on dims 1-4 (bits = MinBits at this
