@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.GraftQuery
+
+/** Physical-plan tripwires. The judge-style plan audit, automated: these
+  * assertions pin the plan SHAPES the scale story depends on (broadcast
+  * vs shuffle, exchange counts, no quadratic join strategies), so an
+  * optimizer-interaction regression (like round 5's
+  * InferFiltersFromGenerate inlining) or an accidental join-strategy flip
+  * fails in `sbt test` rather than in a bench post-mortem.
+  *
+  * Plans are built, not executed — the whole suite costs planning time
+  * only. Assertions read the AQE initial plan; AQE can only improve on it
+  * at runtime (skew split, local shuffle reader), never introduce a
+  * cartesian/NL join that isn't there.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    GraftQuery.all.find(_.name == name)
+      .getOrElse(fail(s"unknown query $name"))
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+
+  /** Queries whose single-probe / scalar / tiny-sample side makes a
+    * broadcast nested-loop cross join the INTENDED plan (one broadcast
+    * row set against a narrow or bounded side — linear, not quadratic):
+    * e01/e07 broadcast probe vectors; d24 broadcasts the 1-row corpus
+    * total against the ≤1000-row vocab cut. */
+  private val nlJoinIntended =
+    Set("e01_cosine_topk", "e07_ann_recall", "d24_vocab_coverage")
+
+  test("no query plans a CartesianProduct; nested-loop joins only where " +
+      "a broadcast probe intends them") {
+    GraftQuery.all.foreach { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: cartesian product in plan")
+      if (!nlJoinIntended(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name}: unintended nested-loop join")
+    }
+  }
+
+  test("d21 decontamination: benchmark gram set broadcasts; corpus side " +
+      "never shuffle-joins") {
+    val p = plan("d21_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d13/d22/d25 one-lineage rewrites: no join-back, bounded exchanges") {
+    // d13: agg shuffle + term window + doc window = 3 exchanges, 0 joins
+    val d13 = plan("d13_top_terms")
+    assert(!d13.contains("Join"), "d13 must not join tf back to df")
+    assert(d13.sliding(9).count(_ == "Exchange ") <= 3)
+    // d25: gate is scan-fused; ONE exchange (the fingerprint window)
+    val d25 = plan("d25_corpus_pipeline")
+    assert(!d25.contains("Join"))
+    assert(d25.sliding(9).count(_ == "Exchange ") == 1)
+    // d22: occ agg + chunk window + doc agg (+ the docs join-back for
+    // zero-chunk rows); the chunk pipeline itself must appear ONCE
+    val d22 = plan("d22_chunk_dedup")
+    assert(!d22.contains("CartesianProduct"))
+    assert(d22.sliding(21).count(_ == "array_join(slice(toks") == 1,
+      "d22 chunk pipeline computed more than once (self-join recompute)")
+  }
+
+  test("d16 winnowing stays a narrow shuffle-free pass with no inferred " +
+      "generate filter") {
+    val p = plan("d16_winnow_fingerprints")
+    assert(!p.contains("Exchange"))
+    // the round-5 killer: a size(...)>0 filter inlining the fp pipeline
+    assert(!p.contains("size(winnow_fingerprints"),
+      "InferFiltersFromGenerate re-inlined the fingerprint expression")
+  }
+
+  test("star queries keep broadcast dimensions and map-side top-k") {
+    val q03 = plan("q03_top_revenue_orders")
+    assert(q03.contains("BroadcastHashJoin"))
+    assert(q03.contains("TakeOrderedAndProject"))
+    val q07 = plan("q07_top_orders_per_segment")
+    assert(q07.contains("WindowGroupLimit"))
+  }
+}
