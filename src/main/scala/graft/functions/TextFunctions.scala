@@ -196,4 +196,25 @@ object TextFunctions {
       when(score === best && score > 0, lit(code)).otherwise(acc)
     }
   }
+
+  /** Appends the four training-data quality signals to a frame carrying
+    * `text` — THE single definition of the gate's signals, shared by the
+    * batch path (d14/d25 via TextQueries.qualityGated) and the streaming
+    * path (CorpusIngest); a drifted copy would admit different corpora
+    * per path. All four are narrow scan-fusable expressions. */
+  def withQualitySignals(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_tokens", tokenCount(col("text")).cast("bigint"))
+      .withColumn("quality_score", qualityScore(col("text")))
+      .withColumn("stopword_ratio",
+        stopwordHitRatio(col("text"), englishStopwordPattern))
+      .withColumn("lang_pred", langId(col("text")))
+
+  /** The admission predicate over [[withQualitySignals]] columns. */
+  val qualityAdmit: Column =
+    col("n_tokens") >= 30 && col("quality_score") >= 0.5 &&
+      col("stopword_ratio") >= 0.05 && col("lang_pred") === "en"
+
+  /** Signal + filter in one step: the corpus quality gate. */
+  def qualityGate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withQualitySignals(df).filter(qualityAdmit)
 }

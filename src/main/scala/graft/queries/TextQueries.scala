@@ -637,18 +637,12 @@ object TextQueries {
 
   /** The d14 quality gate as a reusable frame: every doc with its signal
     * columns (text retained for downstream fingerprinting), filtered to
-    * the admitted set. Shared by d14 and the d25 pipeline. */
+    * the admitted set. Signals + predicate live in
+    * [[TextFunctions.qualityGate]] — one definition across batch (here)
+    * and streaming (CorpusIngest). */
   private def qualityGated(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        qualityScore(col("text")).as("quality_score"),
-        stopwordHitRatio(col("text"), englishStopwordPattern)
-          .as("stopword_ratio"),
-        langId(col("text")).as("lang_pred"))
-      .filter(col("n_tokens") >= 30 && col("quality_score") >= 0.5 &&
-        col("stopword_ratio") >= 0.05 && col("lang_pred") === "en")
+    qualityGate(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   /** The same gate in DuckDB SQL, ending in a `gated` CTE that also
     * carries `text`. ONE definition for d14 and d25. */

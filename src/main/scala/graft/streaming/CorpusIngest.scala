@@ -29,16 +29,9 @@ object CorpusIngest {
     * admitted docs with their signals (append-mode capable). */
   def qualityDedupStream(docs: DataFrame, tsCol: String = "ingest_ts",
       watermark: String = "1 hour"): DataFrame =
-    docs
-      .select(col("doc_id"), col(tsCol),
-        tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        qualityScore(col("text")).as("quality_score"),
-        stopwordHitRatio(col("text"), englishStopwordPattern)
-          .as("stopword_ratio"),
-        langId(col("text")).as("lang_pred"),
-        fingerprint(col("text")).as("fingerprint"))
-      .filter(col("n_tokens") >= 30 && col("quality_score") >= 0.5 &&
-        col("stopword_ratio") >= 0.05 && col("lang_pred") === "en")
+    qualityGate(docs.select(col("doc_id"), col(tsCol), col("text")))
+      .withColumn("fingerprint", fingerprint(col("text")))
+      .drop("text")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 }

@@ -48,20 +48,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  /** Shuffle-exchange count: node-name anchored on the tree-art prefix,
+    * so 'BroadcastExchange'/'ReusedExchange' (different node names) and
+    * truncated arg lists can't skew the count. */
+  private def shuffles(p: String): Int =
+    "[+:]- Exchange ".r.findAllIn(p).length
+
   test("d13/d22/d25 one-lineage rewrites: no join-back, bounded exchanges") {
     // d13: agg shuffle + term window + doc window = 3 exchanges, 0 joins
     val d13 = plan("d13_top_terms")
     assert(!d13.contains("Join"), "d13 must not join tf back to df")
-    assert(d13.sliding(9).count(_ == "Exchange ") <= 3)
+    assert(shuffles(d13) <= 3)
     // d25: gate is scan-fused; ONE exchange (the fingerprint window)
     val d25 = plan("d25_corpus_pipeline")
     assert(!d25.contains("Join"))
-    assert(d25.sliding(9).count(_ == "Exchange ") == 1)
+    assert(shuffles(d25) == 1)
     // d22: occ agg + chunk window + doc agg (+ the docs join-back for
-    // zero-chunk rows); the chunk pipeline itself must appear ONCE
+    // zero-chunk rows); the chunk pipeline (one Generate) must appear ONCE
     val d22 = plan("d22_chunk_dedup")
     assert(!d22.contains("CartesianProduct"))
-    assert(d22.sliding(21).count(_ == "array_join(slice(toks") == 1,
+    assert("[+:]- Generate explode".r.findAllIn(d22).length == 1,
       "d22 chunk pipeline computed more than once (self-join recompute)")
   }
 
