@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Write-side layout operators — where 100 TB parallelism actually comes
+  * from. The fixture tables are single-file/single-row-group (so every
+  * local scan is one task, see SCALING.md "Known local-vs-cluster
+  * deltas"); on a cluster the scan parallelism and the shuffle-avoidance
+  * story are decided when data is WRITTEN:
+  *
+  *   - Hive-style partitioning (`partitionBy`): directory-per-value →
+  *     partition PRUNING at the scan (a filter on the partition column
+  *     reads 1/N of the files, shown as `PartitionFilters` in the plan).
+  *     Right for low-cardinality routing columns (source, date, lang).
+  *   - Bucketing (`bucketBy` + `sortBy`, table-managed): rows
+  *     hash-routed to a fixed bucket count per partition → equi-joins and
+  *     aggregations on the bucket key need NO exchange (co-located join),
+  *     and bucket pruning serves point lookups. Right for the
+  *     high-cardinality keys you repeatedly join/group on (doc_id,
+  *     fingerprint).
+  *
+  * Both are the standing alternative to reader-side `repartition`, which
+  * was measured slower (full-row shuffle) and fixes nothing durable.
+  */
+object CorpusLayout {
+
+  /** Writes `df` Hive-partitioned by `cols` under `dir`. Readers filter
+    * on `cols` to prune whole directories at planning time. */
+  def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(dir)
+
+  /** Reads a partitioned corpus dir (partition columns are recovered from
+    * the directory layout). */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Saves `df` as a bucketed+sorted managed table (`name` may be
+    * database-qualified). Joins/aggs between tables bucketed the same way
+    * on `key` plan with zero exchanges. `sortBy` additionally makes the
+    * per-bucket files merge-join-ready without an in-memory sort. */
+  def writeBucketed(df: DataFrame, name: String, buckets: Int,
+      key: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+}
