@@ -74,8 +74,14 @@ object SimQueries {
     * would key this on (path, snapshot version). */
   private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def derivedBits(s: SparkSession, d: String): Int =
-    bitsCache.computeIfAbsent(d,
-      _ => Int.box(bitsFor(Tables.embeddings(s, d).count()))).intValue
+    bitsFor(ivfCorpusSize(s, d))
+
+  /** Memoized embeddings row count per dir (shared by the LSH-bits and
+    * IVF-cell derivations — one count job per dir per JVM). */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def ivfCorpusSize(s: SparkSession, d: String): Long =
+    countCache.computeIfAbsent(d,
+      _ => Long.box(Tables.embeddings(s, d).count())).longValue
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -258,10 +264,19 @@ object SimQueries {
       (s, d) => {
         import graft.operators.VectorSearch
         val emb = Tables.embeddings(s, d)
+        // Cell count scales with the corpus (the standard nlist ≈ √n), so
+        // a cell stays ~√n vectors instead of a fixed 1/8 of all rows —
+        // the same fixed-fan-out straggler the LSH bits fix addressed
+        // (round-5 What's-wrong #4). nprobe follows at ~12% of cells
+        // (min 2), holding recall roughly constant as nlist grows. The
+        // √n-row quantizer remains driver-scale at any corpus size.
+        val n = ivfCorpusSize(s, d)
+        val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
         val (centroids, assigned) =
-          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 1)
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = cells,
+            iters = 1)
         VectorSearch.ivfTopK(assigned, centroids, "vec_id",
-          probeId = 0L, k = 10, nprobe = 2)
+          probeId = 0L, k = 10, nprobe = math.max(2, cells / 8))
       },
       None),
   )
