@@ -72,7 +72,6 @@ object SimQueries {
     * a redundant count job inside its timed window. Safe because a fixture
     * dir's row count never changes within a JVM run; a long-lived service
     * would key this on (path, snapshot version). */
-  private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def derivedBits(s: SparkSession, d: String): Int =
     bitsFor(ivfCorpusSize(s, d))
 
