@@ -36,10 +36,17 @@ object CorpusLayout {
 
   /** Saves `df` as a bucketed+sorted managed table (`name` may be
     * database-qualified). Joins/aggs between tables bucketed the same way
-    * on `key` plan with zero exchanges. `sortBy` additionally makes the
-    * per-bucket files merge-join-ready without an in-memory sort. */
+    * on `key` plan with zero exchanges — eliminating the exchange is THE
+    * win (verified by plan in CorpusLayoutSpec); the merge join's
+    * in-partition Sort remains by default in Spark 4 (bucketed-scan
+    * output ordering is opt-in legacy behavior) but is local and
+    * spill-bounded, not a shuffle. The pre-write `repartition` on the
+    * bucket expression routes each bucket's rows to one task → one file
+    * per bucket, keeping the file count fixed as writer parallelism
+    * grows (no small-files explosion). */
   def writeBucketed(df: DataFrame, name: String, buckets: Int,
       key: String): Unit =
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
 }

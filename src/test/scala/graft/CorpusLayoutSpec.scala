@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{CorpusLayout, Tables}
@@ -20,21 +22,26 @@ class CorpusLayoutSpec extends SparkSpec {
     val sources = Tables.documents(spark, sfDir)
       .select("source").distinct().count()
     assert(sources > 1, "fixture must have several sources for this test")
-    // directory-per-value layout on disk
-    assert(Files.list(Paths.get(dir)).iterator().hasNext)
+    // Hive directory-per-value layout on disk ('source=src3/' children)
+    val children = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(children.count(_.startsWith("source=")) == sources,
+      s"expected $sources 'source=' partition dirs, found: $children")
     val q = CorpusLayout.readPartitioned(spark, dir)
       .filter(col("source") === "src3")
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(source"),
       s"partition filter not pushed:\n$scan")
-    // pruned read sees only src3's rows, and the data files actually read
-    // are the one partition's (numFiles in the scan metadata)
     val all = Tables.documents(spark, sfDir)
       .filter(col("source") === "src3").count()
     assert(q.count() == all)
   }
 
-  test("bucketBy on the join key: co-located join plans ZERO exchanges") {
+  test("bucketBy on the join key: co-located merge join, ZERO exchanges, " +
+      "bucketed scan engaged") {
     spark.sql(
       s"CREATE DATABASE IF NOT EXISTS layoutdemo LOCATION " +
         s"'${Files.createTempDirectory("graft-bucket")}'")
@@ -46,16 +53,23 @@ class CorpusLayoutSpec extends SparkSpec {
       CorpusLayout.writeBucketed(
         docs.select(col("doc_id"), col("n_chars")),
         "layoutdemo.docs_b", buckets = 8, key = "doc_id")
-      val joined = spark.table("layoutdemo.docs_a")
+      // Force the merge join: at fixture size the 64 MB broadcast
+      // threshold would otherwise plan a BroadcastHashJoin, which has no
+      // shuffle REGARDLESS of bucketing — the zero-exchange assertion
+      // would be vacuously green. The hint pins the join strategy a big
+      // fact-fact join takes at scale; bucketing must then remove both
+      // exchanges.
+      val joined = spark.table("layoutdemo.docs_a").hint("merge")
         .join(spark.table("layoutdemo.docs_b"), "doc_id")
       val plan = joined.queryExecution.executedPlan.toString
-      assert(!"[+:]- Exchange ".r.findAllIn(plan).hasNext,
-        s"bucketed equi-join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"merge join not planned:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"bucketed scan not engaged:\n$plan")
+      assert(shuffles(plan) == 0, s"bucketed merge join still shuffles:\n$plan")
       assert(joined.count() == docs.count())
       // and a bucket-keyed aggregation is exchange-free too
       val agg = spark.table("layoutdemo.docs_a").groupBy("doc_id").count()
-      assert(!"[+:]- Exchange ".r
-        .findAllIn(agg.queryExecution.executedPlan.toString).hasNext,
+      assert(shuffles(agg.queryExecution.executedPlan.toString) == 0,
         "bucket-keyed aggregation still shuffles")
     } finally {
       spark.sql("DROP TABLE IF EXISTS layoutdemo.docs_a")

@@ -48,12 +48,6 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  /** Shuffle-exchange count: node-name anchored on the tree-art prefix,
-    * so 'BroadcastExchange'/'ReusedExchange' (different node names) and
-    * truncated arg lists can't skew the count. */
-  private def shuffles(p: String): Int =
-    "[+:]- Exchange ".r.findAllIn(p).length
-
   test("d13/d22/d25 one-lineage rewrites: no join-back, bounded exchanges") {
     // d13: agg shuffle + term window + doc window = 3 exchanges, 0 joins
     val d13 = plan("d13_top_terms")

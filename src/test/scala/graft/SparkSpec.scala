@@ -18,4 +18,12 @@ abstract class SparkSpec extends AnyFunSuite {
   def sfDir: String = TestSpark.sfDir
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
+
+  /** Shuffle-exchange count in a plan string: node-name anchored on the
+    * tree-art prefix so 'BroadcastExchange'/'ReusedExchange' (different
+    * node names) and truncated arg lists can't skew the count. Shared by
+    * every plan-shape assertion — the anchoring convention is subtle
+    * enough that a second copy would drift. */
+  protected def shuffles(plan: String): Int =
+    "[+:]- Exchange ".r.findAllIn(plan).length
 }
