@@ -79,6 +79,9 @@ object VectorSearch {
     * literals (broadcast by value — no join, stays in codegen). Ties break
     * to the lower cell index; distance is cosine similarity (argmax). */
   def cellOf(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    // Empty quantizer (empty corpus): no cell — a bare array() would be
+    // VOID-typed and fail analysis inside array_max.
+    if (centroids.isEmpty) return lit(-1)
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("cell"))
     }
@@ -113,8 +116,13 @@ object VectorSearch {
     * query vector; exact cosine within those cells only. */
   def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Double]],
       idCol: String, probeId: Long, k: Int, nprobe: Int): DataFrame = {
-    val probeVec = assigned.filter(col(idCol) === probeId)
-      .select(col("emb")).head.getSeq[Double](0)
+    val probeRows = assigned.filter(col(idCol) === probeId)
+      .select(col("emb")).head(1)
+    if (probeRows.isEmpty) // probe absent (e.g. empty corpus): zero rows,
+      return assigned      // correct schema — never a driver-side crash
+        .select(col(idCol), lit(0.0).as("cos_sim"), col("cell"))
+        .filter(lit(false))
+    val probeVec = probeRows.head.getSeq[Double](0)
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (cosineLocal(probeVec, c), i) }
       .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
