@@ -46,11 +46,14 @@ object TextQueries {
     """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
 
   /** Snapshot id parsed from the source tag — NULL (never an error) when
-    * the suffix isn't an int, in BOTH engines: Spark's cast is try-like,
-    * so the oracle must use TRY_CAST; a strict CAST would crash DuckDB on
-    * any source not shaped 'src<N>' while Spark silently yields NULL. */
+    * the suffix isn't an int, in BOTH engines. Both sides must use the
+    * try-variant explicitly: Spark 4 runs ANSI mode by default, so a plain
+    * CAST throws CAST_INVALID_INPUT on any source not shaped 'src<N>'
+    * (exactly as a strict CAST would crash DuckDB) — `try_cast` is the
+    * null-yielding form in each engine. Pinned by CorpusOpsSpec's
+    * non-numeric-source test. */
   private def snapOf: org.apache.spark.sql.Column =
-    expr("cast(substr(source, 4) as int)")
+    expr("try_cast(substr(source, 4) as int)")
   private val sqlSnap = "TRY_CAST(substr(source, 4) AS INT)"
 
   /** doc_id, shingle_set (distinct word-3-grams), minhash (min md5 of the

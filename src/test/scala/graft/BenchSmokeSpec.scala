@@ -26,11 +26,19 @@ class BenchSmokeSpec extends SparkSpec {
   test(s"every registered query materializes at sf0.001 within $budget") {
     val failures = Seq.newBuilder[String]
     GraftQuery.all.foreach { q =>
-      val f = Future(q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+      val f = Future {
+        // Scope every job this query submits to a cancellable group, so a
+        // budget overrun kills ONLY this query's jobs — cancelAllJobs on
+        // the shared session would also kill any other suite's in-flight
+        // jobs if suite-level parallelism is ever enabled.
+        spark.sparkContext.setJobGroup(s"smoke-${q.name}", q.name, true)
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
       try Await.result(f, budget)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelAllJobs()
+          spark.sparkContext.cancelJobGroup(s"smoke-${q.name}")
           // Wait (bounded) for the hung action to actually die — an
           // orphaned save() would keep competing for cores and make the
           // NEXT queries blow their budgets too, smearing one pathology
@@ -42,7 +50,7 @@ class BenchSmokeSpec extends SparkSpec {
           while (!drained && System.nanoTime() < deadline) {
             try { Await.ready(f, 1.second); drained = true }
             catch { case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelAllJobs() }
+              spark.sparkContext.cancelJobGroup(s"smoke-${q.name}") }
           }
           failures += s"${q.name}: exceeded $budget at sf0.001 — plan-shape pathology" +
             (if (drained) "" else " (action did not terminate after cancel)")

@@ -101,6 +101,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set(3L, 4L))
   }
 
+  test("d19/d23: non-'src<N>' sources parse to a NULL snapshot, never a " +
+      "cast error (Spark 4 ANSI mode makes plain CAST throwing — try_cast " +
+      "regression)") {
+    val docs = Seq(
+      (1L, "hello world", "src0"),      // prior snapshot (even)
+      (2L, "hello world", "src1"),      // new crawl, dup of prior
+      (3L, "hello world", "wiki"),      // non-numeric suffix → NULL snap
+      (4L, "unique text four", "web"),  // non-numeric suffix → NULL snap
+      (5L, "unique text five", "ab"),   // substr('ab', 4) = '' → NULL snap
+      (6L, "brand new text", "src3"))   // new crawl, novel → survives
+    val dir = sourcedCorpus(docs)
+    // d23: NULL-snap docs are in NEITHER the prior dump nor the new crawl.
+    val d23 = run("d23_cross_snapshot_dedup", dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(d23 == Set(6L))
+    // d19: NULL snap falls to the otherwise-branch (25% stratum), matching
+    // the oracle's TRY_CAST semantics.
+    val half = "80000000000000000000000000000000"
+    val quarter = "40000000000000000000000000000000"
+    val expected = docs.collect { case (id, _, src)
+        if md5Hex(id.toString) <
+          (if (src == "src0") half else quarter) => id }.toSet
+    val d19 = run("d19_stratified_sample", dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(d19 == expected)
+  }
+
   test("d24: cumulative vocab coverage over frequency-ranked terms") {
     // corpus tokens: aa ×4, bb ×2, cc ×1, dd ×1 → total 8
     val dir = corpus(Seq(

@@ -9,10 +9,13 @@ import graft.queries.GraftQuery
   * InferFiltersFromGenerate inlining) or an accidental join-strategy flip
   * fails in `sbt test` rather than in a bench post-mortem.
   *
-  * Plans are built, not executed — the whole suite costs planning time
-  * only. Assertions read the AQE initial plan; AQE can only improve on it
-  * at runtime (skew split, local shuffle reader), never introduce a
-  * cartesian/NL join that isn't there.
+  * Plans are built, not executed — no query RESULT is materialized. (Not
+  * quite free: building the e-queries runs the small count()/k-means
+  * sizing jobs their constructors need — SimQueries.derivedBits,
+  * VectorSearch.ivfIndex — so the suite costs planning time plus those
+  * bounded sizing scans.) Assertions read the AQE initial plan; AQE can
+  * only improve on it at runtime (skew split, local shuffle reader),
+  * never introduce a cartesian/NL join that isn't there.
   */
 class PlanShapeSpec extends SparkSpec {
 
