@@ -58,7 +58,7 @@ object SimQueries {
   private val sqlBitsCte: String =
     s"""nb AS (SELECT greatest($MinBits, least($MaxBits,
         CAST(ceil(log2(greatest(ceil(CAST(COUNT(*) AS DOUBLE) / $TargetBucket), 1))) AS INT))) AS bits
-      FROM embeddings)"""
+      FROM embeddings WHERE len(embedding) = ${Tables.EmbeddingDim})"""
 
   /** Dynamic-bits SQL bucket: each candidate bit gated on `i < bits`. */
   private def sqlSignBucket(emb: String, bitsCol: String): String =
@@ -75,15 +75,17 @@ object SimQueries {
   private def derivedBits(s: SparkSession, d: String): Int =
     bitsFor(ivfCorpusSize(s, d))
 
-  /** Memoized embeddings row count per dir (shared by the LSH-bits and
-    * IVF-cell derivations — one count job per dir per JVM). */
+  /** Memoized VALID-embeddings row count per dir (shared by the LSH-bits
+    * and IVF-cell derivations — one count job per dir per JVM). Counts the
+    * dimension-filtered set so sizing always matches the rows the queries
+    * actually process. */
   private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def ivfCorpusSize(s: SparkSession, d: String): Long =
     countCache.computeIfAbsent(d,
-      _ => Long.box(Tables.embeddings(s, d).count())).longValue
+      _ => Long.box(Tables.validEmbeddings(s, d).count())).longValue
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
+    Tables.validEmbeddings(s, d).select(
       col("vec_id"),
       asDouble(col("embedding")).as("emb"),
       signBucket(col("embedding"), derivedBits(s, d)).as("bucket"))
@@ -94,7 +96,7 @@ object SimQueries {
     GraftQuery(
       "e01_cosine_topk",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.validEmbeddings(s, d)
         val probe = emb.filter(col("vec_id") === 0)
           .select(asDouble(col("embedding")).as("q_emb"))
         emb.filter(col("vec_id") =!= 0)
@@ -105,9 +107,9 @@ object SimQueries {
           .limit(10)
       },
       Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-          FROM embeddings WHERE vec_id = 0),
+          FROM embeddings WHERE vec_id = 0 AND len(embedding) = ${Tables.EmbeddingDim}),
         c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings WHERE vec_id <> 0)
+          FROM embeddings WHERE vec_id <> 0 AND len(embedding) = ${Tables.EmbeddingDim})
         SELECT vec_id, ${sqlCos("e", "qe")} AS cos_sim
         FROM c, q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""")),
@@ -118,7 +120,7 @@ object SimQueries {
       (s, d) => bucketed(s, d).select(col("vec_id"), col("bucket")),
       Some(s"""WITH $sqlBitsCte
         SELECT vec_id, ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb""")),
+        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}""")),
 
     // ---- bucketed ANN: top-3 neighbors within each vector's bucket -------
     // Join key is the bucket (2^bits groups, bits corpus-derived so groups
@@ -144,7 +146,7 @@ object SimQueries {
         b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
           ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb),
+        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}),
         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
             ${sqlCos("a.e", "b.e")} AS cos_sim
           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -172,7 +174,7 @@ object SimQueries {
         b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
           ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb)
+        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim})
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${sqlCos("a.e", "b.e")} AS cos_sim
         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${sqlCos("a.e", "b.e")} >= 0.4""")),
@@ -182,13 +184,13 @@ object SimQueries {
     GraftQuery(
       "e06_embedding_clusters",
       (s, d) => graft.operators.VectorSearch
-        .signLshRepresentatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        .signLshRepresentatives(Tables.validEmbeddings(s, d), "vec_id", "embedding",
           derivedBits(s, d)),
       Some(s"""WITH $sqlBitsCte
         SELECT vec_id,
           MIN(vec_id) OVER (PARTITION BY ${sqlSignBucket("embedding", "bits")})
             AS rep_id
-        FROM embeddings, nb""")),
+        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}""")),
 
     // ---- ANN recall@3: bucketed-LSH answers vs brute-force truth ---------
     // The evaluation harness every approximate index needs: on a BOUNDED
@@ -239,10 +241,10 @@ object SimQueries {
         b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
           ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb),
+        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}),
         probes AS (SELECT vec_id AS a_id, e AS ae, bucket FROM b
           WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
-            FROM embeddings) = 0),
+            FROM embeddings WHERE len(embedding) = ${Tables.EmbeddingDim}) = 0),
         truth AS (SELECT a_id, b_id FROM (
           SELECT p.a_id, c.vec_id AS b_id,
             row_number() OVER (PARTITION BY p.a_id
@@ -268,7 +270,7 @@ object SimQueries {
       "e05_ivf_topk",
       (s, d) => {
         import graft.operators.VectorSearch
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.validEmbeddings(s, d)
         // Cell count scales with the corpus (the standard nlist ≈ √n), so
         // a cell stays ~√n vectors instead of a fixed 1/8 of all rows —
         // the same fixed-fan-out straggler the LSH bits fix addressed

@@ -28,6 +28,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** The corpus's declared embedding dimensionality (TESTDATA.md). A real
+    * deployment would read this from dataset metadata; it is the contract
+    * every vector operator assumes. */
+  val EmbeddingDim = 64
+
+  /** Embeddings restricted to rows honoring the dimension contract. At
+    * 100 TB null/empty/ragged vectors are a statistical certainty, and
+    * under Spark 4's default ANSI mode they turn into task-killing
+    * element_at/NPE failures inside vector ops (DegenerateCorpusSpec
+    * pins this). Dropping them at the loader seam is the one policy every
+    * vector query and every DuckDB oracle (len(embedding) = dim) shares;
+    * size() is null-safe (null vector → null → filtered). */
+  def validEmbeddings(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) === EmbeddingDim)
+
   /** Register all tables as temp views so `spark.sql` works against them. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -161,15 +161,19 @@ class CorpusOpsSpec extends SparkSpec {
       "0.0 when they don't") {
     // All vectors share sign pattern on dims 1-4 (bits = MinBits at this
     // corpus size) → one bucket → ANN == brute force → recall 1.0.
+    // Vectors must honor the corpus dimension contract (Tables.EmbeddingDim)
+    // or the loader's ragged-row guard drops them.
     def v(seed: Int): Array[Float] =
-      Array.tabulate(8)(j => if (j < 4) 1.0f else (seed * (j + 1)).toFloat)
+      Array.tabulate(graft.sources.Tables.EmbeddingDim)(j =>
+        if (j < 4) 1.0f else (seed * (j % 8 + 1)).toFloat)
     val sameBucket = (0L to 5L).map(i => i -> v(i.toInt + 1))
     val r1 = run("e07_ann_recall", corpus(Nil, sameBucket)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(r1 == Map(0L -> 1.0)) // only vec_id 0 is a probe (% 20)
     // Probe alone in its bucket (negative dim-1 sign) → no candidates →
     // zero ANN answers → recall 0.0, probe still present in the output.
-    val lone = (0L -> Array(-1.0f, 1, 1, 1, 5, 5, 5, 5)) +:
+    val lone = (0L -> Array.tabulate(graft.sources.Tables.EmbeddingDim)(j =>
+        if (j == 0) -1.0f else if (j < 4) 1.0f else 5.0f)) +:
       (1L to 5L).map(i => i -> v(i.toInt + 1))
     val r0 = run("e07_ann_recall", corpus(Nil, lone)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
