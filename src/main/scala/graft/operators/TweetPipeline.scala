@@ -25,9 +25,14 @@ object TweetPipeline {
     * three-valued logic), matching dplyr::filter. `created_at` arrives as a
     * Twitter-format string ("Wed Oct 23 03:15:02 +0000 2019"); Spark's
     * java.time parser forbids day-of-week ('E') when parsing, so we drop the
-    * leading weekday token and parse the remainder. */
+    * leading weekday token and parse the remainder. try_to_timestamp, not
+    * to_timestamp: under Spark 4's default ANSI mode the plain form THROWS
+    * on a malformed string — one garbage created_at would kill the whole
+    * micro-batch — while the reference's lubridate parse yields NA
+    * (main.R:96). NULL-on-failure is the parity behavior. */
   private val createdAtTs =
-    to_timestamp(substring(col("created_at"), 5, 26), "MMM dd HH:mm:ss Z yyyy")
+    try_to_timestamp(substring(col("created_at"), 5, 26),
+      lit("MMM dd HH:mm:ss Z yyyy"))
 
   def filterProject(raw: DataFrame): DataFrame =
     raw

@@ -49,6 +49,18 @@ class TweetPipelineSpec extends SparkSpec {
     assert(out.count() == 3) // ana, fede, hugo
   }
 
+  test("P1: malformed created_at yields NULL date_created, never a task " +
+      "failure (ANSI to_timestamp throws; try_to_timestamp is the lubridate-" +
+      "NA parity)") {
+    import org.apache.spark.sql.Row
+    val row = spark.createDataFrame(
+      java.util.List.of(Row("not a real timestamp", "zoe", "hola mundo",
+        "s", null, null, null, java.lang.Boolean.FALSE, "es", null)),
+      TweetSource.rawSchema)
+    val r = TweetPipeline.transform(row).collect()
+    assert(r.length == 1 && r.head.isNullAt(0))
+  }
+
   test("S4: empty input short-circuits to empty output") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TweetSource.rawSchema)
