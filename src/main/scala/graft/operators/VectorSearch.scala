@@ -140,8 +140,13 @@ object VectorSearch {
     * for the pairs-vs-clusters scale argument: a duplicate group of size g
     * is g rows here, g² rows as pairs). `bits` picks the bucket
     * granularity: use ~log2(n/targetBucketSize) so bucket sizes stay
-    * bounded as the corpus grows — the 4-bit default of the e-queries is
-    * calibrated to the test fixture, not to 100 TB. */
+    * bounded as the corpus grows (the e-queries derive it from the corpus
+    * count; see SimQueries.bitsFor).
+    *
+    * Input contract: vectors must have ≥ `bits` dimensions and be non-null
+    * — under Spark 4's default ANSI mode, element_at past the end of a
+    * ragged vector throws. Feed it through a dimension guard
+    * (Tables.validEmbeddings) as the e-queries do. */
   def signLshRepresentatives(emb: DataFrame, idCol: String, vecCol: String,
       bits: Int): DataFrame = {
     val bucket = (0 until bits).map { i =>
