@@ -268,14 +268,19 @@ object StarQueries {
       "q16_events_json_props",
       (s, d) =>
         Tables.events(s, d)
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+          // try_cast, in BOTH engines: a non-numeric '$.k' value should be
+          // a NULL (skipped by sum/count) rather than a task-killing cast
+          // error — dirty props are routine in event streams at scale.
+          // (get_json_object itself is null-on-malformed-JSON already.)
+          .withColumn("k",
+            expr("try_cast(get_json_object(props, '$.k') as bigint)"))
           .groupBy(col("event_type"))
           .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt")),
       // CAST(SUM(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT — cast back
       // so the compared column type matches Spark's bigint sum.
       Some("""SELECT event_type,
-        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
+        CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
         FROM events GROUP BY event_type""")),
 
     // ---- events: HLL++ sketch (no exact-SQL oracle; rows-only check) -----

@@ -37,20 +37,51 @@ class DegenerateCorpusSpec extends SparkSpec {
       (6L, Array.tabulate(64)(i => (i % 5 - 2).toFloat / 3f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val failures = GraftQuery.all
-      .filter(q => q.name.head == 'd' || q.name.head == 'e' || q.name.head == 'm')
-      .flatMap { q =>
-        try {
-          q.run(spark, dir).write.format("noop").mode("overwrite").save()
-          None
-        } catch {
-          case e: Throwable =>
-            val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-              .toSeq.last
-            Some(s"${q.name}: ${root.getClass.getSimpleName}: " +
-              s"${Option(root.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}")
-        }
-      }
+    val failures = survivors(dir,
+      q => "dem".contains(q.name.head))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("event queries survive dirty props JSON, non-numeric k, and null " +
+      "user/type/value") {
+    val dir = Files.createTempDirectory("graft-degen-ev").toString
+    // The event queries join nothing outside events; the star tables are
+    // copied clean so the shared-dir contract holds if that ever changes.
+    graft.sources.Tables.names.filter(_ != "events").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // The fixture's timestamp[ns] column arrives as a plain ns LONG via
+    // the nanosAsLong read path, so the dirty fixture writes a long ts
+    // directly; everything else gets adversarial values.
+    Seq[(Long, Long, java.lang.Long, String, java.lang.Double, String)](
+      (1L, 1700000000000000000L, 7L, "click", 1.5, """{"k": 3}"""),
+      (2L, 1700000001000000000L, null, null, null, null),
+      (3L, 1700000002000000000L, 7L, "view", 0.0, "not json at all"),
+      (4L, 1700003600000000000L, 8L, "click", 2.5, """{"k": "abc"}"""),
+      (5L, 1700003700000000000L, 8L, "buy", -1.0, """{"j": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val eventQueries = Set("q15_events_hourly", "q16_events_json_props",
+      "q17_events_approx_users", "q18_events_sessions",
+      "q19_asof_attribution", "q20_range_click_counts")
+    val failures = survivors(dir, q => eventQueries(q.name))
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** Runs each selected query through the noop sink; returns failures. */
+  private def survivors(dir: String,
+      pick: GraftQuery => Boolean): Seq[String] =
+    GraftQuery.all.filter(pick).flatMap { q =>
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable =>
+          val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .toSeq.last
+          Some(s"${q.name}: ${root.getClass.getSimpleName}: " +
+            s"${Option(root.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}")
+      }
+    }
 }
