@@ -161,6 +161,29 @@ object TextFunctions {
     * dedup key at any scale. */
   def fingerprint(c: Column): Column = md5(squish(lower(c)))
 
+  // -------------------------------------------------------------------- PII
+
+  /** PII masking (email / IPv4 / phone) — the standard pre-training scrub
+    * stage (C4/Dolma-style pipelines). Patterns are deliberately RE2-safe
+    * and byte-identical to the DuckDB oracle's (no \d, no lookaround, no
+    * backrefs, explicit ASCII classes) so both engines match the same
+    * spans. Counts are taken on the RAW text per category — categories can
+    * overlap in principle; the scrub chain resolves overlaps by masking
+    * emails first, then IPv4s, then phones. One narrow codegen'd pass, no
+    * shuffle: the scrub cost is O(chars) per row at any corpus size. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val ipv4Pattern = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  val phonePattern = "[+][0-9]{7,15}|[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{3,4}"
+
+  def piiCount(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0)))
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(emailPattern), lit("<EMAIL>")),
+      lit(ipv4Pattern), lit("<IP>")),
+      lit(phonePattern), lit("<PHONE>"))
+
   // ---------------------------------------------------------------- lang id
 
   /** Tiny per-language marker lexicons for the n-gram/stopword heuristic

@@ -636,6 +636,29 @@ object TextQueries {
             FROM gated)
           SELECT doc_id, fingerprint, n_tokens, quality_score
           FROM fp WHERE rn = 1""")),
+
+    // ---- PII scrub: mask emails / IPv4s / phones, count each category ----
+    // The C4/Dolma-style redaction stage. Narrow codegen'd map over the
+    // scan — no shuffle, O(chars) per row; the patterns are RE2-safe and
+    // byte-identical to the oracle's (TextFunctions scaladoc).
+    GraftQuery(
+      "d26_pii_scrub",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          scrubPii(col("text")).as("scrubbed"),
+          piiCount(col("text"), emailPattern).cast("bigint").as("n_email"),
+          piiCount(col("text"), ipv4Pattern).cast("bigint").as("n_ip"),
+          piiCount(col("text"), phonePattern).cast("bigint").as("n_phone")),
+      Some(s"""SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$emailPattern', '<EMAIL>', 'g'),
+          '$ipv4Pattern', '<IP>', 'g'),
+          '$phonePattern', '<PHONE>', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(text, '$emailPattern')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '$ipv4Pattern')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS n_phone
+        FROM documents""")),
   )
 
   /** The d14 quality gate as a reusable frame: every doc with its signal

@@ -157,6 +157,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set(7L))
   }
 
+  test("d26: emails, IPv4s, and phones are masked and counted") {
+    val dir = corpus(Seq(
+      1L -> "contact me at john.doe+spam@example.co.uk or 192.168.0.1",
+      2L -> "call +14155550123 or 415-555-0123 now",
+      3L -> "no pii here at all, just 12 plain numbers 345"))
+    val out = run("d26_pii_scrub", dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("contact me at <EMAIL> or <IP>", 1L, 1L, 0L)))
+    assert(out(2L) == (("call <PHONE> or <PHONE> now", 0L, 0L, 2L)))
+    assert(out(3L) ==
+      (("no pii here at all, just 12 plain numbers 345", 0L, 0L, 0L)))
+  }
+
   test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
       "0.0 when they don't") {
     // All vectors share sign pattern on dims 1-4 (bits = MinBits at this
