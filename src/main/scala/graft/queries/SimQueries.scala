@@ -54,11 +54,16 @@ object SimQueries {
     math.min(MaxBits, math.max(MinBits, b))
   }
 
+  /** The oracle-side mirror of [[Tables.validEmbeddings]] — ONE
+    * definition interpolated into every e-oracle so the DuckDB row set
+    * can never drift from the Spark loader's dimension guard. */
+  private val sqlValidEmb = s"len(embedding) = ${Tables.EmbeddingDim}"
+
   /** `nb` CTE holding the same bits value, derived in SQL from COUNT(*). */
   private val sqlBitsCte: String =
     s"""nb AS (SELECT greatest($MinBits, least($MaxBits,
         CAST(ceil(log2(greatest(ceil(CAST(COUNT(*) AS DOUBLE) / $TargetBucket), 1))) AS INT))) AS bits
-      FROM embeddings WHERE len(embedding) = ${Tables.EmbeddingDim})"""
+      FROM embeddings WHERE $sqlValidEmb)"""
 
   /** Dynamic-bits SQL bucket: each candidate bit gated on `i < bits`. */
   private def sqlSignBucket(emb: String, bitsCol: String): String =
@@ -95,21 +100,13 @@ object SimQueries {
     // ---- brute-force cosine top-k vs the vec_id=0 probe ------------------
     GraftQuery(
       "e01_cosine_topk",
-      (s, d) => {
-        val emb = Tables.validEmbeddings(s, d)
-        val probe = emb.filter(col("vec_id") === 0)
-          .select(asDouble(col("embedding")).as("q_emb"))
-        emb.filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-          .crossJoin(broadcast(probe))
-          .select(col("vec_id"), cosine(col("emb"), col("q_emb")).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-          .limit(10)
-      },
+      (s, d) => graft.operators.VectorSearch.bruteTopK(
+        Tables.validEmbeddings(s, d), "vec_id", "embedding",
+        probeId = 0L, k = 10),
       Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-          FROM embeddings WHERE vec_id = 0 AND len(embedding) = ${Tables.EmbeddingDim}),
+          FROM embeddings WHERE vec_id = 0 AND $sqlValidEmb),
         c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings WHERE vec_id <> 0 AND len(embedding) = ${Tables.EmbeddingDim})
+          FROM embeddings WHERE vec_id <> 0 AND $sqlValidEmb)
         SELECT vec_id, ${sqlCos("e", "qe")} AS cos_sim
         FROM c, q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""")),
@@ -120,7 +117,7 @@ object SimQueries {
       (s, d) => bucketed(s, d).select(col("vec_id"), col("bucket")),
       Some(s"""WITH $sqlBitsCte
         SELECT vec_id, ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}""")),
+        FROM embeddings, nb WHERE $sqlValidEmb""")),
 
     // ---- bucketed ANN: top-3 neighbors within each vector's bucket -------
     // Join key is the bucket (2^bits groups, bits corpus-derived so groups
@@ -146,7 +143,7 @@ object SimQueries {
         b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
           ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}),
+        FROM embeddings, nb WHERE $sqlValidEmb),
         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
             ${sqlCos("a.e", "b.e")} AS cos_sim
           FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -174,7 +171,7 @@ object SimQueries {
         b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
           ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim})
+        FROM embeddings, nb WHERE $sqlValidEmb)
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${sqlCos("a.e", "b.e")} AS cos_sim
         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${sqlCos("a.e", "b.e")} >= 0.4""")),
@@ -190,7 +187,7 @@ object SimQueries {
         SELECT vec_id,
           MIN(vec_id) OVER (PARTITION BY ${sqlSignBucket("embedding", "bits")})
             AS rep_id
-        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}""")),
+        FROM embeddings, nb WHERE $sqlValidEmb""")),
 
     // ---- ANN recall@3: bucketed-LSH answers vs brute-force truth ---------
     // The evaluation harness every approximate index needs: on a BOUNDED
@@ -241,10 +238,10 @@ object SimQueries {
         b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
           ${sqlSignBucket("embedding", "bits")} AS bucket
-        FROM embeddings, nb WHERE len(embedding) = ${Tables.EmbeddingDim}),
+        FROM embeddings, nb WHERE $sqlValidEmb),
         probes AS (SELECT vec_id AS a_id, e AS ae, bucket FROM b
           WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
-            FROM embeddings WHERE len(embedding) = ${Tables.EmbeddingDim}) = 0),
+            FROM embeddings WHERE $sqlValidEmb) = 0),
         truth AS (SELECT a_id, b_id FROM (
           SELECT p.a_id, c.vec_id AS b_id,
             row_number() OVER (PARTITION BY p.a_id

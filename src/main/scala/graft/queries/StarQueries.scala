@@ -278,9 +278,14 @@ object StarQueries {
           .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt")),
       // CAST(SUM(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT — cast back
       // so the compared column type matches Spark's bigint sum.
+      // json_valid guard: Spark's get_json_object is NULL on malformed
+      // JSON, but DuckDB's json_extract_string RAISES — gate it so both
+      // engines treat garbage props as NULL.
       Some("""SELECT event_type,
-        CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-        COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
+        CAST(SUM(TRY_CAST(json_extract_string(
+          CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        COUNT(TRY_CAST(json_extract_string(
+          CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_cnt
         FROM events GROUP BY event_type""")),
 
     // ---- events: HLL++ sketch (no exact-SQL oracle; rows-only check) -----

@@ -52,6 +52,12 @@ class BenchSmokeSpec extends SparkSpec {
             catch { case _: java.util.concurrent.TimeoutException =>
               spark.sparkContext.cancelJobGroup(s"smoke-${q.name}") }
           }
+          // Last resort for an action that ignored its group cancel: a
+          // session-wide kill. Only reached when the test is already
+          // failing, so the cross-suite blast radius is acceptable —
+          // better than the orphan competing for cores across every
+          // remaining query.
+          if (!drained) spark.sparkContext.cancelAllJobs()
           failures += s"${q.name}: exceeded $budget at sf0.001 — plan-shape pathology" +
             (if (drained) "" else " (action did not terminate after cancel)")
         case e: Throwable =>

@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import graft.queries.GraftQuery
 
 /** Every documents/embeddings query must run — to zero, guard, or partial
   * rows, never a crash — on a DEGENERATE corpus: null/empty/whitespace
@@ -37,8 +36,7 @@ class DegenerateCorpusSpec extends SparkSpec {
       (6L, Array.tabulate(64)(i => (i % 5 - 2).toFloat / 3f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val failures = survivors(dir,
-      q => "dem".contains(q.name.head))
+    val failures = sweepFailures(dir, q => "dem".contains(q.name.head))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
@@ -65,23 +63,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     val eventQueries = Set("q15_events_hourly", "q16_events_json_props",
       "q17_events_approx_users", "q18_events_sessions",
       "q19_asof_attribution", "q20_range_click_counts")
-    val failures = survivors(dir, q => eventQueries(q.name))
+    val failures = sweepFailures(dir, q => eventQueries(q.name))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
-
-  /** Runs each selected query through the noop sink; returns failures. */
-  private def survivors(dir: String,
-      pick: GraftQuery => Boolean): Seq[String] =
-    GraftQuery.all.filter(pick).flatMap { q =>
-      try {
-        q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        None
-      } catch {
-        case e: Throwable =>
-          val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-            .toSeq.last
-          Some(s"${q.name}: ${root.getClass.getSimpleName}: " +
-            s"${Option(root.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}")
-      }
-    }
 }

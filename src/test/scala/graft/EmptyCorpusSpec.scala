@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import graft.queries.GraftQuery
 import graft.sources.Tables
 
 /** Every registered query must run (to zero or guard rows, never a crash)
@@ -21,15 +20,7 @@ class EmptyCorpusSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    val failures = GraftQuery.all.flatMap { q =>
-      try {
-        q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        None
-      } catch {
-        case e: Throwable =>
-          Some(s"${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-    }
+    val failures = sweepFailures(dir, _ => true)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

@@ -26,4 +26,23 @@ abstract class SparkSpec extends AnyFunSuite {
     * enough that a second copy would drift. */
   protected def shuffles(plan: String): Int =
     "[+:]- Exchange ".r.findAllIn(plan).length
+
+  /** Runs each selected registered query against `dir` through the noop
+    * sink; returns "<name>: <root-cause>" per failure. Shared by the
+    * robustness sweeps (EmptyCorpusSpec, DegenerateCorpusSpec) so both
+    * report the ROOT exception, not Spark's stage-failure wrapper. */
+  protected def sweepFailures(dir: String,
+      pick: graft.queries.GraftQuery => Boolean): Seq[String] =
+    graft.queries.GraftQuery.all.filter(pick).flatMap { q =>
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable =>
+          val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .toSeq.last
+          Some(s"${q.name}: ${root.getClass.getSimpleName}: " +
+            s"${Option(root.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}")
+      }
+    }
 }
