@@ -21,7 +21,7 @@ import graft.sources.Tables
 object TextQueries {
 
   /** DuckDB expression for the whitespace token list of `text`. */
-  private val sqlToks =
+  private[queries] val sqlToks =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
 
   /** Spark SQL expression for the word-3-gram list of a column named
@@ -59,7 +59,7 @@ object TextQueries {
   /** doc_id, shingle_set (distinct word-3-grams), minhash (min md5 of the
     * shingles). Array subscripts: Spark `toks[i]` is 0-based, DuckDB
     * 1-based — the two formulations below index the same trigrams. */
-  private def minhashed(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def minhashed(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("shingles",
@@ -69,7 +69,7 @@ object TextQueries {
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .withColumn("minhash", array_min(transform(col("shingles"), x => md5(x))))
 
-  private val sqlMinhashCte: String =
+  private[queries] val sqlMinhashCte: String =
     s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
       sh AS (SELECT doc_id,
         list_transform(range(1, greatest(len(toks)-1, 1)),
