@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 /** Distributed connected components by iterative min-label propagation —
   * the exact-transitive upgrade of [[NearDup.minhashLshRepresentatives]]'s
@@ -30,6 +31,8 @@ import org.apache.spark.sql.functions._
   * never need it.
   */
 object ConnectedComponents {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   /** Component label (= min vertex id in the component) for every vertex.
     *
@@ -61,11 +64,21 @@ object ConnectedComponents {
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
       val cur = checksum(next)
+      // `next` is fully materialized (eager checkpoint + checksum), so the
+      // previous round's blocks are dead — drop them now, or maxIter+1
+      // copies of the label table pile up in executor storage.
+      labels.unpersist()
       converged = cur == prev
       prev = cur
       labels = next
       iter += 1
     }
+    und.unpersist()
+    if (!converged && iter >= maxIter)
+      log.warn(s"labelPropagate stopped at maxIter=$maxIter without " +
+        "reaching the fixpoint — labels are only partially propagated " +
+        "(graph diameter exceeds maxIter); raise maxIter or use a " +
+        "star-contraction variant for long-chain graphs")
     labels
   }
 

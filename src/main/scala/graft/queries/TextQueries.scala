@@ -21,7 +21,7 @@ import graft.sources.Tables
 object TextQueries {
 
   /** DuckDB expression for the whitespace token list of `text`. */
-  private[queries] val sqlToks =
+  private val sqlToks =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
 
   /** Spark SQL expression for the word-3-gram list of a column named
@@ -59,7 +59,7 @@ object TextQueries {
   /** doc_id, shingle_set (distinct word-3-grams), minhash (min md5 of the
     * shingles). Array subscripts: Spark `toks[i]` is 0-based, DuckDB
     * 1-based — the two formulations below index the same trigrams. */
-  private[queries] def minhashed(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def minhashed(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("shingles",
@@ -69,7 +69,7 @@ object TextQueries {
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .withColumn("minhash", array_min(transform(col("shingles"), x => md5(x))))
 
-  private[queries] val sqlMinhashCte: String =
+  private val sqlMinhashCte: String =
     s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
       sh AS (SELECT doc_id,
         list_transform(range(1, greatest(len(toks)-1, 1)),
@@ -659,6 +659,48 @@ object TextQueries {
         CAST(len(regexp_extract_all(text, '$ipv4Pattern')) AS BIGINT) AS n_ip,
         CAST(len(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS n_phone
         FROM documents""")),
+
+    // ---- exact-transitive near-dup clusters: verified-pair edges + ------
+    // connected components. The upgrade over d15's one-pass approximation:
+    // chains A~B~C where A and C never share a bucket still collapse into
+    // one cluster (ConnectedComponents scaladoc). Edges are the d09
+    // candidate pairs that PASS jaccard >= 0.5 verification — clusters are
+    // built from confirmed near-dups, not raw bucket collisions. Every doc
+    // appears (isolated docs label themselves), so the output is the full
+    // doc -> cluster-representative assignment a dedup pass consumes.
+    // Oracle: DuckDB recursive CTE computes the transitive closure and
+    // takes the per-vertex min label — the same fixpoint the distributed
+    // loop converges to.
+    GraftQuery(
+      "d27_cc_clusters",
+      (s, d) => {
+        import graft.operators.{ConnectedComponents, NearDup}
+        val buckets = minhashed(s, d)
+          .filter(col("minhash").isNotNull) // unsignable docs: no edges
+          .groupBy(col("minhash"))
+          .agg(sort_array(collect_list(
+            struct(col("doc_id"), col("shingle_set")))).as("docs"))
+        val edges = NearDup.pairsWithinBuckets(buckets)
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+            (size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("double") /
+              size(array_union(col("a.shingle_set"), col("b.shingle_set"))).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("src"), col("dst"))
+        val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+        ConnectedComponents.labelPropagate(vertices, edges)
+          .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCte.stripPrefix("WITH ")},
+        e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM mh a JOIN mh b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5),
+        und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents
+          UNION
+          SELECT u.dst AS id, r.comp FROM reach r JOIN und u ON u.src = r.id)
+        SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1""")),
   )
 
   /** The d14 quality gate as a reusable frame: every doc with its signal

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+/** Pins ConnectedComponents.labelPropagate: the chain-collapse behavior
+  * that distinguishes it from NearDup's one-pass approximation, plus the
+  * edge cases (isolated vertices, edgeless graph, maxIter truncation). */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(vertices: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 20): Map[Long, Long] =
+    ConnectedComponents.labelPropagate(
+        vertices.toDF("id"), edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to one component labeled by its min id") {
+    // 1-2-3-4-5: ends never share an edge, only transitivity links them
+    val got = labelsOf(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("isolated vertices keep their own label alongside a component") {
+    val got = labelsOf(Seq(1L, 2L, 3L, 7L, 9L), Seq((2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 7L, 9L -> 9L))
+  }
+
+  test("edgeless graph: every vertex is its own component") {
+    val got = labelsOf(Seq(4L, 8L, 15L), Seq.empty)
+    assert(got == Map(4L -> 4L, 8L -> 8L, 15L -> 15L))
+  }
+
+  test("two components don't bleed into each other") {
+    val got = labelsOf(Seq(1L, 2L, 3L, 10L, 11L, 12L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("edge orientation is irrelevant (undirected semantics)") {
+    val fwd = labelsOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    val rev = labelsOf(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 2L)))
+    assert(fwd == rev)
+  }
+
+  test("maxIter truncation returns partially propagated labels") {
+    // Diameter-4 chain with the min at one end: one round moves each
+    // label at most one hop, so maxIter=1 cannot reach the far end.
+    val got = labelsOf(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), maxIter = 1)
+    assert(got(2L) == 1L)      // one hop: propagated
+    assert(got(5L) != 1L)      // four hops: not reached yet
+  }
+}
