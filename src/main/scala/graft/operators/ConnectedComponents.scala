@@ -22,13 +22,16 @@ import org.slf4j.LoggerFactory
   * collapses duplicate messages before the exchange. Rounds needed =
   * graph diameter; near-dup graphs are unions of small dense clusters
   * (diameter ≲ 3), so 3-4 rounds in practice, `maxIter` bounds the worst
-  * case. `localCheckpoint` cuts each round's lineage — without it the plan
+  * case. Checkpointing cuts each round's lineage — without it the plan
   * doubles per iteration and the job dies re-executing round 1 at round 10.
-  * On a cluster, reliable `checkpoint` (HDFS-backed) replaces the local
-  * flavor; for billion-edge general graphs with long chains, the
-  * large-star/small-star variant (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond") converges in O(log n) rounds — near-dup graphs
-  * never need it.
+  * The flavor is chosen at runtime: when the SparkContext has a checkpoint
+  * directory configured (`sc.setCheckpointDir` — HDFS/object store on a
+  * real cluster), reliable `checkpoint` is used, surviving executor loss
+  * across the long-lived loop; otherwise `localCheckpoint` (executor-local
+  * blocks — fine for local mode and short-lived jobs). For billion-edge
+  * general graphs with long chains, the large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+  * converges in O(log n) rounds — near-dup graphs never need it.
   */
 object ConnectedComponents {
 
@@ -44,14 +47,20 @@ object ConnectedComponents {
     */
   def labelPropagate(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // Materialize the caller's edge frame BEFORE flipping it: `edges` is
+    // typically an expensive lazy pipeline (d27's is minhash → bucket →
+    // pair-expand → Jaccard-verify), and a lazy union evaluates that
+    // pipeline once per branch inside the distinct's single
+    // materialization — the self-join recompute trap in union form
+    // (Catalyst does not reuse a subtree across union branches).
+    val e = materialize(edges.select(col("src"), col("dst")))
     // Both orientations, deduped, materialized once — the loop re-reads
     // this frame every round.
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    val und = materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    e.unpersist() // und is eager; the one-orientation blocks are dead
+    var labels = materialize(vertices.select(col("id"), col("id").as("comp")))
     var prev = checksum(labels)
     var iter = 0
     var converged = und.isEmpty // edgeless graph: everyone is their own comp
@@ -60,9 +69,8 @@ object ConnectedComponents {
       // (own label ∪ incoming labels)
       val msgs = und.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+      val next = materialize(labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val cur = checksum(next)
       // `next` is fully materialized (eager checkpoint + checksum), so the
       // previous round's blocks are dead — drop them now, or maxIter+1
@@ -81,6 +89,16 @@ object ConnectedComponents {
         "star-contraction variant for long-chain graphs")
     labels
   }
+
+  /** Eagerly materialize `df` with the lineage cut, reliable when the
+    * context allows it: with a checkpoint directory configured (cluster —
+    * HDFS/object store), `checkpoint` survives executor loss across the
+    * iterative loop; without one (local mode), `localCheckpoint` keeps
+    * blocks executor-local and avoids requiring any directory setup. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Exact (overflow-proof) sum of labels — the convergence witness. */
   private def checksum(labels: DataFrame): java.math.BigDecimal = {

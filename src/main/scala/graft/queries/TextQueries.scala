@@ -79,6 +79,25 @@ object TextQueries {
         list_min(list_transform(shingles, s -> md5(s))) AS minhash
         FROM sh)"""
 
+  /** Cap on the single-band minhash bucket size (d09/d27): a bucket of g
+    * docs expands to g²/2 pairs inside ONE generator row, each pair
+    * carrying two full shingle string sets — on a boilerplate-heavy corpus
+    * an uncapped hot bucket OOMs its task (same hazard, same cap, same
+    * drop-the-whole-bucket policy as NearDup.minhashLshPairs' maxBucket
+    * and Winnowing's shared-fingerprint cap). Over-cap buckets are
+    * near-identical boilerplate clusters; pair OUTPUT for them is dropped
+    * deterministically — use the linear cluster form (d15) when giant dup
+    * groups must still collapse. Mirrored in the DuckDB oracles via
+    * QUALIFY count(*) OVER (PARTITION BY minhash). */
+  private val lshMaxBucket = 64
+
+  /** The capped bucket side of the oracle join — `mhc` is `mh` minus
+    * unsignable docs and over-cap buckets (exactly what the Spark side's
+    * size(docs) filter admits to pair expansion). */
+  private val sqlMinhashCappedCte: String =
+    s"""mhc AS (SELECT * FROM mh WHERE minhash IS NOT NULL
+        QUALIFY count(*) OVER (PARTITION BY minhash) <= $lshMaxBucket)"""
+
   /** DuckDB transliteration of Winnowing's fingerprint pipeline (same
     * constants K=3, W=4, base 131/1009, mod 2^31; list_reduce over a
     * prepended zero == Spark aggregate with a 0 init; 1-based subscripts
@@ -239,17 +258,20 @@ object TextQueries {
           .groupBy(col("bucket"))
           .agg(sort_array(collect_list(
             struct(col("doc_id"), col("shingle_set")))).as("docs"))
+          // over-cap buckets = boilerplate clusters; dropping them bounds
+          // the g²/2 in-bucket expansion (see lshMaxBucket)
+          .filter(size(col("docs")) <= lshMaxBucket)
         NearDup.pairsWithinBuckets(grouped)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
             (size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("double") /
               size(array_union(col("a.shingle_set"), col("b.shingle_set"))).cast("double"))
               .as("jaccard"))
       },
-      Some(s"""$sqlMinhashCte
+      Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
           CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) AS jaccard
-        FROM mh a JOIN mh b ON a.minhash = b.minhash AND a.doc_id < b.doc_id""")),
+        FROM mhc a JOIN mhc b ON a.minhash = b.minhash AND a.doc_id < b.doc_id""")),
 
     // ---- SimHash-64 signatures (xxhash64-based — no DuckDB equivalent,
     // rows-only check; deterministic for fixed input) ----------------------
@@ -680,6 +702,10 @@ object TextQueries {
           .groupBy(col("minhash"))
           .agg(sort_array(collect_list(
             struct(col("doc_id"), col("shingle_set")))).as("docs"))
+          // same cap + drop policy as d09 (see lshMaxBucket): an over-cap
+          // bucket contributes no edges; its docs still appear in the
+          // output (as their own singletons or via other buckets)
+          .filter(size(col("docs")) <= lshMaxBucket)
         val edges = NearDup.pairsWithinBuckets(buckets)
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
             (size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("double") /
@@ -692,8 +718,9 @@ object TextQueries {
           .select(col("id").as("doc_id"), col("comp").as("comp_id"))
       },
       Some(s"""WITH RECURSIVE ${sqlMinhashCte.stripPrefix("WITH ")},
+        $sqlMinhashCappedCte,
         e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-          FROM mh a JOIN mh b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+          FROM mhc a JOIN mhc b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
             CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.5),
         und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),

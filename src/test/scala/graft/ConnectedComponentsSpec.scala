@@ -46,6 +46,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(fwd == rev)
   }
 
+  test("reliable checkpoint engages when a checkpoint dir is configured") {
+    // The cluster seam: with sc.setCheckpointDir set (HDFS on a real
+    // cluster), the loop's per-round materialization must switch from
+    // executor-local blocks to reliable checkpoint files — same labels,
+    // and files actually written under the configured dir.
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val got = labelsOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      val walk = java.nio.file.Files.walk(dir)
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally walk.close()
+      assert(wrote > 0, "no reliable-checkpoint files were written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("maxIter truncation returns partially propagated labels") {
     // Diameter-4 chain with the min at one end: one round moves each
     // label at most one hop, so maxIter=1 cannot reach the far end.
