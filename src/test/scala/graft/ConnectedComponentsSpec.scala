@@ -50,7 +50,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     // The cluster seam: with sc.setCheckpointDir set (HDFS on a real
     // cluster), the loop's per-round materialization must switch from
     // executor-local blocks to reliable checkpoint files — same labels,
-    // and files actually written under the configured dir.
+    // and files actually written under the configured dir. Mutates shared
+    // SparkContext state (checkpoint dir), which is safe only because
+    // ScalaTest runs this suite's tests sequentially.
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
     try {
@@ -60,7 +62,41 @@ class ConnectedComponentsSpec extends SparkSpec {
       val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
       finally walk.close()
       assert(wrote > 0, "no reliable-checkpoint files were written")
-    } finally spark.sparkContext.setCheckpointDir(null)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      // don't leak checkpoint files across runs
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
+  test("per-round reliable checkpoints are cleaned up as rounds complete") {
+    // The loop deletes each round's checkpoint files once the next round
+    // is materialized — only the RETURNED frame's files survive the call.
+    // A diameter-4 chain needs several rounds; if cleanup were a no-op,
+    // every round's labels (plus the edge frames) would still be on disk.
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-gc")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val got = labelsOf(Seq(1L, 2L, 3L, 4L, 5L),
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+      val walk = java.nio.file.Files.walk(dir)
+      // rdd-* checkpoint dirs: exactly one should remain (final labels)
+      val rddDirs = try walk
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      finally walk.close()
+      assert(rddDirs == 1,
+        s"expected only the final frame's checkpoint dir, found $rddDirs")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
   }
 
   test("maxIter truncation returns partially propagated labels") {

@@ -2,10 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Throwaway profiling main for d27 (not registered anywhere). */
+/** Profiling harness for a single registered query (default d27) — the
+  * bisection tool for perf regressions: run it, then comment out pipeline
+  * stages in a scratch copy to isolate the expensive one. Lives in test
+  * sources so it never ships in the artifact; run with
+  * `sbt "Test/runMain graft.DebugCC [queryName]"` and
+  * `SPARK_GRAFT_SF_DIR` pointing at a testdata scale dir. */
 object DebugCC {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      sys.error("set SPARK_GRAFT_SF_DIR to a testdata scale dir"))
+    val name = args.headOption.getOrElse("d27_cc_clusters")
     val spark = GraftSession.getOrCreate("graft-debug-cc")
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String)(f: => A): A = {
@@ -17,11 +24,12 @@ object DebugCC {
       .select(graft.functions.TextFunctions.cleanTextAscii(col("text")))
       .write.format("noop").mode("overwrite").save()
 
-    val q = graft.queries.GraftQuery.all.find(_.name == "d27_cc_clusters").get
-    time("d27 full (1st)") {
+    val q = graft.queries.GraftQuery.all.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name"))
+    time(s"$name full (1st)") {
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    time("d27 full (2nd)") {
+    time(s"$name full (2nd)") {
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
     spark.stop()
