@@ -81,7 +81,7 @@ object TextQueries {
 
   /** Cap on the single-band minhash bucket size (d09/d27): a bucket of g
     * docs expands to g²/2 pairs inside ONE generator row, each pair
-    * carrying two full shingle string sets — on a boilerplate-heavy corpus
+    * carrying two full hashed shingle sets — on a boilerplate-heavy corpus
     * an uncapped hot bucket OOMs its task (same hazard, same cap, same
     * drop-the-whole-bucket policy as NearDup.minhashLshPairs' maxBucket
     * and Winnowing's shared-fingerprint cap). Over-cap buckets are
