@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, CountWordsIn, MinHashSigs, ScrubWords, ShingleHashes, SimHash64}
+import graft.functions.{CosineSim, CountWordsIn, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: exposes graft's native Catalyst
   * expressions as SQL functions and installs the algebraic simplification
@@ -25,6 +25,7 @@ import graft.functions.{CosineSim, CountWordsIn, MinHashSigs, ScrubWords, Shingl
   *   cosine_sim(a, b)               → cosine of two array<double>
   *   shingle_hashes(toks)           → sorted distinct hashed 3-gram shingles
   *   minhash_sigs(toks, T)          → T banded minhash values
+  *   min_md5_shingle(toks)          → min md5 hex over 3-gram shingles
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -71,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_sigs",
       "minhash_sigs(toks, numTables) - banded minhash signature values") {
       case Seq(c, n) => MinHashSigs(c, intLit(n, "minhash_sigs"))
+    })
+    ext.injectFunction(fn("min_md5_shingle",
+      "min_md5_shingle(toks) - min md5 hex over word-3-gram shingles") {
+      case Seq(c) => MinMd5Shingle(c)
     })
     ext.injectOptimizerRule(_ => CombineScrubWords)
   }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen expressions for hashed word-3-gram shingling and banded
   * MinHash signatures — the candidate-generation primitives of
@@ -37,6 +38,14 @@ object MinHashExprs {
     * null if the input is null or has < 3 tokens. */
   def minhashSigs(toks: Column, numTables: Int): Column =
     GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(toks), numTables))
+
+  /** Min md5 (lowercase 32-hex) over the word-3-gram shingles of a token
+    * array — byte-identical to
+    * `array_min(transform(shingles, s -> md5(s)))` over
+    * `concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])` shingles, but one
+    * codegen'd pass; null if the input is null or has < 3 tokens. */
+  def minMd5Shingle(toks: Column): Column =
+    GraftSqlBridge.column(MinMd5Shingle(GraftSqlBridge.expression(toks)))
 }
 
 case class ShingleHashes(child: Expression) extends UnaryExpression {
@@ -72,7 +81,84 @@ case class MinHashSigs(child: Expression, numTables: Int)
     copy(child = newChild)
 }
 
+/** The oracle-pinned md5 minhash (TextQueries d08/d09/d27), natively: the
+  * `functions._` form pays an interpreted `transform` lambda dispatch per
+  * shingle plus a full hex-string materialization per md5 just to take the
+  * minimum; this expression digests each shingle's bytes directly, keeps
+  * the running 16-byte minimum, and hex-encodes once at the end. Lowercase
+  * hex is order-monotonic with the digest bytes, so min-of-hex-strings ==
+  * hex-of-min-digest — parity with the SQL formulation is pinned by
+  * NearDupSpec. */
+case class MinMd5Shingle(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_md5_shingle"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.minMd5Shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MinHashOps.minMd5Shingle($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinMd5Shingle =
+    copy(child = newChild)
+}
+
 object MinHashOps {
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  /** a < b over equal-length byte arrays, unsigned lexicographic — the
+    * digest-space order matching UTF8String order on the hex encodings. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def minMd5Shingle(toks: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    if (n < 3) return null
+    val md = md5Local.get()
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    var best: Array[Byte] = null
+    i = 0
+    while (i < n - 2) {
+      md.reset()
+      md.update(tokBytes(i))
+      md.update(' '.toByte)
+      md.update(tokBytes(i + 1))
+      md.update(' '.toByte)
+      md.update(tokBytes(i + 2))
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = HexDigits((best(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(best(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
 
   /** Chained 3-gram shingle hashes of a token array; length max(n-2, 0). */
   private def rawShingleHashes(toks: ArrayData): Array[Long] = {

@@ -56,18 +56,20 @@ object TextQueries {
     expr("try_cast(substr(source, 4) as int)")
   private val sqlSnap = "TRY_CAST(substr(source, 4) AS INT)"
 
-  /** doc_id, shingle_set (distinct word-3-grams), minhash (min md5 of the
-    * shingles). Array subscripts: Spark `toks[i]` is 0-based, DuckDB
-    * 1-based — the two formulations below index the same trigrams. */
+  /** doc_id, toks, minhash (min md5 of the word-3-gram shingles — the
+    * native one-pass [[graft.functions.MinHashExprs.minMd5Shingle]],
+    * byte-identical to the historical
+    * `array_min(transform(shingles, md5))` formulation; parity pinned by
+    * NearDupSpec). The oracle CTE below keeps the explicit string-shingle
+    * form — DuckDB 1-based subscripts index the same trigrams as Spark's
+    * 0-based — and also carries `shingle_set` for the oracle-side jaccard
+    * (the Spark side verifies over hashed shingles instead, see
+    * candidatePairs). */
   private def minhashed(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
-          .otherwise(expr("cast(array() as array<string>)")))
-      .withColumn("shingle_set", array_distinct(col("shingles")))
-      .withColumn("minhash", array_min(transform(col("shingles"), x => md5(x))))
+      .withColumn("minhash",
+        graft.functions.MinHashExprs.minMd5Shingle(col("toks")))
 
   private val sqlMinhashCte: String =
     s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),

@@ -32,6 +32,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) == 4)
   }
 
+  test("SQL function: min_md5_shingle matches md5 of the single shingle") {
+    val r = spark.sql(
+      """SELECT min_md5_shingle(array('a','b','c')) AS m, md5('a b c') AS ref,
+        |  min_md5_shingle(array('a','b')) AS short""".stripMargin).head()
+    assert(r.getString(0) == r.getString(1))
+    assert(r.isNullAt(2)) // <3 tokens → null, same as the HOF formulation
+  }
+
   test("scrub_words SQL rejects a non-literal word list") {
     val e = intercept[Exception] {
       spark.sql("SELECT scrub_words('x', concat('a', rand())) ").collect()

@@ -10,6 +10,27 @@ class NearDupSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sfDir).cache()
 
+  test("minMd5Shingle matches the array_min(transform(md5)) SQL formulation") {
+    // The native expression replaced the interpreted HOF chain in
+    // TextQueries.minhashed (d08/d09/d27's oracle-pinned bucket key); the
+    // two must stay byte-identical — including the <3-token null case —
+    // across the whole corpus plus hand-picked edges.
+    import graft.functions.MinHashExprs
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "one two three"), (9005L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).unionByName(edges)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("ref", array_min(transform(col("shingles"), x => md5(x))))
+      .withColumn("native", MinHashExprs.minMd5Shingle(col("toks")))
+    assert(df.filter(col("ref").isNull =!= col("native").isNull ||
+      col("ref") =!= col("native")).count() == 0)
+  }
+
   test("simhash: identical text → identical signature; disjoint text differs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
