@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, CountWordsIn, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64}
+import graft.functions.{CosineSim, CountWordsIn, JaccardSorted, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: exposes graft's native Catalyst
   * expressions as SQL functions and installs the algebraic simplification
@@ -26,6 +26,7 @@ import graft.functions.{CosineSim, CountWordsIn, MinHashSigs, MinMd5Shingle, Scr
   *   shingle_hashes(toks)           → sorted distinct hashed 3-gram shingles
   *   minhash_sigs(toks, T)          → T banded minhash values
   *   min_md5_shingle(toks)          → min md5 hex over 3-gram shingles
+  *   jaccard_sorted(a, b)           → Jaccard of sorted-distinct long arrays
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -76,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("min_md5_shingle",
       "min_md5_shingle(toks) - min md5 hex over word-3-gram shingles") {
       case Seq(c) => MinMd5Shingle(c)
+    })
+    ext.injectFunction(fn("jaccard_sorted",
+      "jaccard_sorted(a, b) - Jaccard of two sorted-distinct array<long>") {
+      case Seq(a, b) => JaccardSorted(a, b)
     })
     ext.injectOptimizerRule(_ => CombineScrubWords)
   }

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen expressions for hashed word-3-gram shingling and banded
@@ -46,6 +46,13 @@ object MinHashExprs {
     * codegen'd pass; null if the input is null or has < 3 tokens. */
   def minMd5Shingle(toks: Column): Column =
     GraftSqlBridge.column(MinMd5Shingle(GraftSqlBridge.expression(toks)))
+
+  /** Jaccard similarity |a∩b| / |a∪b| of two SORTED-DISTINCT long arrays
+    * (the [[shingleHashes]] contract) — one merge scan, no per-pair hash
+    * sets. Null if either input is null or both are empty. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSorted(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 case class ShingleHashes(child: Expression) extends UnaryExpression {
@@ -104,6 +111,41 @@ case class MinMd5Shingle(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinMd5Shingle =
     copy(child = newChild)
+}
+
+/** Exact Jaccard over sorted-distinct long arrays, the verify step of
+  * every hashed-shingle near-dup query (d09/d12/d27). The `functions._`
+  * form (`size(array_intersect(a,b)) / size(array_union(a,b))`) builds
+  * two hash structures and materializes a union array PER PAIR; a bucket
+  * of g docs pays that g²/2 times. Because [[ShingleHashes]] emits sorted
+  * distinct arrays, one linear merge scan yields |a∩b| directly and
+  * |a∪b| = |a| + |b| − |a∩b| — zero allocation per pair.
+  *
+  * PRECONDITION: both inputs sorted ascending, no duplicates (the
+  * shingleHashes contract). Unsorted input silently undercounts the
+  * intersection — do not feed arbitrary arrays. Null if either side is
+  * null; null (not NaN) if both are empty, mirroring the SQL form's
+  * 0-element guard. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHashOps.jaccardSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}$$box =
+         |  graft.functions.MinHashOps.jaccardSorted($a, $b);
+         |if (${ev.value}$$box == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$box.doubleValue(); }""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
 }
 
 object MinHashOps {
@@ -193,6 +235,23 @@ object MinHashOps {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  def jaccardSorted(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return null
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
   }
 
   def minhashSigs(toks: ArrayData, numTables: Int): ArrayData = {

@@ -122,8 +122,10 @@ object NearDup {
       // DESCENDING range [0, -1], not empty)
       .filter(expr("t = 0 OR NOT exists(sequence(0, t-1), i -> p.a.sigs[i] = p.b.sigs[i])"))
       .select(col("p.a.id").as("a_id"), col("p.b.id").as("b_id"),
-        (lit(1.0) - size(array_intersect(col("p.a.hs"), col("p.b.hs"))).cast("double") /
-          size(array_union(col("p.a.hs"), col("p.b.hs"))).cast("double")).as("jaccard_dist"))
+        // hs is sorted-distinct (shingleHashes contract) → merge-scan
+        // jaccard, no per-pair hash sets
+        (lit(1.0) - MinHashExprs.jaccardSorted(col("p.a.hs"), col("p.b.hs")))
+          .as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxDistance)
   }
 

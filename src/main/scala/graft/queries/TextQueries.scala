@@ -142,9 +142,7 @@ object TextQueries {
       .filter(size(col("docs")) <= lshMaxBucket)
     NearDup.pairsWithinBuckets(grouped)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (size(array_intersect(col("a.hs"), col("b.hs"))).cast("double") /
-          size(array_union(col("a.hs"), col("b.hs"))).cast("double"))
-          .as("jaccard"))
+        MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs")).as("jaccard"))
   }
 
   /** DuckDB transliteration of Winnowing's fingerprint pipeline (same

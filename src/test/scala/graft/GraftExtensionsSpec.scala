@@ -40,6 +40,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(2)) // <3 tokens → null, same as the HOF formulation
   }
 
+  test("SQL function: jaccard_sorted on sorted-distinct long arrays") {
+    val r = spark.sql(
+      """SELECT jaccard_sorted(array(1L, 2L, 3L, 4L), array(2L, 4L)) AS j,
+        |  jaccard_sorted(array(1L), array(2L)) AS disjoint""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 0.0)
+  }
+
   test("scrub_words SQL rejects a non-literal word list") {
     val e = intercept[Exception] {
       spark.sql("SELECT scrub_words('x', concat('a', rand())) ").collect()

@@ -31,6 +31,34 @@ class NearDupSpec extends SparkSpec {
       col("ref") =!= col("native")).count() == 0)
   }
 
+  test("jaccardSorted matches the array_intersect/array_union formulation") {
+    import graft.functions.MinHashExprs
+    // corpus-wide: every doc's shingle hashes against a shifted copy of
+    // itself (guaranteed sorted-distinct inputs with partial overlap)
+    val hs = docs
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), MinHashExprs.shingleHashes(col("toks")).as("a"))
+      .filter(size(col("a")) > 0)
+      .withColumn("b", expr("slice(a, 1, greatest(size(a) - 2, 1))"))
+      .withColumn("ref",
+        size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double"))
+      .withColumn("native", MinHashExprs.jaccardSorted(col("a"), col("b")))
+    assert(hs.filter(col("ref") =!= col("native")).count() == 0)
+    // edges: disjoint, identical, empty-vs-nonempty, both-empty → null
+    val edges = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L), 0.0),
+      (Seq(1L, 2L), Seq(1L, 2L), 1.0),
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 4L), 0.5),
+      (Seq.empty[Long], Seq(7L), 0.0),
+    ).toDF("a", "b", "want")
+      .withColumn("got", MinHashExprs.jaccardSorted(col("a"), col("b")))
+    assert(edges.filter(col("got") =!= col("want")).count() == 0)
+    val bothEmpty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(MinHashExprs.jaccardSorted(col("a"), col("b"))).head()
+    assert(bothEmpty.isNullAt(0))
+  }
+
   test("simhash: identical text → identical signature; disjoint text differs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
