@@ -93,6 +93,9 @@ object TextQueries {
     * QUALIFY count(*) OVER (PARTITION BY minhash). */
   private val lshMaxBucket = 64
 
+  /** Token budget per training pack (d28) — a typical 2k-context window. */
+  private val packBudget = 2048
+
   /** The capped bucket side of the oracle join — `mhc` is `mh` minus
     * unsignable docs and over-cap buckets (exactly what the Spark side's
     * size(docs) filter admits to pair expansion). */
@@ -735,7 +738,50 @@ object TextQueries {
         ConnectedComponents.labelPropagate(vertices, edges)
           .select(col("id").as("doc_id"), col("comp").as("comp_id"))
       },
-      Some(s"""WITH RECURSIVE ${sqlMinhashCte.stripPrefix("WITH ")},
+      oracleD27),
+
+    // ---- sequence packing: assign docs to fixed-token-budget packs ------
+    // The training-data prep step after dedup/gating: concatenate docs
+    // into model-sequence-sized packs. Deterministic greedy semantics: docs
+    // are packed in doc_id order within each source; a doc belongs to the
+    // pack its RUNNING START falls in (pack_id = floor(preceding-cumsum /
+    // budget)), so a budget-crossing doc stays with the pack it started —
+    // packs may overrun by less than one doc, never underfill mid-stream
+    // (exactly the concat-then-split boundary rule of LLM pretraining
+    // pipelines, at whole-doc granularity).
+    // Scale shape: ONE window sum partitioned by source — parallelism =
+    // sources, each partition one sort. At 100 TB the same query runs over
+    // (source, shard) with shard = hash(doc_id) % k when per-source order
+    // may be relaxed, or over the date-partitioned layout's natural files;
+    // the per-partition sort is the inherent price of deterministic
+    // packing. No joins, no generator, one exchange.
+    GraftQuery(
+      "d28_sequence_pack",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("bigint").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / lit(packBudget.toDouble))
+              .cast("bigint").as("pack_id"))
+      },
+      Some(s"""WITH nt AS (SELECT doc_id, source,
+          CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          FROM nt)
+        SELECT doc_id, source, n_tokens,
+          CAST(floor((cum - n_tokens) / $packBudget.0) AS BIGINT) AS pack_id
+        FROM c""")),
+  )
+
+  /** d27's oracle: DuckDB recursive CTE computes the transitive closure
+    * and takes the per-vertex min label — the same fixpoint the
+    * distributed loop converges to. */
+  private lazy val oracleD27: Option[String] =
+    Some(s"""WITH RECURSIVE ${sqlMinhashCte.stripPrefix("WITH ")},
         $sqlMinhashCappedCte,
         e AS (SELECT a.doc_id AS src, b.doc_id AS dst
           FROM mhc a JOIN mhc b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
@@ -745,8 +791,7 @@ object TextQueries {
         reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents
           UNION
           SELECT u.dst AS id, r.comp FROM reach r JOIN und u ON u.src = r.id)
-        SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1""")),
-  )
+        SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1""")
 
   /** The d14 quality gate as a reusable frame: every doc with its signal
     * columns (text retained for downstream fingerprinting), filtered to

@@ -171,6 +171,24 @@ class CorpusOpsSpec extends SparkSpec {
       (("no pii here at all, just 12 plain numbers 345", 0L, 0L, 0L)))
   }
 
+  test("d28: greedy packing — packs start below budget, overrun < one " +
+      "doc, ids contiguous per source, sources independent") {
+    // 6 docs of 1000 tokens each (budget 2048): running starts are 0,
+    // 1000, 2000, 3000, 4000, 5000 → pack_ids 0, 0, 0, 1, 1, 2 — the
+    // 3rd doc STARTS at 2000 < 2048 so it stays in pack 0 (overrun 952
+    // < one doc). A second source restarts at pack 0.
+    val text = Seq.fill(1000)("w").mkString(" ")
+    val dir = sourcedCorpus(
+      (0L to 5L).map(i => (i, text, "srcA")) :+ ((10L, text, "srcB")))
+    val got = run("d28_sequence_pack", dir)
+      .select("source", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("srcA", 0L, 0L), ("srcA", 1L, 0L), ("srcA", 2L, 0L),
+      ("srcA", 3L, 1L), ("srcA", 4L, 1L), ("srcA", 5L, 2L),
+      ("srcB", 10L, 0L)))
+  }
+
   test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
       "0.0 when they don't") {
     // All vectors share sign pattern on dims 1-4 (bits = MinBits at this
