@@ -11,7 +11,10 @@ package graft
   * WholeStageCodegen span width, and absence of duplicate subplans. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error(
+        "pass the data dir as the first arg or set SPARK_GRAFT_SF_DIR"))
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate("graft-explain")
