@@ -223,13 +223,27 @@ object StarQueries {
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""")),
 
     // ---- rollup (grouping sets) ------------------------------------------
+    // Two-phase rollup: Spark plans rollup as Expand (one projection per
+    // grouping set) BEFORE the partial aggregate, so a direct rollup
+    // triples the fact-table rows feeding aggregation — at 100 TB that is
+    // 3× the scan-side agg CPU for identical output. Pre-aggregating on
+    // the full key first (map-side combine collapses 6M rows to ~6) and
+    // rolling up the tiny pre-aggregate is output-identical — rollup is a
+    // union of group-bys, and group-by composes over pre-grouped sums
+    // (sum of sums, sum of counts) even for NULL key values. The
+    // coalesce keeps the empty-input grand-total row at n_rows = 0
+    // (count semantics), where sum-of-counts would yield NULL.
     GraftQuery(
       "q13_rollup_returns",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(dsum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("n_rows")),
+      (s, d) => {
+        val pre = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(GraftQuery.dec(col("l_quantity"))).as("p_qty"),
+            count(lit(1)).as("p_n"))
+        pre.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("p_qty")).cast("double").as("sum_qty"),
+            coalesce(sum(col("p_n")), lit(0L)).as("n_rows"))
+      },
       Some(s"""SELECT l_returnflag, l_linestatus,
         ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
@@ -399,13 +413,20 @@ object StarQueries {
         GROUP BY 1, 2""")),
 
     // ---- cube (full grouping-sets lattice) -------------------------------
+    // Same two-phase shape as q13: a direct cube Expands 4 projections
+    // over the fact table before aggregating; pre-aggregate once on the
+    // full key, cube the tiny result.
     GraftQuery(
       "q21_cube_order_stats",
-      (s, d) =>
-        Tables.orders(s, d)
-          .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n_orders"),
-            dsum(col("o_totalprice")).as("total_price")),
+      (s, d) => {
+        val pre = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("p_n"),
+            sum(GraftQuery.dec(col("o_totalprice"))).as("p_price"))
+        pre.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(coalesce(sum(col("p_n")), lit(0L)).as("n_orders"),
+            sum(col("p_price")).cast("double").as("total_price"))
+      },
       Some(s"""SELECT o_orderstatus, o_orderpriority,
         COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
