@@ -185,7 +185,14 @@ object NearDup {
     simhashPairsFromSigs(
       docs.select(col(idCol), simhashOf(textCol).as("simhash")), idCol, maxHamming)
 
-  /** Same, from precomputed signatures: `sig` has (idCol, simhash: long). */
+  /** Same, from precomputed signatures: `sig` has (idCol, simhash: long).
+    *
+    * Multi-band pair dedup is SHUFFLE-FREE, same trick as
+    * [[minhashLshPairs]]: each doc's full signature rides into the
+    * bucket, and a candidate pair is kept only in the FIRST band where
+    * the two signatures' band values agree — every later collision of
+    * the same pair drops in a narrow filter instead of a second
+    * all-pairs `distinct` exchange. */
   def simhashPairsFromSigs(sig: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 8): DataFrame = {
     val banded = sig.select(col(idCol), col("simhash"),
@@ -196,12 +203,21 @@ object NearDup {
         "transform(sequence(0, 3), b -> struct(b AS band, (shiftrightunsigned(simhash, b*16) & 65535) AS v))"))
         .as("bk"))
     val grouped = banded
-      .groupBy(col("bk.band"), col("bk.v"))
+      .groupBy(col("bk.band").as("band"), col("bk.v"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash")))).as("docs"))
-    pairsWithinBuckets(grouped)
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint").as("hamming"))
-      .distinct() // a pair can collide in several bands
+    grouped
+      .filter(size(col("docs")) > 1)
+      .select(col("band"), explode(expr(
+        """flatten(transform(sequence(0, size(docs)-2),
+          |  i -> transform(sequence(i+1, size(docs)-1),
+          |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
+      // first-collision dedup (guard band = 0: sequence(0, -1) would be
+      // the DESCENDING range [0, -1], not empty)
+      .filter(expr("""band = 0 OR NOT exists(sequence(0, band-1),
+        |  i -> (shiftrightunsigned(p.a.simhash, i*16) & 65535)
+        |     = (shiftrightunsigned(p.b.simhash, i*16) & 65535))""".stripMargin))
+      .select(col("p.a.id").as("a_id"), col("p.b.id").as("b_id"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
