@@ -99,6 +99,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("local-mode loop frees intermediate blocks; only the final " +
+      "frame's stay persistent") {
+    // The ADVICE-r10 finding: Dataset.unpersist is a no-op on
+    // (local)checkpointed frames, so the old loop leaked every round's
+    // label blocks. Release now unpersists the underlying RDD — after a
+    // multi-round run, exactly one new persistent RDD (the returned
+    // labels) may remain.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = ConnectedComponents.labelPropagate(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst"))
+    assert(labels.count() == 6)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"loop leaked ${added.size} persistent RDDs (expected only the " +
+        "returned frame's blocks)")
+  }
+
   test("maxIter truncation returns partially propagated labels") {
     // Diameter-4 chain with the min at one end: one round moves each
     // label at most one hop, so maxIter=1 cannot reach the far end.
