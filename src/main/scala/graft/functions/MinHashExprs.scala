@@ -237,6 +237,22 @@ object MinHashOps {
     new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
+  /** Plain-array form of [[jaccardSorted]] for driver/state-side use
+    * (streaming near-dup verify); same sorted-distinct precondition.
+    * Returns 0.0 when both sides are empty (no evidence of overlap). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 && b.length == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): java.lang.Double = {
     val na = a.numElements()
     val nb = b.numElements()

@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.TextFunctions._
+import graft.functions.{MinHashExprs, MinHashOps}
 
 /** Incremental corpus ingestion — the streaming form of the batch
   * training-data gate (d14) composed with bounded-state exact dedup: a
@@ -34,4 +38,81 @@ object CorpusIngest {
       .drop("text")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  final case class NearDupIn(bucket: String, doc_id: Long,
+      ts: Timestamp, hs: Array[Long])
+  final case class Admitted(docId: Long, hs: Array[Long], tsMs: Long)
+  final case class BucketState(members: List[Admitted])
+  final case class NearDupAdmit(doc_id: Long, ingest_ts: Timestamp)
+
+  /** Streaming NEAR-dup admission — the cross-batch streaming form of
+    * d09's verified near-dup: an incoming doc is dropped when a doc
+    * admitted within the state horizon is jaccard-similar to it; the rest
+    * are admitted and remembered.
+    *
+    * Same candidate model as the batch path, so recall matches d09
+    * exactly: candidates share the single md5-minhash bucket (the native
+    * [[MinHashExprs.minMd5Shingle]]; unsignable docs get per-doc `solo:`
+    * buckets and are always admitted), verification is exact Jaccard over
+    * the hashed shingle sets ([[MinHashOps.jaccardSorted]]). One
+    * `flatMapGroupsWithState` keyed by bucket; within a batch, docs are
+    * processed in (ts, doc_id) order so admission is deterministic.
+    *
+    * State at scale: per live bucket, the admitted members' shingle-hash
+    * arrays, pruned two ways — members older than `horizonMs` age out on
+    * every visit and the whole group times out (event-time) once the
+    * watermark passes its newest member + horizon, so state is O(docs
+    * admitted per horizon), never O(corpus); `maxBucket` caps the
+    * per-group verify cost and member list, and entrants to a full
+    * bucket are DROPPED (a 64-deep near-identical cluster is boilerplate
+    * — same cap, same policy as the batch `lshMaxBucket`). Full-history
+    * near-dup belongs to the batch path (d09/d27) over the accumulated
+    * bronze zone. */
+  def nearDupAdmitStream(docs: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "1 hour", horizonMs: Long = 3600 * 1000L,
+      minJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    implicit val inEnc = Encoders.product[NearDupIn]
+    implicit val stEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[NearDupAdmit]
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        coalesce(MinHashExprs.minMd5Shingle(col("toks")),
+          concat(lit("solo:"), col("doc_id"))).as("bucket"),
+        col("doc_id"),
+        col(tsCol).as("ts"),
+        MinHashExprs.shingleHashes(col("toks")).as("hs"))
+      .withWatermark("ts", watermark)
+      .as[NearDupIn]
+      .groupByKey(_.bucket)(Encoders.STRING)
+      .flatMapGroupsWithState[BucketState, NearDupAdmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, batch: Iterator[NearDupIn], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizonFloor = state.getCurrentWatermarkMs() - horizonMs
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_.tsMs >= horizonFloor)
+            val admitted = List.newBuilder[NearDupAdmit]
+            batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              val dup = members.size >= maxBucket ||
+                members.exists(m =>
+                  MinHashOps.jaccardSorted(m.hs, d.hs) >= minJaccard)
+              if (!dup) {
+                members = Admitted(d.doc_id, d.hs, d.ts.getTime) :: members
+                admitted += NearDupAdmit(d.doc_id, d.ts)
+              }
+            }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(BucketState(members))
+              state.setTimeoutTimestamp(
+                members.map(_.tsMs).max + horizonMs)
+            }
+            admitted.result().iterator
+          }
+      }.toDF()
+  }
 }

@@ -42,4 +42,49 @@ class CorpusIngestSpec extends SparkSpec {
       assert(admitted == Set(1L, 4L))
     } finally q.stop()
   }
+
+  test("streaming near-dup admit: verified cross-batch LSH dedup with " +
+      "horizon expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = CorpusIngest.nearDupAdmitStream(
+      in.toDF().toDF("doc_id", "ingest_ts", "text"),
+      watermark = "10 minutes", horizonMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // `nearA` replaces one middle word of `good` — shares the min-md5
+      // bucket (deterministic, fixed hash family; verified) and has
+      // jaccard ≈ 0.9 to it. `goodB` is disjoint vocabulary.
+      val nearA = good.replaceFirst("dog", "fox")
+      // batch 1: original admitted; same-batch near-dup dropped;
+      // distinct doc admitted; short unsignable doc admitted (solo)
+      in.addData((1L, ts("2024-01-01 10:00:00"), good),
+        (2L, ts("2024-01-01 10:00:10"), nearA),
+        (3L, ts("2024-01-01 10:00:20"), goodB),
+        (4L, ts("2024-01-01 10:00:30"), "tiny doc"))
+      q.processAllAvailable()
+      // batch 2: a later re-crawl near-dup of doc 1 within the horizon is
+      // dropped by STATE (cross-batch), a fresh doc is admitted
+      in.addData((5L, ts("2024-01-01 10:30:00"), nearA),
+        (6L, ts("2024-01-01 10:30:10"),
+          "completely different subject matter about spark joins " * 5))
+      q.processAllAvailable()
+      // batch 3: doc 7 is 2.5 h later, but the watermark (which trails
+      // one batch: still 10:20) hasn't aged doc 1's member out of the
+      // horizon yet — still dropped. Its event time then ADVANCES the
+      // watermark to 12:20.
+      in.addData((7L, ts("2024-01-01 12:30:00"), nearA))
+      q.processAllAvailable()
+      // batch 4: with the watermark past member(10:00) + horizon(1 h),
+      // the bucket state has aged out — the same near-dup is admitted
+      // again (the documented recall/state trade: full-history dedup is
+      // the batch path's job)
+      in.addData((8L, ts("2024-01-01 12:45:00"), nearA))
+      q.processAllAvailable()
+      val admitted = spark.table("neardup").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(admitted == Set(1L, 3L, 4L, 6L, 8L))
+    } finally q.stop()
+  }
 }
