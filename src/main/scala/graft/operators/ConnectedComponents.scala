@@ -67,7 +67,11 @@ object ConnectedComponents {
     // (Catalyst does not reuse a subtree across union branches).
     val e = materializeWith(edges.select(col("src"), col("dst")))(_.count())
     // Both orientations, deduped, materialized once — the loop re-reads
-    // this frame every round.
+    // this frame every round. (Pre-partitioning it on `src` to spare the
+    // per-round join shuffle does NOT work: a checkpointed frame's scan
+    // reports unknown partitioning — measured on Spark 4.1, the Exchange
+    // comes back — so the join's und-side shuffle is paid per round and
+    // the broadcast path picks it up instead when labels are small.)
     val und = materializeWith(
       e.df.union(e.df.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())(_.count())
