@@ -96,6 +96,11 @@ object TextQueries {
   /** Token budget per training pack (d28) — a typical 2k-context window. */
   private val packBudget = 2048
 
+  /** Docs kept per source by the exact-k sampler (d29) — small enough
+    * that the rank cap bites even at sf0.01 (25 docs/source), so the
+    * driver's verification exercises the filter, not a pass-through. */
+  private val sampleK = 10
+
   /** The capped bucket side of the oracle join — `mhc` is `mh` minus
     * unsignable docs and over-cap buckets (exactly what the Spark side's
     * size(docs) filter admits to pair expansion). */
@@ -775,6 +780,64 @@ object TextQueries {
         SELECT doc_id, source, n_tokens,
           CAST(floor((cum - n_tokens) / $packBudget.0) AS BIGINT) AS pack_id
         FROM c""")),
+
+    // ---- deterministic exact-k per-stratum sample ------------------------
+    // The fixed-SIZE companion to d19's fixed-RATE sampler: exactly k docs
+    // per source (eval holdouts, per-domain probe sets, mixture caps need
+    // a count, not a rate). Rank docs within each source by
+    // (md5(doc_id), doc_id) — a uniform, engine-independent shuffle order,
+    // reproducible across runs/partitionings where rand() is not — and
+    // keep rank <= k. Scale shape: the rank<=k predicate compiles to a
+    // map-side WindowGroupLimit (each task forwards at most k rows per
+    // source before the exchange), so shuffle volume is O(k × sources ×
+    // tasks) worst-case and the post-shuffle sort sees ~k × tasks rows
+    // per source, never the corpus. One exchange on `source`; skew-proof
+    // because every source ships the same bounded row count.
+    GraftQuery(
+      "d29_exact_k_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("smp_rank", row_number().over(w).cast("bigint"))
+          .filter(col("smp_rank") <= sampleK)
+      },
+      Some(s"""SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+            AS smp_rank
+        FROM documents
+        QUALIFY smp_rank <= $sampleK""")),
+
+    // ---- per-source token-length quantiles (corpus length profile) ------
+    // The length histogram every mixing/packing decision reads (p50/p90/
+    // p99 tokens per source). Exact interpolated percentile is safe HERE
+    // because the aggregation state is a count-map over the value domain,
+    // and token counts are small integers — O(distinct lengths) per
+    // source, not O(docs). For unbounded/continuous domains at 100 TB the
+    // same query flips to approx_percentile (a fixed-size mergeable
+    // sketch, map-side combinable like any partial agg); exactness here
+    // buys a hashable oracle. Both engines interpolate rank p*(n-1)
+    // linearly; round(…, 6) absorbs their last-ulp formula difference.
+    GraftQuery(
+      "d30_length_quantiles",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), tokenCount(col("text")).cast("bigint").as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
+            round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90_tokens"),
+            round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99_tokens")),
+      Some(s"""WITH nt AS (SELECT source,
+          CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+          round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+          round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+          round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+        FROM nt GROUP BY source""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure
