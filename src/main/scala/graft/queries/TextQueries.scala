@@ -838,6 +838,62 @@ object TextQueries {
           round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
           round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
         FROM nt GROUP BY source""")),
+
+    // ---- cross-snapshot NEAR-dup dedup (re-crawl admission) --------------
+    // d23's exact anti-join upgraded to near-dup semantics: a new-crawl
+    // doc (snap 1) is dropped when a PRIOR-snapshot doc (snap 0) is
+    // jaccard >= 0.5 similar to it — re-crawled pages mutate (timestamps,
+    // ads, typo fixes), so exact fingerprints miss most of them. Same
+    // candidate model as d09/d27 (shared bucket cap constant, same
+    // solo-bucket null handling, hashed-shingle verify), expanded with
+    // the same in-bucket generator — the snap tag rides in the struct and
+    // only cross-snapshot pairs are verified. Unsignable or over-cap-
+    // bucket new docs survive (no verified prior match), mirrored in the
+    // oracle via the same QUALIFY cap. Scale shape: ONE signature pass,
+    // ONE bucket shuffle, pair expansion bounded by lshMaxBucket, then a
+    // distinct + anti-join on doc_id — never a corpus × corpus join.
+    GraftQuery(
+      "d31_snapshot_neardup",
+      (s, d) => {
+        import graft.functions.MinHashExprs
+        import graft.operators.NearDup
+        val mh = minhashed(s, d).select(
+          col("doc_id"),
+          (snapOf % 2).as("snap"),
+          MinHashExprs.shingleHashes(col("toks")).as("hs"),
+          coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
+            .as("bucket"))
+        val grouped = mh
+          .groupBy(col("bucket"))
+          .agg(sort_array(collect_list(
+            struct(col("doc_id"), col("snap"), col("hs")))).as("docs"))
+          .filter(size(col("docs")) <= lshMaxBucket)
+        val matched = NearDup.pairsWithinBuckets(grouped)
+          .filter(col("a.snap") =!= col("b.snap"))
+          .filter(MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs")) >= 0.5)
+          .select(when(col("a.snap") === 1, col("a.doc_id"))
+            .otherwise(col("b.doc_id")).as("doc_id"))
+          .distinct()
+        mh.filter(col("snap") === 1)
+          .select(col("doc_id"))
+          .join(matched, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""$sqlMinhashCte,
+        $sqlMinhashCappedCte,
+        sc AS (SELECT mhc.doc_id, mhc.shingle_set, mhc.minhash,
+            $sqlSnap % 2 AS snap
+          FROM mhc JOIN documents USING (doc_id)),
+        matched AS (SELECT DISTINCT
+            CASE WHEN a.snap = 1 THEN a.doc_id ELSE b.doc_id END AS doc_id
+          FROM sc a JOIN sc b
+            ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+          WHERE a.snap <> b.snap
+            AND CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
+              >= 0.5)
+        SELECT d.doc_id FROM documents d
+        WHERE $sqlSnap % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = d.doc_id)""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

@@ -96,7 +96,7 @@ class PlanShapeSpec extends SparkSpec {
     val guarded = Seq("d08_minhash_3gram", "d09_near_dup_pairs",
       "d10_simhash", "d11_simhash_pairs", "d12_minhash_lsh_pairs",
       "d15_neardup_clusters", "d16_winnow_fingerprints",
-      "d17_winnow_shared_pairs")
+      "d17_winnow_shared_pairs", "d31_snapshot_neardup")
     guarded.foreach { name =>
       val opt = GraftQuery.all.find(_.name == name)
         .getOrElse(fail(s"unknown query $name"))
