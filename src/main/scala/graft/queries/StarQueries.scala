@@ -473,5 +473,66 @@ object StarQueries {
           CAST(MAX(day(o_orderdate)) AS INT) AS max_dom,
           COUNT(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS active_days
         FROM orders GROUP BY 1, 2, 3""")),
+
+    // ---- events: ordered conversion funnel (view → click → purchase) ----
+    // Sequence analytics: how far does each user get through an ORDERED,
+    // TIME-BOUNDED funnel — first view, first click within a day of that
+    // view, first purchase within a day of that click. Three chained
+    // unbounded-frame conditional mins over the SAME user_id partitioning
+    // collapse onto one exchange (no orderBy ⇒ no sort); every row in a
+    // user's partition carries identical (v_ts, c_ts, p_ts), so per-user
+    // stage is a distinct + a 4-key count. At 100 TB: one shuffle on
+    // user_id with O(1) per-row state — same key and cost envelope as
+    // sessionization (q18); the stage rollup is a partial-agg groupBy on
+    // a 4-value key. NULL chaining does the funnel ordering for free:
+    // no view ⇒ v_ts NULL ⇒ ts >= NULL is NULL ⇒ c_ts NULL ⇒ p_ts NULL.
+    // ts is exact int64 nanos on both sides (nanosAsLong / epoch_ns).
+    GraftQuery(
+      "q24_funnel_stages",
+      (s, d) => {
+        val dayNs = 86400L * 1000 * 1000 * 1000
+        val byUser = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .withColumn("v_ts",
+            min(when(col("event_type") === "view", col("ts"))).over(byUser))
+          .withColumn("c_ts",
+            min(when(col("event_type") === "click" &&
+              col("ts") >= col("v_ts") &&
+              col("ts") <= col("v_ts") + dayNs, col("ts"))).over(byUser))
+          .withColumn("p_ts",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") >= col("c_ts") &&
+              col("ts") <= col("c_ts") + dayNs, col("ts"))).over(byUser))
+          .select(col("user_id"),
+            when(col("p_ts").isNotNull, 3L)
+              .when(col("c_ts").isNotNull, 2L)
+              .when(col("v_ts").isNotNull, 1L)
+              .otherwise(0L).as("stage"))
+          .distinct()
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH w1 AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns,
+            min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+              OVER (PARTITION BY user_id) AS v_ts
+          FROM events),
+        w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+              AND ts_ns >= v_ts AND ts_ns <= v_ts + 86400000000000
+              THEN ts_ns END)
+              OVER (PARTITION BY user_id) AS c_ts
+          FROM w1),
+        w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+              AND ts_ns >= c_ts AND ts_ns <= c_ts + 86400000000000
+              THEN ts_ns END)
+              OVER (PARTITION BY user_id) AS p_ts
+          FROM w2),
+        s AS (SELECT DISTINCT user_id,
+            CASE WHEN p_ts IS NOT NULL THEN 3
+              WHEN c_ts IS NOT NULL THEN 2
+              WHEN v_ts IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+          FROM w3)
+        SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+        FROM s GROUP BY stage""")),
   )
 }
