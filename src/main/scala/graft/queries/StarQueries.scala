@@ -534,5 +534,40 @@ object StarQueries {
           FROM w3)
         SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
         FROM s GROUP BY stage""")),
+
+    // ---- events: weekly cohort retention ---------------------------------
+    // The other standard sequence-analytics shape next to the funnel
+    // (q24): users cohorted by first-seen week; each cell counts how many
+    // of a cohort's users were active N weeks later. Weeks are integer
+    // epoch-week buckets (`ts div week`, exact int64 nanos on both
+    // engines — same trick as q15's hour bucket). Plan: ONE shuffle on
+    // user_id feeds the unbounded-frame cohort min AND the per-user
+    // distinct (user_id partitioning already clusters the distinct's full
+    // key set); the final (cohort, offset) rollup exchanges a frame
+    // bounded by users × active weeks, never events. Same O(1)-per-row
+    // window state as q18/q24 — retention over 100 TB of events is one
+    // fact-table shuffle.
+    GraftQuery(
+      "q25_cohort_retention",
+      (s, d) => {
+        val weekNs = 7L * 86400 * 1000 * 1000 * 1000
+        val byUser = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .withColumn("week", expr(s"ts div $weekNs"))
+          .withColumn("cohort", min(col("week")).over(byUser))
+          .select(col("user_id"), col("cohort"),
+            (col("week") - col("cohort")).as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH w AS (SELECT user_id,
+            epoch_ns(ts) // 604800000000000 AS week FROM events),
+        c AS (SELECT user_id, week,
+            min(week) OVER (PARTITION BY user_id) AS cohort FROM w),
+        s AS (SELECT DISTINCT user_id, cohort, week - cohort AS week_offset
+          FROM c)
+        SELECT cohort, week_offset, COUNT(*) AS n_users
+        FROM s GROUP BY 1, 2""")),
   )
 }
