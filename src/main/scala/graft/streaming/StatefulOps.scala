@@ -46,6 +46,33 @@ object StatefulOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
 
+  /** Stream-stream interval join (event-time attribution): each click
+    * matches the views by the SAME user whose timestamp is at most
+    * `within` before it — the streaming form of the q19 as-of/attribution
+    * family. Both sides are watermarked and the join condition carries an
+    * explicit event-time interval, so Spark derives a state eviction
+    * bound: buffered rows older than watermark + interval are dropped,
+    * making join state O(rows in the horizon per side), never O(history)
+    * — the only stream-stream join shape that survives 100 TB/day. Inner
+    * join ⇒ matches emit as soon as both sides arrive; the watermark
+    * exists for state cleanup (an outer variant would also need it for
+    * emit-on-close).
+    *
+    * @param views  streaming frame with (v_user, v_ts)
+    * @param clicks streaming frame with (c_user, c_ts)
+    */
+  def intervalAttribution(views: DataFrame, clicks: DataFrame,
+      within: String = "10 minutes",
+      watermark: String = "1 minute"): DataFrame = {
+    val v = views.withWatermark("v_ts", watermark)
+    val c = clicks.withWatermark("c_ts", watermark)
+    v.join(c, expr(
+      s"""v_user = c_user AND
+          c_ts >= v_ts AND
+          c_ts <= v_ts + interval $within"""))
+      .select(col("v_user").as("user"), col("v_ts"), col("c_ts"))
+  }
+
   final case class Event(user: String, ts: Timestamp)
   final case class SessionAgg(user: String, events: Long, lastTs: Long)
   final case class ClosedSession(user: String, events: Long)

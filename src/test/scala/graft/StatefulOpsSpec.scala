@@ -91,4 +91,44 @@ class StatefulOpsSpec extends SparkSpec {
       assert(closed.map(c => (c.user, c.events)).toSet == Set(("u1", 2L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: clicks attribute to views within " +
+      "the window, per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(String, Timestamp)]
+    val clicks = MemoryStream[(String, Timestamp)]
+    val out = StatefulOps.intervalAttribution(
+      views.toDF().toDF("v_user", "v_ts"),
+      clicks.toDF().toDF("c_user", "c_ts"),
+      within = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      views.addData(("u1", ts("2024-01-01 10:00:00")),
+        ("u2", ts("2024-01-01 10:00:00")))
+      // u1 clicks 5 min after the view (inside the window); u2 clicks 20
+      // min after (outside); u3 clicks with no view at all
+      clicks.addData(("u1", ts("2024-01-01 10:05:00")),
+        ("u2", ts("2024-01-01 10:20:00")),
+        ("u3", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .select($"user", $"v_ts".cast("string"), $"c_ts".cast("string"))
+        .as[(String, String, String)].collect().toSet
+      assert(got == Set(
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:05:00")))
+      // a later u1 click matches only the view within ITS window: the
+      // 10:15 click is 15 min past the 10:00 view (outside) but 3 min
+      // past the buffered 10:12 view (inside) — cross-batch state works
+      views.addData(("u1", ts("2024-01-01 10:12:00")))
+      clicks.addData(("u1", ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      val all = spark.table("ssjoin")
+        .select($"user", $"v_ts".cast("string"), $"c_ts".cast("string"))
+        .as[(String, String, String)].collect().toSet
+      assert(all == Set(
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+        ("u1", "2024-01-01 10:12:00", "2024-01-01 10:15:00")))
+    } finally q.stop()
+  }
 }
