@@ -11,11 +11,18 @@ package graft
   * WholeStageCodegen span width, and absence of duplicate subplans. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption
+    // The first arg is the data dir only when it actually IS one —
+    // `Explain d09_near_dup_pairs` with SPARK_GRAFT_SF_DIR set must treat
+    // the query name as a query name, not silently scan
+    // `d09.../lineitem.parquet` (query names are never directories).
+    val dirFromArgs = args.headOption
+      .filter(a => new java.io.File(a).isDirectory)
+    val sfDir = dirFromArgs
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse(sys.error(
-        "pass the data dir as the first arg or set SPARK_GRAFT_SF_DIR"))
-    val names = if (args.length > 1) args.drop(1).toSeq
+        "pass an existing data dir as the first arg or set SPARK_GRAFT_SF_DIR"))
+    val nameArgs = if (dirFromArgs.isDefined) args.drop(1).toSeq else args.toSeq
+    val names = if (nameArgs.nonEmpty) nameArgs
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate("graft-explain")
     names.foreach { n =>

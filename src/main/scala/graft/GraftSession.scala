@@ -38,6 +38,13 @@ object GraftSession {
       // so the rule is pure downside. Excluded session-wide.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Reliable checkpoints (the CC loop's cluster flavor) are otherwise
+      // never deleted: the loop cleans its per-round files itself, but the
+      // RETURNED frame's files survive until GC — with this flag the
+      // ContextCleaner removes them once the caller drops the frame, so
+      // repeated labelPropagate calls in a long-lived session don't
+      // accumulate one rdd-* dir each on the checkpoint filesystem.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Worker-thread count: SPARK_GRAFT_CPUS if set and valid, else every

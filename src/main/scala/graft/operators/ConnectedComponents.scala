@@ -38,8 +38,13 @@ import org.slf4j.LoggerFactory
   * write reads cached blocks instead of recomputing the (expensive) edge
   * pipeline, and each round's checkpoint files are deleted as soon as the
   * next round is materialized — only the RETURNED frame's blocks/files
-  * survive the call (the caller consumes them; reliable files for the
-  * final frame live until the cleaner or job teardown removes them).
+  * survive the call (the caller consumes them). The returned frame's own
+  * storage is freed by the ContextCleaner once the caller drops the
+  * frame: local-checkpoint blocks are tracked cached RDD blocks (cleaned
+  * on GC by default), and reliable checkpoint files are deleted on GC
+  * only when `spark.cleaner.referenceTracking.cleanCheckpoints` is true —
+  * GraftSession sets it; a session built elsewhere must set it or accept
+  * one surviving rdd-* dir per call until application teardown.
   * For billion-edge general graphs with long chains, the
   * large-star/small-star variant (Kiveris et al., "Connected Components
   * in MapReduce and Beyond") converges in O(log n) rounds — near-dup
@@ -133,9 +138,13 @@ object ConnectedComponents {
     if (sc.getCheckpointDir.isDefined) {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
       val cp = cached.checkpoint(eager = false)
-      val result = action(cp) // job computes plan into cache + result;
-                              // checkpoint write then reads the cache
-      cached.unpersist(blocking = false)
+      // finally: a failed action job must still drop the cache handle, or
+      // every aborted run leaks a CacheManager-registered plan for the
+      // life of the session
+      val result =
+        try action(cp) // job computes plan into cache + result;
+                       // checkpoint write then reads the cache
+        finally cached.unpersist(blocking = false)
       Materialized(cp, result, () => deleteCheckpointFiles(cp))
     } else {
       val cp = df.localCheckpoint(eager = false)

@@ -43,6 +43,17 @@ object NearDup {
           .otherwise(expr("cast(array() as array<string>)")))
       .drop("toks")
 
+  /** The in-bucket i<j pair expansion over a `docs` array<struct> column:
+    * one generator row per unordered pair, as struct(a, b). ONE definition
+    * for every bucketed pair family (md5-minhash, banded LSH, simhash) —
+    * the expansion's range arithmetic (sequence(0, -1) is a DESCENDING
+    * range, not empty, hence the size > 1 guard at every call site) lives
+    * in one place instead of drifting across copies. */
+  private val pairExpansion: Column = explode(expr(
+    """flatten(transform(sequence(0, size(docs)-2),
+      |  i -> transform(sequence(i+1, size(docs)-1),
+      |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin))
+
   /** All unordered (i<j) pairs within each group of `grouped`, where
     * `grouped` has a `docs` column holding the group's sorted
     * array<struct<...>>; emits one row per pair with columns `a`/`b` (the
@@ -51,10 +62,7 @@ object NearDup {
   def pairsWithinBuckets(grouped: DataFrame): DataFrame =
     grouped
       .filter(size(col("docs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(docs)-2),
-          |  i -> transform(sequence(i+1, size(docs)-1),
-          |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
+      .select(pairExpansion.as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
 
   /** Banded MinHash near-dup pairs, natively: hashed 3-gram shingles →
@@ -114,10 +122,7 @@ object NearDup {
         struct(col(idCol).as("id"), col("hs"), col("sigs")))).as("docs"))
     grouped
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
-      .select(col("t"), explode(expr(
-        """flatten(transform(sequence(0, size(docs)-2),
-          |  i -> transform(sequence(i+1, size(docs)-1),
-          |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("t"), pairExpansion.as("p"))
       // first-collision dedup (guard t = 0: sequence(0, -1) would be the
       // DESCENDING range [0, -1], not empty)
       .filter(expr("t = 0 OR NOT exists(sequence(0, t-1), i -> p.a.sigs[i] = p.b.sigs[i])"))
@@ -207,10 +212,7 @@ object NearDup {
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash")))).as("docs"))
     grouped
       .filter(size(col("docs")) > 1)
-      .select(col("band"), explode(expr(
-        """flatten(transform(sequence(0, size(docs)-2),
-          |  i -> transform(sequence(i+1, size(docs)-1),
-          |    j -> struct(docs[i] AS a, docs[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("band"), pairExpansion.as("p"))
       // first-collision dedup (guard band = 0: sequence(0, -1) would be
       // the DESCENDING range [0, -1], not empty)
       .filter(expr("""band = 0 OR NOT exists(sequence(0, band-1),

@@ -75,13 +75,23 @@ object CorpusIngest {
     implicit val stEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[NearDupAdmit]
     docs
+      // Null event time or null id can't be stated against (withWatermark
+      // KEEPS null-ts rows — the late-data predicate is null ⇒ not late —
+      // and they'd NPE the in-batch ordering); both are source columns,
+      // so the filter pushes to the scan without the computed-alias trap.
+      .filter(col(tsCol).isNotNull && col("doc_id").isNotNull)
       .withColumn("toks", tokens(col("text")))
       .select(
         coalesce(MinHashExprs.minMd5Shingle(col("toks")),
           concat(lit("solo:"), col("doc_id"))).as("bucket"),
         col("doc_id"),
         col(tsCol).as("ts"),
-        MinHashExprs.shingleHashes(col("toks")).as("hs"))
+        // empty (never null) for unsignable docs: a null-text doc whose
+        // doc_id recurs lands in the SAME solo bucket, and the verify
+        // below must compare values, not NPE (empty∩empty ⇒ jaccard 0 ⇒
+        // unsignable docs always admit, matching the batch solo policy)
+        coalesce(MinHashExprs.shingleHashes(col("toks")),
+          array().cast("array<bigint>")).as("hs"))
       .withWatermark("ts", watermark)
       .as[NearDupIn]
       .groupByKey(_.bucket)(Encoders.STRING)

@@ -88,8 +88,12 @@ class ConnectedComponentsSpec extends SparkSpec {
       val rddDirs = try walk
         .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
       finally walk.close()
-      assert(rddDirs == 1,
-        s"expected only the final frame's checkpoint dir, found $rddDirs")
+      // <= 1, not == 1: with cleanCheckpoints=true (GraftSession) the
+      // ContextCleaner may ALSO have deleted the final frame's dir by now
+      // if a GC ran after labelsOf dropped the frame — zero is the same
+      // no-leak property, one round earlier.
+      assert(rddDirs <= 1,
+        s"expected at most the final frame's checkpoint dir, found $rddDirs")
     } finally {
       spark.sparkContext.setCheckpointDir(null)
       val walk = java.nio.file.Files.walk(dir)

@@ -87,4 +87,37 @@ class CorpusIngestSpec extends SparkSpec {
       assert(admitted == Set(1L, 3L, 4L, 6L, 8L))
     } finally q.stop()
   }
+
+  test("nearDupAdmitStream survives dirty rows: null event time dropped, " +
+      "null-text docs admit (and re-admit) without crashing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.lang.Long, Timestamp, String)]
+    val out = CorpusIngest.nearDupAdmitStream(
+      in.toDF().toDF("doc_id", "ingest_ts", "text"),
+      watermark = "10 minutes", horizonMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("neardup_dirty")
+      .outputMode("append").start()
+    try {
+      // null ingest_ts: withWatermark KEEPS it (late-predicate is null),
+      // so the op must drop it itself or the in-batch sort NPEs
+      in.addData(
+        (java.lang.Long.valueOf(1L), null: Timestamp,
+          "some perfectly fine document text here"),
+        (java.lang.Long.valueOf(2L), ts("2024-01-01 10:00:00"),
+          null: String), // null text → solo bucket
+        (java.lang.Long.valueOf(3L), ts("2024-01-01 10:00:10"),
+          "ok"))  // unsignable (short) solo
+      q.processAllAvailable()
+      // doc 2 re-crawled within the horizon, same null text: same solo
+      // bucket, state holds an EMPTY (not null) signature — the verify
+      // must compare values, not NPE; unsignable docs always admit
+      in.addData(
+        (java.lang.Long.valueOf(2L), ts("2024-01-01 10:05:00"),
+          null: String))
+      q.processAllAvailable()
+      val admitted = spark.table("neardup_dirty")
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      assert(admitted == Seq(2L, 2L, 3L))
+    } finally q.stop()
+  }
 }
