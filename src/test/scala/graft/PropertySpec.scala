@@ -108,4 +108,79 @@ class PropertySpec extends SparkSpec {
         .as[(String, Int)].collect().toSet
     assert(run(1) == run(13))
   }
+
+  // Small vocabulary on purpose: random texts must actually SHARE
+  // shingles or the jaccard properties only ever see 0.
+  private val shingleTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 20)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      "the", "cat", "sat", "mat", "dog", "ran", "park", "ball", "big"))
+  } yield toks.mkString(" ")
+
+  test("property: shingleHashes emits sorted distinct arrays; " +
+      "jaccardSorted is symmetric, bounded, and 1 on self") {
+    import graft.functions.MinHashExprs
+    val pairs = samples(Gen.zip(shingleTextGen, shingleTextGen), 150)
+    val df = pairs.toDF("ta", "tb").select(
+      MinHashExprs.shingleHashes(TextFunctions.tokens($"ta")).as("a"),
+      MinHashExprs.shingleHashes(TextFunctions.tokens($"tb")).as("b"))
+    val rows = df.select($"a", $"b",
+      MinHashExprs.jaccardSorted($"a", $"b").as("jab"),
+      MinHashExprs.jaccardSorted($"b", $"a").as("jba"),
+      MinHashExprs.jaccardSorted($"a", $"a").as("jaa"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Long](0)
+      assert(a == a.sorted && a.distinct == a, s"not sorted-distinct: $a")
+      val (jab, jba) = (r.get(2), r.get(3))
+      assert(jab == jba, "jaccard not symmetric")
+      if (!r.isNullAt(2)) {
+        val j = r.getDouble(2)
+        assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      }
+      // self-jaccard: 1 when the doc has shingles, null (0/0 guard) when
+      // it has none — never anything else
+      if (a.nonEmpty) assert(r.getDouble(4) == 1.0)
+      else assert(r.isNullAt(4))
+    }
+  }
+
+  test("property: native jaccardSorted matches the " +
+      "array_intersect/array_union built-ins on random shingle sets") {
+    import graft.functions.MinHashExprs
+    val pairs = samples(Gen.zip(shingleTextGen, shingleTextGen), 150)
+    val rows = pairs.toDF("ta", "tb").select(
+      MinHashExprs.shingleHashes(TextFunctions.tokens($"ta")).as("a"),
+      MinHashExprs.shingleHashes(TextFunctions.tokens($"tb")).as("b"))
+      .select(
+        MinHashExprs.jaccardSorted($"a", $"b").as("native"),
+        when(size($"a") + size($"b") > 0,
+          size(array_intersect($"a", $"b")).cast("double") /
+            size(array_union($"a", $"b")).cast("double")).as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"value: $r")
+    }
+  }
+
+  test("property: native minMd5Shingle matches the " +
+      "array_min(transform(md5)) formulation on random token lists") {
+    import graft.functions.MinHashExprs
+    val texts = samples(shingleTextGen, 150)
+    val rows = texts.toDF("t")
+      .withColumn("toks", TextFunctions.tokens($"t"))
+      .select(
+        MinHashExprs.minMd5Shingle($"toks").as("native"),
+        expr("""array_min(transform(
+            CASE WHEN size(toks) >= 3 THEN
+              transform(sequence(0, size(toks)-3),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+            ELSE cast(array() as array<string>) END,
+            s -> md5(s)))""").as("sql"))
+      .as[(String, String)].collect()
+    rows.foreach { case (n, s) => assert(n == s, s"native=$n sql=$s") }
+  }
 }
