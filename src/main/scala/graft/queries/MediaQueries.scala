@@ -69,5 +69,27 @@ object MediaQueries {
             ELSE [CAST(0 AS BIGINT)] END) AS INT) AS frame_idx,
           width, height
         FROM dec""")),
+
+    // resize plan: clamp decoded dims to a 96-px max edge preserving
+    // aspect ratio — pure column arithmetic over the decode seam (the
+    // brief's "resize" op; an actual pixel resize would live behind the
+    // same stubbed codec). Decoded dims span [64, 127], so the clamp
+    // genuinely bites on ~half the corpus rather than passing through.
+    // round() parity note: no (width, height) in the decode domain can
+    // produce an exact .5 product (192·w/m odd has no solution with
+    // m ≤ 127), so both engines round the same IEEE double identically.
+    GraftQuery(
+      "m03_resize_plan",
+      (s, d) =>
+        Multimodal.resizePlan(
+          Multimodal.decodeFeatures(Multimodal.syntheticMedia(Tables.documents(s, d))),
+          maxEdge = 96),
+      Some(s"""WITH $sqlDecodedCte
+        SELECT media_id, width, height,
+          CAST(round(width * least(1.0, 96.0 / greatest(width, height, 1)))
+            AS INT) AS out_width,
+          CAST(round(height * least(1.0, 96.0 / greatest(width, height, 1)))
+            AS INT) AS out_height
+        FROM dec""")),
   )
 }
