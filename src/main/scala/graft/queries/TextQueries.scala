@@ -894,6 +894,71 @@ object TextQueries {
         SELECT d.doc_id FROM documents d
         WHERE $sqlSnap % 2 = 1
           AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = d.doc_id)""")),
+
+    // ---- unigram LM log-probability score (CCNet-style LM filter) --------
+    // The language-model quality signal the heuristic gates (d03/d14)
+    // can't give: train a unigram LM on the corpus (top-1000 vocabulary,
+    // OOV floored at ln(1/total)), score each doc by mean token
+    // log-probability — low scores flag gibberish/boilerplate the way
+    // CCNet uses a KenLM perplexity bucket. Two passes over the corpus
+    // (train, then score) is the honest shape of every corpus-trained
+    // filter; at 100 TB the vocab frame (1000 rows) is persisted between
+    // them and broadcast to the scoring join, so scoring is
+    // explode → broadcast-join → partial-agg on doc_id (docs aren't split
+    // across partitions ⇒ the map-side partial collapses each doc to one
+    // row before the exchange). Cross-engine determinism: per-token
+    // logprobs are rounded to 6 dp and summed as exact DECIMAL(18,6), so
+    // the doc mean is independent of summation order; an empty corpus
+    // yields NULL total → NULL logprobs end-to-end (no ln(1/0) overflow).
+    GraftQuery(
+      "d32_unigram_logprob",
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val total = tf.agg(sum(col("tf")).as("total"))
+        val vocab = tf.orderBy(col("tf").desc, col("term").asc).limit(1000)
+          .crossJoin(broadcast(total))
+          .select(col("term"),
+            round(log(col("tf").cast("double") / col("total").cast("double")), 6)
+              .cast("decimal(18,6)").as("lp"))
+        val oov = broadcast(total.select(
+          round(log(lit(1.0) / col("total").cast("double")), 6)
+            .cast("decimal(18,6)").as("oov_lp")))
+        val scored = terms
+          .join(broadcast(vocab), Seq("term"), "left")
+          .crossJoin(oov)
+          .select(col("doc_id"), coalesce(col("lp"), col("oov_lp")).as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(
+            (sum(col("lp")).cast("double") / count(lit(1)).cast("double"))
+              .as("logprob_per_token"),
+            count(lit(1)).as("n_tokens"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("logprob_per_token"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term
+          FROM documents),
+        tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+        vocab AS (SELECT term,
+            CAST(round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC
+            LIMIT 1000), tot),
+        o AS (SELECT CAST(round(ln(1.0 / CAST(total AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS oov_lp FROM tot),
+        sc AS (SELECT t.doc_id,
+            CAST(SUM(coalesce(v.lp, o.oov_lp)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS logprob_per_token,
+            COUNT(*) AS n_tokens
+          FROM t LEFT JOIN vocab v USING (term), o
+          GROUP BY t.doc_id)
+        SELECT d.doc_id, sc.logprob_per_token,
+          coalesce(sc.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure
