@@ -45,10 +45,12 @@ import org.slf4j.LoggerFactory
   * only when `spark.cleaner.referenceTracking.cleanCheckpoints` is true —
   * GraftSession sets it; a session built elsewhere must set it or accept
   * one surviving rdd-* dir per call until application teardown.
-  * For billion-edge general graphs with long chains, the
-  * large-star/small-star variant (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") converges in O(log n) rounds — near-dup
-  * graphs never need it.
+  * For billion-edge general graphs with long chains, pass
+  * `pointerJumping = true`: each round additionally applies
+  * comp(u) := comp(comp(u)) (one label-table self-join), cutting rounds
+  * from O(diameter) to O(log diameter) — the contraction idea of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond".
+  * Near-dup graphs (diameter ≲ 3) never need it.
   */
 object ConnectedComponents {
 
@@ -63,7 +65,7 @@ object ConnectedComponents {
     * @return (id, comp) — comp is the minimum id reachable from `id`
     */
   def labelPropagate(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, pointerJumping: Boolean = false): DataFrame = {
     // Materialize the caller's edge frame BEFORE flipping it: `edges` is
     // typically an expensive lazy pipeline (d27's is minhash → bucket →
     // pair-expand → Jaccard-verify), and a lazy union evaluates that
@@ -91,8 +93,24 @@ object ConnectedComponents {
       // (own label ∪ incoming labels)
       val msgs = und.df.join(labels.df.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = materializeWith(labels.df.union(msgs)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))(checksum)
+      val prop = labels.df.union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // Pointer jumping (optional): comp(u) := comp(comp(u)). Every comp
+      // value IS a vertex id in u's component with comp(u) <= u (both
+      // invariants hold from init and are preserved by min-propagation),
+      // so the lookup is an inner self-join on the label table and the
+      // looked-up value replaces the old one outright. Min-propagation
+      // alone moves a component's min ONE hop per round (rounds =
+      // diameter); with the jump the reach roughly doubles per round
+      // (O(log d) rounds) at the cost of one extra label-table self-join
+      // — the Kiveris-style contraction for long-chain general graphs.
+      // Near-dup graphs (diameter <= ~3) don't need it, hence the default.
+      val roundFrame = if (!pointerJumping) prop else {
+        val byId = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
+        prop.join(byId, col("comp") === col("jid"))
+          .select(col("id"), col("jcomp").as("comp"))
+      }
+      val next = materializeWith(roundFrame)(checksum)
       // `next` is fully materialized (the checksum aggregate computed
       // every partition and the checkpoint is written), so the previous
       // round's blocks/files are dead — release them now, or maxIter+1
@@ -108,8 +126,8 @@ object ConnectedComponents {
     if (!converged && iter >= maxIter)
       log.warn(s"labelPropagate stopped at maxIter=$maxIter without " +
         "reaching the fixpoint — labels are only partially propagated " +
-        "(graph diameter exceeds maxIter); raise maxIter or use a " +
-        "star-contraction variant for long-chain graphs")
+        "(graph diameter exceeds maxIter); raise maxIter or pass " +
+        "pointerJumping=true (O(log diameter) rounds) for long-chain graphs")
     labels.df
   }
 
