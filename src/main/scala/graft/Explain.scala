@@ -14,7 +14,18 @@ object Explain {
     // The first arg is the data dir only when it actually IS one —
     // `Explain d09_near_dup_pairs` with SPARK_GRAFT_SF_DIR set must treat
     // the query name as a query name, not silently scan
-    // `d09.../lineitem.parquet` (query names are never directories).
+    // `d09.../lineitem.parquet` (query names are never directories). The
+    // converse trap: a MISTYPED data dir must not be silently reclassified
+    // as a query name (falling through to SPARK_GRAFT_SF_DIR and dying
+    // later with a confusing unknown-query error) — anything that looks
+    // like a path (has a separator) or matches no registered query fails
+    // fast as a missing data dir.
+    args.headOption
+      .filter(a => !new java.io.File(a).isDirectory)
+      .filter(a => a.contains(java.io.File.separator) ||
+        !SparkEntry.queries.contains(a))
+      .foreach(a => sys.error(s"data dir not found: $a (pass an existing " +
+        "directory as the first arg, or a registered query name)"))
     val dirFromArgs = args.headOption
       .filter(a => new java.io.File(a).isDirectory)
     val sfDir = dirFromArgs

@@ -98,19 +98,26 @@ object ConnectedComponents {
       // Pointer jumping (optional): comp(u) := comp(comp(u)). Every comp
       // value IS a vertex id in u's component with comp(u) <= u (both
       // invariants hold from init and are preserved by min-propagation),
-      // so the lookup is an inner self-join on the label table and the
-      // looked-up value replaces the old one outright. Min-propagation
-      // alone moves a component's min ONE hop per round (rounds =
-      // diameter); with the jump the reach roughly doubles per round
-      // (O(log d) rounds) at the cost of one extra label-table self-join
-      // — the Kiveris-style contraction for long-chain general graphs.
-      // Near-dup graphs (diameter <= ~3) don't need it, hence the default.
-      val roundFrame = if (!pointerJumping) prop else {
-        val byId = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
-        prop.join(byId, col("comp") === col("jid"))
+      // so the lookup is an inner self-join on the label table — row
+      // count is preserved — and the looked-up value replaces the old one
+      // outright. Min-propagation alone moves a component's min ONE hop
+      // per round (rounds = diameter); with the jump the reach roughly
+      // doubles per round (O(log d) rounds) at the cost of one extra
+      // label-table self-join — the Kiveris-style contraction for
+      // long-chain general graphs. Near-dup graphs (diameter <= ~3)
+      // never need it, hence the default. `prop` is materialized BEFORE
+      // the self-join: joining the lazy frame against itself would
+      // recompute the union+groupBy aggregation on BOTH sides — the same
+      // union-branch recompute trap documented at the top of this loop.
+      val next = if (!pointerJumping) materializeWith(prop)(checksum) else {
+        val p = materializeWith(prop)(_.count())
+        val byId = p.df.select(col("id").as("jid"), col("comp").as("jcomp"))
+        val jumped = p.df.join(byId, col("comp") === col("jid"))
           .select(col("id"), col("jcomp").as("comp"))
+        val n = materializeWith(jumped)(checksum)
+        p.release() // jumped is materialized; the pre-jump table is dead
+        n
       }
-      val next = materializeWith(roundFrame)(checksum)
       // `next` is fully materialized (the checksum aggregate computed
       // every partition and the checkpoint is written), so the previous
       // round's blocks/files are dead — release them now, or maxIter+1

@@ -41,4 +41,12 @@ object GraftQuery {
   /** The same expression in DuckDB SQL. */
   def dsumSql(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Exact int64 FLOOR division — matches DuckDB's `//` on the whole
+    * int64 domain. Spark's `div` truncates toward zero, so the two
+    * diverge on negative dividends (pre-1970 nanos timestamps);
+    * subtracting `pmod` (always-non-negative remainder) first makes
+    * plain `div` exact floor, with no double-precision detour. */
+  def floorDiv(c: Column, divisor: Long): Column =
+    call_function("div", c - pmod(c, lit(divisor)), lit(divisor))
 }

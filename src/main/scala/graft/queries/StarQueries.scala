@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.queries.GraftQuery.{dec, dsum, dsumSql}
+import graft.queries.GraftQuery.{dec, dsum, dsumSql, floorDiv}
 import graft.sources.Tables
 
 /** Registered queries exercising the SURVEY.md §2.7 coverage matrix over the
@@ -265,12 +265,17 @@ object StarQueries {
 
     // ---- events: tumbling time window over int64-nanos timestamps --------
     // ts is read as nanos-since-epoch (spark.sql.legacy.parquet.nanosAsLong);
-    // integer `div` keeps the bucket math exact in both engines.
+    // the bucket math stays exact int64 in both engines. NOT bare `div`:
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    // the two would diverge on pre-1970 (negative) timestamps —
+    // `(ts - pmod(ts, w)) div w` is exact floor division on longs
+    // (pmod's remainder is always non-negative), domain-safe either side
+    // of the epoch.
     GraftQuery(
       "q15_events_hourly",
       (s, d) =>
         Tables.events(s, d)
-          .groupBy(expr("ts div 3600000000000").as("hour_bucket"),
+          .groupBy(floorDiv(col("ts"), 3600000000000L).as("hour_bucket"),
             col("event_type"))
           .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value")),
       Some(s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
@@ -539,8 +544,9 @@ object StarQueries {
     // The other standard sequence-analytics shape next to the funnel
     // (q24): users cohorted by first-seen week; each cell counts how many
     // of a cohort's users were active N weeks later. Weeks are integer
-    // epoch-week buckets (`ts div week`, exact int64 nanos on both
-    // engines — same trick as q15's hour bucket). Plan: ONE shuffle on
+    // epoch-week buckets — exact int64 FLOOR division (floorDiv, matching
+    // DuckDB's `//` for negative pre-1970 nanos; same fix as q15's hour
+    // bucket — bare `div` truncates toward zero). Plan: ONE shuffle on
     // user_id feeds the unbounded-frame cohort min AND the per-user
     // distinct (user_id partitioning already clusters the distinct's full
     // key set); the final (cohort, offset) rollup exchanges a frame
@@ -553,7 +559,7 @@ object StarQueries {
         val weekNs = 7L * 86400 * 1000 * 1000 * 1000
         val byUser = Window.partitionBy(col("user_id"))
         Tables.events(s, d)
-          .withColumn("week", expr(s"ts div $weekNs"))
+          .withColumn("week", floorDiv(col("ts"), weekNs))
           .withColumn("cohort", min(col("week")).over(byUser))
           .select(col("user_id"), col("cohort"),
             (col("week") - col("cohort")).as("week_offset"))

@@ -11,9 +11,9 @@ class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
   private def labelsOf(vertices: Seq[Long], edges: Seq[(Long, Long)],
-      maxIter: Int = 20): Map[Long, Long] =
+      maxIter: Int = 20, pointerJumping: Boolean = false): Map[Long, Long] =
     ConnectedComponents.labelPropagate(
-        vertices.toDF("id"), edges.toDF("src", "dst"), maxIter)
+        vertices.toDF("id"), edges.toDF("src", "dst"), maxIter, pointerJumping)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain collapses to one component labeled by its min id") {
@@ -119,6 +119,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(added.size <= 1,
       s"loop leaked ${added.size} persistent RDDs (expected only the " +
         "returned frame's blocks)")
+  }
+
+  test("pointer jumping reaches the fixpoint in O(log diameter) rounds " +
+      "on a long path graph") {
+    // Path 0-1-...-30 (diameter 30). Plain min-propagation moves the min
+    // one hop per round, so maxIter=8 strands the far end; with the jump
+    // (comp(u) := comp(comp(u))) the reach roughly doubles per round —
+    // ceil(log2(30)) + a couple of propagation rounds ≤ 8 — so the SAME
+    // budget must fully converge. This pins both the correctness of the
+    // self-join round (labels right, inner join preserved every row) and
+    // the advertised round-count contraction.
+    val vs = (0L to 30L).toSeq
+    val es = (0L until 30L).map(i => (i, i + 1))
+    val jumped = labelsOf(vs, es, maxIter = 8, pointerJumping = true)
+    assert(jumped.keySet == vs.toSet, "jump round dropped/duplicated rows")
+    assert(jumped.values.toSet == Set(0L),
+      s"expected every vertex labeled 0, got ${jumped.filterNot(_._2 == 0L)}")
+    val plain = labelsOf(vs, es, maxIter = 8)
+    assert(plain(30L) != 0L,
+      "plain propagation converged in 8 rounds on a diameter-30 path — " +
+        "the jump test would no longer demonstrate the contraction")
+  }
+
+  test("pointer jumping agrees with plain propagation on a mixed graph") {
+    // Two components (one chain, one triangle+pendant) plus isolated
+    // vertices: the jump must be a pure accelerator — identical labels.
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L, 99L)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L))
+    assert(labelsOf(vs, es, pointerJumping = true) == labelsOf(vs, es))
   }
 
   test("maxIter truncation returns partially propagated labels") {
