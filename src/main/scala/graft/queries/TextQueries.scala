@@ -959,6 +959,89 @@ object TextQueries {
         SELECT d.doc_id, sc.logprob_per_token,
           coalesce(sc.n_tokens, 0) AS n_tokens
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
+
+    // ---- cross-doc n-gram duplication fraction (Gopher-style signal) -----
+    // Per doc: what fraction of its DISTINCT word-3-grams appear in at
+    // least one OTHER document? High values flag boilerplate/templated
+    // docs that exact dedup (d04/d05) and pairwise near-dup (d09) both
+    // miss — the standard corpus-quality signal next to within-doc
+    // repetition (d18). Scale shape: ONE lineage — the corpus explodes
+    // once into (doc_id, gram-hash) rows (8-byte hashed grams via the
+    // native shingleHashes expr, never gram strings), a window count
+    // partitioned on the gram hash tags each row with its corpus-wide
+    // doc-frequency, and a doc_id agg folds the fraction. That's one
+    // corpus scan + two shuffles total; the groupBy-then-join-back
+    // alternative pays a second full scan (Catalyst doesn't reuse the
+    // exploded subtree across the agg and probe sides) plus a third
+    // shuffle. Hot boilerplate grams make a fat window partition but
+    // count-only window state is O(1) per partition. The oracle counts
+    // the same fractions over string grams — 64-bit hashed distinct-gram
+    // counts equal string-gram counts up to ~2^-64 collisions (same
+    // argument as candidatePairs' hashed jaccard).
+    GraftQuery(
+      "d33_gram_dup_frac",
+      (s, d) => {
+        import graft.functions.MinHashExprs
+        val perDoc = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"),
+            explode(MinHashExprs.shingleHashes(col("toks"))).as("g"))
+          .withColumn("doc_freq",
+            count(lit(1)).over(Window.partitionBy(col("g"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("doc_freq") > 1, 1L).otherwise(0L)).as("n_dup"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            (col("n_dup").cast("double") / col("n_grams").cast("double"))
+              .as("dup_frac"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct($sqlGrams)) AS g
+          FROM toks),
+        f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS doc_freq
+          FROM g),
+        pd AS (SELECT doc_id, COUNT(*) AS n_grams,
+            CAST(SUM(CASE WHEN doc_freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup
+          FROM f GROUP BY 1)
+        SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+          coalesce(pd.n_dup, 0) AS n_dup,
+          CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_grams AS DOUBLE) AS dup_frac
+        FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
+    // ---- deterministic train/val/test split ------------------------------
+    // Every training pipeline needs a reproducible split that (a) needs
+    // NO coordination — pure narrow projection, zero shuffles, so it
+    // costs a scan at 100 TB and two runs (or two clusters) always agree
+    // — and (b) keys on stable doc identity, so a doc keeps its split
+    // across snapshots/re-crawls (no eval→train leakage when the corpus
+    // is refreshed, the failure mode d23 guards the content side of).
+    // Mechanism: first two hex chars of md5(doc_id) partition [00,ff]
+    // into train [00,cb] (204/256 ≈ 79.7%), val [cc,e5] (26/256 ≈
+    // 10.2%), test [e6,ff] (26/256 ≈ 10.2%) by plain ASCII string
+    // comparison — byte-identical in any engine that can md5 a string,
+    // which is what makes the assignment portable (and DuckDB-provable,
+    // unlike an xxhash64 bucketing).
+    GraftQuery(
+      "d34_hash_split",
+      (s, d) => {
+        val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(h2 < "cc", "train").when(h2 < "e6", "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure
