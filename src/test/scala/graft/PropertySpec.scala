@@ -33,6 +33,28 @@ class PropertySpec extends SparkSpec {
     seps <- Gen.listOfN(n + 1, wsGen)
   } yield seps.zipAll(toks, " ", "").map { case (s, t) => s + t }.mkString
 
+  test("property: floorDiv is exact int64 floor division on the full " +
+      "domain (negative pre-1970 nanos included)") {
+    // The ADVICE-r11 finding: Spark `div` truncates toward zero, DuckDB
+    // `//` floors — q15/q25 bucket via GraftQuery.floorDiv, which must
+    // match Math.floorDiv everywhere, not just on the fixture's
+    // non-negative timestamps.
+    val divisors = Seq(1000L, 3600000000000L, 604800000000000L)
+    val vals = samples(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 60) ++
+      Seq(-604800000000001L, -604800000000000L, -1L, 0L, 1L,
+        604800000000000L)
+    val df = vals.toDF("v")
+    divisors.foreach { w =>
+      val got = df.select(col("v"),
+          graft.queries.GraftQuery.floorDiv(col("v"), w).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vals.foreach { v =>
+        assert(got(v) == Math.floorDiv(v, w),
+          s"floorDiv($v, $w) = ${got(v)}, want ${Math.floorDiv(v, w)}")
+      }
+    }
+  }
+
   test("property: cleanText is idempotent") {
     val texts = samples(textGen, 150)
     val once = texts.toDF("t")
