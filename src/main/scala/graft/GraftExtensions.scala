@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, CountWordsIn, JaccardSorted, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64}
+import graft.functions.{CosineSim, CountWordsIn, JaccardSorted, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: exposes graft's native Catalyst
   * expressions as SQL functions and installs the algebraic simplification
@@ -27,6 +27,8 @@ import graft.functions.{CosineSim, CountWordsIn, JaccardSorted, MinHashSigs, Min
   *   minhash_sigs(toks, T)          → T banded minhash values
   *   min_md5_shingle(toks)          → min md5 hex over 3-gram shingles
   *   jaccard_sorted(a, b)           → Jaccard of sorted-distinct long arrays
+  *   winnow_fingerprints(s, k, w)   → winnowing fingerprint array (k-gram
+  *                                    rolling hashes, window w minima)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -81,6 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("jaccard_sorted",
       "jaccard_sorted(a, b) - Jaccard of two sorted-distinct array<long>") {
       case Seq(a, b) => JaccardSorted(a, b)
+    })
+    ext.injectFunction(fn("winnow_fingerprints",
+      "winnow_fingerprints(str, k, w) - winnowing fingerprints (k-gram " +
+        "rolling hashes, per-window minima)") {
+      case Seq(c, k, w) => WinnowFingerprints(c,
+        intLit(k, "winnow_fingerprints"), intLit(w, "winnow_fingerprints"))
     })
     ext.injectOptimizerRule(_ => CombineScrubWords)
   }

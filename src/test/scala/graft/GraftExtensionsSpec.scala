@@ -49,6 +49,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("SQL function: winnow_fingerprints matches the Scala-API column") {
+    val text = "a b c d e f g a b c"
+    val sql = spark.sql(
+      s"SELECT winnow_fingerprints('$text', 3, 4) AS f").head().getSeq[Long](0)
+    val api = Seq(text).toDF("t")
+      .select(graft.functions.WinnowExprs.winnowFingerprints($"t", 3, 4))
+      .head().getSeq[Long](0)
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("scrub_words SQL rejects a non-literal word list") {
     val e = intercept[Exception] {
       spark.sql("SELECT scrub_words('x', concat('a', rand())) ").collect()
