@@ -96,6 +96,39 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("frame_idx"),
         col("width"), col("height"))
 
+  /** Perceptual-hash dedup groups — image/media near-dup, the visual
+    * analog of the text fingerprint dedup (d04/d05): an 8-bit
+    * mean-threshold hash (aHash) over the stub's feature bytes — bit j
+    * set iff byte_j > mean(bytes), the classic average-hash construction
+    * at the stub's 8-sample resolution (a real deployment hashes a
+    * downscaled grayscale plane behind the same codec seam) — then a
+    * linear keep-min grouping per (kind, phash): rep_id + group size,
+    * never pairwise expansion.
+    *
+    * Cross-engine exactness: the threshold compares in the INTEGER byte
+    * domain (`8*b_j > Σb` ⟺ `b_j > mean`), derived from the payload's
+    * hex — float feature arithmetic would tie-break differently between
+    * engines. All columns are unrolled (no interpreted HOF lambdas), so
+    * the hash stays inside whole-stage codegen; the only exchange is the
+    * (kind, phash) window shuffle, and group sizes are bounded by the
+    * hash cardinality times corpus dup structure (min/count-only window
+    * state is O(1)). */
+  def perceptualHashGroups(media: DataFrame): DataFrame = {
+    val bytes = (0 until 8).map(j =>
+      conv(substring(lower(hex(col("payload"))), 2 * j + 1, 2), 16, 10)
+        .cast("int"))
+    val tot = bytes.reduce(_ + _)
+    val phash = bytes.zipWithIndex
+      .map { case (b, j) => when(b * 8 > tot, lit(1L << j)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("phash"))
+    media
+      .select(col("media_id"), col("kind"), phash.as("phash"))
+      .withColumn("rep_id", min(col("media_id")).over(byHash))
+      .withColumn("group_n", count(lit(1)).over(byHash))
+  }
+
   /** Resize metadata transform: clamps decoded dims to a max edge,
     * preserving aspect ratio — pure column arithmetic (a real resize would
     * live behind the same decode seam). */

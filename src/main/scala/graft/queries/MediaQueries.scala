@@ -91,5 +91,34 @@ object MediaQueries {
           CAST(round(height * least(1.0, 96.0 / greatest(width, height, 1)))
             AS INT) AS out_height
         FROM dec""")),
+
+    // perceptual-hash (aHash) dedup groups: the image-dedup pipeline —
+    // decode seam → mean-threshold bit hash → linear keep-min grouping.
+    // Threshold math runs in the integer byte domain (8*b_j > Σb) so both
+    // engines bit-agree; see Multimodal.perceptualHashGroups.
+    GraftQuery(
+      "m04_phash_groups",
+      (s, d) =>
+        Multimodal.perceptualHashGroups(
+          Multimodal.syntheticMedia(Tables.documents(s, d))),
+      Some {
+        val byteCols = (0 until 8)
+          .map(j => s"${hexByte("hx", j)} AS b$j").mkString(", ")
+        val tot = (0 until 8).map(j => s"b$j").mkString(" + ")
+        val bits = (0 until 8)
+          .map(j => s"CASE WHEN b$j * 8 > tot THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH med AS (SELECT doc_id AS media_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            md5(text) AS hx FROM documents WHERE text IS NOT NULL),
+          byt AS (SELECT media_id, kind, $byteCols FROM med),
+          ph AS (SELECT media_id, kind, CAST($bits AS BIGINT) AS phash
+            FROM (SELECT *, $tot AS tot FROM byt))
+          SELECT media_id, kind, phash,
+            min(media_id) OVER (PARTITION BY kind, phash) AS rep_id,
+            count(*) OVER (PARTITION BY kind, phash) AS group_n
+          FROM ph"""
+      }),
   )
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
+
 import graft.operators.Multimodal
 import graft.sources.Tables
 
@@ -54,5 +56,36 @@ class MultimodalSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.forall(r => r.getInt(3) <= 32 && r.getInt(4) <= 32))
     assert(rows.forall(r => r.getInt(3) > 0 && r.getInt(4) > 0))
+  }
+
+  test("perceptualHashGroups: aHash bit construction and keep-min groups") {
+    // hand-built media frame: two identical payloads (must share phash,
+    // group under the min id) and one whose hash is hand-computable —
+    // bytes (0,0,0,0,255,255,255,255): sum 1020, bit j set iff
+    // 8*b_j > 1020 → bits 4..7 → phash 0xF0 = 240
+    val fixed = Array[Byte](0, 0, 0, 0, -1, -1, -1, -1) ++ Array.fill(8)(0.toByte)
+    // mirrored pattern → bits 0..3 → phash 0x0F: must NOT group with fixed
+    val dup = Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0) ++ Array.fill(8)(0.toByte)
+    val df = Seq(
+      (1L, "image", fixed), (2L, "image", dup), (3L, "image", dup))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.perceptualHashGroups(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 == 240L, s"hand-computed aHash mismatch: ${got(1L)}")
+    assert(got(2L) == got(3L), "identical payloads must share (phash, rep, n)")
+    assert(got(2L)._2 == 2L && got(2L)._3 == 2L) // keep-min rep, group of 2
+    assert(got(1L)._3 == 1L)
+  }
+
+  test("perceptualHashGroups over the corpus: exact-dup media cluster " +
+      "together, groups partition the set") {
+    val out = Multimodal.perceptualHashGroups(media).cache()
+    // every row's rep is a member of its own (kind, phash) group
+    assert(out.filter(col("rep_id") > col("media_id")).count() == 0)
+    // group_n is consistent: summing one row per group returns the total
+    val total = out.select(col("kind"), col("phash"), col("group_n"))
+      .distinct().agg(sum("group_n")).head.getLong(0)
+    assert(total == media.count())
   }
 }
