@@ -248,6 +248,33 @@ object StarQueries {
         ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
+    // ---- explicit GROUPING SETS (the general form rollup/cube special-
+    // case; Spark 4's Dataset.groupingSets). Same scale trick as q13:
+    // pre-aggregate on the finest grouping first, so the fact table
+    // shuffles ONCE and the grouping-sets expansion (which replicates
+    // input rows per matching set) runs over the tiny pre-aggregate,
+    // never over the fact. Null group columns mark the aggregated sets
+    // (o_orderpriority/o_orderstatus are never null in data). -----------
+    GraftQuery(
+      "q26_grouping_sets",
+      (s, d) => {
+        val pre = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("p_n"),
+            sum(dec(col("o_totalprice"))).as("p_tp"))
+        pre.groupingSets(
+            Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+              Seq(col("o_orderpriority")), Seq.empty),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(coalesce(sum(col("p_n")), lit(0L)).as("n_orders"),
+            sum(col("p_tp")).cast("double").as("total_price"))
+      },
+      Some(s"""SELECT o_orderpriority, o_orderstatus,
+        COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          (o_orderpriority), ())""")),
+
     // ---- distinct aggregation --------------------------------------------
     GraftQuery(
       "q14_suppliers_per_nation",
