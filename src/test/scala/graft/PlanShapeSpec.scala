@@ -118,6 +118,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-12 queries hold their scale shapes (d33/d34/m04/q26)") {
+    // d34 deterministic split: pure narrow projection — any Exchange or
+    // Join appearing here means the zero-coordination contract broke
+    val d34 = plan("d34_hash_split")
+    assert(!d34.contains("Exchange") && !d34.contains("Join"),
+      s"d34 must stay a narrow scan-projection:\n$d34")
+    // d33 gram dup fraction: the exploded gram pipeline must appear
+    // exactly once (the groupBy+join-back form would re-scan the corpus
+    // and double the Generate)
+    val d33 = plan("d33_gram_dup_frac")
+    assert("Generate explode".r.findAllIn(d33).length == 1,
+      "d33 gram pipeline computed more than once (join-back recompute)")
+    // m04 perceptual-hash groups: hash is inline column math; the only
+    // exchange is the (kind, phash) window shuffle
+    val m04 = plan("m04_phash_groups")
+    assert(shuffles(m04) == 1 && !m04.contains("Join"),
+      s"m04 must be hash-projection + one window exchange:\n$m04")
+    // q26 grouping sets: the Expand (per-set row replication) must sit
+    // ABOVE the pre-aggregate — an Expand feeding directly off the scan
+    // would replicate the whole fact table per grouping set
+    val q26 = plan("q26_grouping_sets")
+    val expandAt = q26.indexOf("Expand")
+    assert(expandAt >= 0 && q26.substring(expandAt).contains("HashAggregate"),
+      s"q26's Expand must replicate the pre-aggregate, not the scan:\n$q26")
+  }
+
   test("star queries keep broadcast dimensions and map-side top-k") {
     val q03 = plan("q03_top_revenue_orders")
     assert(q03.contains("BroadcastHashJoin"))
