@@ -109,10 +109,18 @@ object Multimodal {
     * domain (`8*b_j > Σb` ⟺ `b_j > mean`), derived from the payload's
     * hex — float feature arithmetic would tie-break differently between
     * engines. All columns are unrolled (no interpreted HOF lambdas), so
-    * the hash stays inside whole-stage codegen; the only exchange is the
-    * (kind, phash) window shuffle, and group sizes are bounded by the
-    * hash cardinality times corpus dup structure (min/count-only window
-    * state is O(1)). */
+    * the hash stays inside whole-stage codegen.
+    *
+    * Group-attach shape: NOT a window. An 8-bit hash has ≤ 256 values
+    * per kind, so (kind, phash) partitions are unbounded hot keys —
+    * a window would buffer N/768 rows per partition (the exact shape
+    * SCALING.md bans). Instead the group table (min id + size per
+    * (kind, phash) — ≤ 768 rows by construction, map-side-combinable
+    * partial agg) is broadcast and joined back: the big side never
+    * shuffles. The join-back recomputes the hash projection (a second
+    * column-pruned pass); with real megabyte payloads a production
+    * pipeline materializes the hash table once behind this same API and
+    * pays the decode exactly once. */
   def perceptualHashGroups(media: DataFrame): DataFrame = {
     val bytes = (0 until 8).map(j =>
       conv(substring(lower(hex(col("payload"))), 2 * j + 1, 2), 16, 10)
@@ -121,12 +129,12 @@ object Multimodal {
     val phash = bytes.zipWithIndex
       .map { case (b, j) => when(b * 8 > tot, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)
-    val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("kind"), col("phash"))
-    media
-      .select(col("media_id"), col("kind"), phash.as("phash"))
-      .withColumn("rep_id", min(col("media_id")).over(byHash))
-      .withColumn("group_n", count(lit(1)).over(byHash))
+    val hashed = media.select(col("media_id"), col("kind"), phash.as("phash"))
+    val groups = hashed.groupBy(col("kind"), col("phash"))
+      .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("group_n"))
+    hashed.join(broadcast(groups), Seq("kind", "phash"))
+      .select(col("media_id"), col("kind"), col("phash"),
+        col("rep_id"), col("group_n"))
   }
 
   /** Resize metadata transform: clamps decoded dims to a max edge,

@@ -95,7 +95,11 @@ object MediaQueries {
     // perceptual-hash (aHash) dedup groups: the image-dedup pipeline —
     // decode seam → mean-threshold bit hash → linear keep-min grouping.
     // Threshold math runs in the integer byte domain (8*b_j > Σb) so both
-    // engines bit-agree; see Multimodal.perceptualHashGroups.
+    // engines bit-agree. Scale shape: the ≤768-row group table broadcasts
+    // back onto the media rows (the 8-bit hash makes (kind, phash) an
+    // unbounded hot key — a window would buffer N/768-row partitions);
+    // the oracle states the same result as a window, which DuckDB is free
+    // to execute however it likes. See Multimodal.perceptualHashGroups.
     GraftQuery(
       "m04_phash_groups",
       (s, d) =>

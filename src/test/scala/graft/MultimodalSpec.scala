@@ -80,12 +80,16 @@ class MultimodalSpec extends SparkSpec {
 
   test("perceptualHashGroups over the corpus: exact-dup media cluster " +
       "together, groups partition the set") {
+    // cache handle must be dropped: CacheManager would otherwise
+    // substitute this exact plan into PlanShapeSpec's m04 audit
     val out = Multimodal.perceptualHashGroups(media).cache()
-    // every row's rep is a member of its own (kind, phash) group
-    assert(out.filter(col("rep_id") > col("media_id")).count() == 0)
-    // group_n is consistent: summing one row per group returns the total
-    val total = out.select(col("kind"), col("phash"), col("group_n"))
-      .distinct().agg(sum("group_n")).head.getLong(0)
-    assert(total == media.count())
+    try {
+      // every row's rep is a member of its own (kind, phash) group
+      assert(out.filter(col("rep_id") > col("media_id")).count() == 0)
+      // group_n is consistent: summing one row per group returns the total
+      val total = out.select(col("kind"), col("phash"), col("group_n"))
+        .distinct().agg(sum("group_n")).head.getLong(0)
+      assert(total == media.count())
+    } finally out.unpersist(blocking = true)
   }
 }

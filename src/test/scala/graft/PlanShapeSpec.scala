@@ -130,11 +130,14 @@ class PlanShapeSpec extends SparkSpec {
     val d33 = plan("d33_gram_dup_frac")
     assert("Generate explode".r.findAllIn(d33).length == 1,
       "d33 gram pipeline computed more than once (join-back recompute)")
-    // m04 perceptual-hash groups: hash is inline column math; the only
-    // exchange is the (kind, phash) window shuffle
+    // m04 perceptual-hash groups: an 8-bit hash makes (kind, phash)
+    // unbounded hot keys, so the group table (≤ 768 rows) must broadcast
+    // back onto the big side — never a window (partition buffering) or a
+    // shuffle join of the media rows
     val m04 = plan("m04_phash_groups")
-    assert(shuffles(m04) == 1 && !m04.contains("Join"),
-      s"m04 must be hash-projection + one window exchange:\n$m04")
+    assert(m04.contains("BroadcastHashJoin") && !m04.contains("Window") &&
+      !m04.contains("SortMergeJoin") && shuffles(m04) == 1,
+      s"m04 must broadcast the tiny group table, big side unshuffled:\n$m04")
     // q26 grouping sets: the Expand (per-set row replication) must sit
     // ABOVE the pre-aggregate — an Expand feeding directly off the scan
     // would replicate the whole fact table per grouping set
