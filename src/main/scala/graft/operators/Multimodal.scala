@@ -137,6 +137,53 @@ object Multimodal {
         col("rep_id"), col("group_n"))
   }
 
+  /** Audio chunking over the decode seam — the audio analog of
+    * [[sampleFrames]]: audio rows decode to (sample_rate, n_samples)
+    * stream metadata, then explode into fixed-duration strided windows
+    * (window = 1 s of samples, hop = window/2 — 50% overlap, the standard
+    * feature-extraction framing; trailing samples that don't fill a full
+    * hop are dropped, the `center=False` convention). Downstream
+    * per-window feature extraction (fbank/MFCC/codec re-encode) would
+    * consume (start_sample, end_sample) slices behind the same stubbed
+    * codec boundary as [[decodeStub]].
+    *
+    * The decode fake is deterministic integer arithmetic on payload
+    * bytes (sample_rate ∈ {8,16,24,32} kHz from byte 1, duration from
+    * bytes 2-3), so the query gets a real DuckDB oracle. All window math
+    * stays in the non-negative integer domain — both engines bit-agree.
+    *
+    * Scale shape: narrow per-row explode, no shuffle; output rows are
+    * bounded by total audio duration / hop, never by a hot key. */
+  def audioChunks(media: DataFrame): DataFrame = {
+    def byteAt(i: Int) =
+      conv(substring(lower(hex(col("payload"))), 2 * i + 1, 2), 16, 10)
+        .cast("int")
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        (lit(8000) * (lit(1) + byteAt(1) % 4)).as("sample_rate"),
+        (lit(1) + byteAt(2) % 8).as("dur_s"),
+        byteAt(3).as("b3"))
+      .select(col("media_id"), col("sample_rate"),
+        (col("sample_rate") * col("dur_s") + col("b3") * 100)
+          .cast("bigint").as("n_samples"))
+      .withColumn("win", col("sample_rate").cast("bigint"))
+      // sample_rate is a multiple of 8000, so the /2 is exact; every
+      // quantity below is a non-negative integer, where truncating `div`
+      // IS floor division (no negative-domain caveat — cf.
+      // GraftQuery.floorDiv for the signed case).
+      .withColumn("hop", call_function("div", col("win"), lit(2L)))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          when(col("n_samples") <= col("win"), lit(0L))
+            .otherwise(call_function("div",
+              col("n_samples") - col("win"), col("hop"))))))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * col("hop")).cast("bigint").as("start_sample"),
+        least(col("chunk_idx") * col("hop") + col("win"), col("n_samples"))
+          .cast("bigint").as("end_sample"))
+  }
+
   /** Resize metadata transform: clamps decoded dims to a max edge,
     * preserving aspect ratio — pure column arithmetic (a real resize would
     * live behind the same decode seam). */

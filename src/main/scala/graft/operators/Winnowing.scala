@@ -117,4 +117,48 @@ object Winnowing {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Containment-scored overlap pairs — the ASYMMETRIC upgrade of
+    * [[sharedFingerprintPairs]]: for each candidate pair, score the full
+    * fingerprint sets with containment = |A∩B| / min(|A|,|B|) (and the
+    * symmetric Jaccard for contrast). Containment is the quote/subset
+    * detector: a short doc copied verbatim into a much longer one scores
+    * containment ≈ 1 while its Jaccard ≈ |short|/|long| ≈ 0 — whole-doc
+    * near-dup (d08-d12) and symmetric overlap both miss it.
+    *
+    * Scale shape: candidate generation is the capped shared-fingerprint
+    * bucket expansion (never all-pairs); the full sets are then attached
+    * by joining the PAIR table back against the fingerprint-set frame —
+    * two joins whose small side is the verified-candidate pair list, which
+    * the boilerplate caps keep far below the corpus size, so it is
+    * broadcast and the big fingerprint side never shuffles. (At a pair
+    * count too large to broadcast, drop the hints and the planner falls
+    * back to shuffle joins on doc id — the semantics don't change.) The
+    * fingerprint projection is recomputed per join-back (a narrow
+    * codegen'd O(chars) pass, same trade documented at
+    * [[Multimodal.perceptualHashGroups]]).
+    *
+    * Cross-engine exactness: intersection/min-size are exact integers on
+    * distinct fingerprint sets; the one double division is bit-stable. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minShared: Int = 2, maxBucket: Int = 64,
+      minContainment: Double = 0.5): DataFrame = {
+    val pairs = sharedFingerprintPairs(docs, idCol, textCol, minShared, maxBucket)
+      .select(col("a_id"), col("b_id"))
+    val sets = fingerprintSets(docs, idCol, textCol)
+    val withA = sets.select(col(idCol).as("a_id"), col("fps").as("fa"))
+      .join(broadcast(pairs), "a_id")
+    val both = sets.select(col(idCol).as("b_id"), col("fps").as("fb"))
+      .join(broadcast(withA), "b_id")
+    both
+      .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("bigint"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          least(size(col("fa")), size(col("fb"))).cast("double"))
+          .as("containment"),
+        (col("inter").cast("double") /
+          size(array_union(col("fa"), col("fb"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("containment") >= minContainment)
+  }
 }

@@ -124,5 +124,35 @@ object MediaQueries {
             count(*) OVER (PARTITION BY kind, phash) AS group_n
           FROM ph"""
       }),
+
+    // audio chunking: strided fixed-duration sample windows (1 s window,
+    // 50% hop) from decoded stream metadata — the audio analog of m02's
+    // frame sampling; narrow explode, no shuffle, all-integer window
+    // math (see Multimodal.audioChunks).
+    GraftQuery(
+      "m05_audio_chunks",
+      (s, d) =>
+        Multimodal.audioChunks(Multimodal.syntheticMedia(Tables.documents(s, d))),
+      Some(s"""WITH aud AS (SELECT doc_id AS media_id,
+            8000 * (1 + (${hexByte("md5(text)", 1)} % 4)) AS sample_rate,
+            (1 + (${hexByte("md5(text)", 2)} % 8)) AS dur_s,
+            ${hexByte("md5(text)", 3)} AS b3
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 1),
+        base AS (SELECT media_id, sample_rate,
+            CAST(sample_rate * dur_s + b3 * 100 AS BIGINT) AS n_samples,
+            CAST(sample_rate AS BIGINT) AS win,
+            CAST(sample_rate AS BIGINT) // 2 AS hop
+          FROM aud),
+        ch AS (SELECT media_id, sample_rate, n_samples, win, hop,
+            unnest(generate_series(0,
+              CASE WHEN n_samples <= win THEN 0
+                ELSE (n_samples - win) // hop END)) AS chunk_idx
+          FROM base)
+        SELECT media_id, CAST(sample_rate AS INT) AS sample_rate,
+          n_samples, CAST(chunk_idx AS INT) AS chunk_idx,
+          CAST(chunk_idx * hop AS BIGINT) AS start_sample,
+          CAST(least(chunk_idx * hop + win, n_samples) AS BIGINT) AS end_sample
+        FROM ch""")),
   )
 }

@@ -1042,6 +1042,37 @@ object TextQueries {
               THEN 'val'
             ELSE 'test' END AS split
         FROM documents""")),
+
+    // ---- containment-scored overlap pairs (quote/subset detection) ------
+    // The asymmetric partial-overlap score: containment = |A∩B|/min(|A|,|B|)
+    // over the full winnowed fingerprint sets of d17's candidate pairs. A
+    // short doc quoted verbatim inside a long one scores ~1.0 here while
+    // its Jaccard is ~|short|/|long| — the case every symmetric detector
+    // (d08-d12, d17's raw shared count) under-reports. Candidates come
+    // from the capped shared-fingerprint buckets (never all-pairs); the
+    // full sets attach via two broadcast join-backs of the small verified
+    // pair table, so the corpus-sized side never shuffles. See
+    // Winnowing.containmentPairs for the scale notes.
+    GraftQuery(
+      "d35_containment_pairs",
+      (s, d) => graft.operators.Winnowing
+        .containmentPairs(Tables.documents(s, d)),
+      Some(s"""$sqlWinnowCte,
+        ok AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.fp IN (SELECT fp FROM ok)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sc AS (SELECT p.a_id, p.b_id,
+            CAST(len(list_intersect(fa.fps, fb.fps)) AS DOUBLE)
+              / CAST(least(len(fa.fps), len(fb.fps)) AS DOUBLE) AS containment,
+            CAST(len(list_intersect(fa.fps, fb.fps)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(fa.fps, fb.fps))) AS DOUBLE)
+              AS jaccard
+          FROM p JOIN fp fa ON fa.doc_id = p.a_id
+                 JOIN fp fb ON fb.doc_id = p.b_id)
+        SELECT a_id, b_id, containment, jaccard FROM sc
+        WHERE containment >= 0.5""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

@@ -78,6 +78,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._3 == 1L)
   }
 
+  test("audioChunks: framing invariants, chunk-count formula, narrow plan") {
+    val out = Multimodal.audioChunks(media)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sr = r.getInt(1); val n = r.getLong(2); val idx = r.getInt(3)
+      val start = r.getLong(4); val end = r.getLong(5)
+      assert(Set(8000, 16000, 24000, 32000).contains(sr), s"sample_rate $sr")
+      assert(start == idx.toLong * (sr / 2))        // 50% hop stride
+      assert(end == math.min(start + sr, n))        // 1 s window, clamped
+      assert(start < end && end <= n)
+    }
+    // per-media chunk count matches the center=False framing formula
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sr = rs.head.getInt(1); val n = rs.head.getLong(2)
+      val expect = if (n <= sr) 1L else 1L + (n - sr) / (sr / 2)
+      assert(rs.length.toLong == expect, s"media $id: ${rs.length} != $expect")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (0 until rs.length))
+    }
+    // audio rows only, every audio row covered
+    val audioIds = media.filter(col("kind") === "audio")
+      .select("media_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSet == audioIds)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected narrow plan, got:\n$plan")
+  }
+
   test("perceptualHashGroups over the corpus: exact-dup media cluster " +
       "together, groups partition the set") {
     // cache handle must be dropped: CacheManager would otherwise

@@ -78,6 +78,26 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: verbatim-contained doc scores 1.0 where jaccard " +
+      "under-reports; unrelated docs emit nothing") {
+    // B is a contiguous 12-token run of A: every W-window of B's k-gram
+    // sequence is also a window of A's, so fps(B) ⊆ fps(A) and
+    // containment is EXACTLY 1.0 — while jaccard ≈ |fps(B)|/|fps(A)| is
+    // small. This is the quote-detection case symmetric scores miss.
+    val long = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val short = (41 to 52).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 80).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = Winnowing.containmentPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.contains((1L, 2L)), s"expected the contained pair, got $got")
+    val (cont, jac) = got((1L, 2L))
+    assert(cont == 1.0)
+    assert(jac < 0.5, s"jaccard should under-report containment, got $jac")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("fingerprints are partitioning-invariant and plan is shuffle-free") {
     val base = Tables.documents(spark, sfDir).limit(40)
     def run(parts: Int) = Winnowing.fingerprints(base.repartition(parts))
