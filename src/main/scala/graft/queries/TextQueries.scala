@@ -1073,6 +1073,55 @@ object TextQueries {
                  JOIN fp fb ON fb.doc_id = p.b_id)
         SELECT a_id, b_id, containment, jaccard FROM sc
         WHERE containment >= 0.5""")),
+
+    // ---- temperature-based mixture reweighting (corpus flattening) ------
+    // The LLaMA/Pile-style mixture op d19's fixed thresholds stand in
+    // for: sample stratum s with probability ∝ N_s^α (α = 0.5), i.e.
+    // per-doc keep rate r_s = sqrt(N_min/N_s) — the smallest stratum
+    // keeps everything, the biggest is downsampled hardest, flattening
+    // the mixture toward uniform. The stratum here is `lang` (the
+    // fixture's genuinely skewed axis: en dominates ~3.4×, so the en
+    // rate ≈ 0.54 and the filter demonstrably bites; `source` is
+    // uniform by construction and would verify a pass-through).
+    // Admission is the same deterministic md5-threshold Bernoulli as d19
+    // (reproducible across runs/engines/partitionings, no RNG state):
+    // keep iff the first 8 md5 hex chars sort below
+    // lpad(hex(floor(r_s·2³²))). α = 0.5 on purpose — the rate is one
+    // IEEE divide + sqrt, both correctly-rounded in any IEEE-754 engine,
+    // so the threshold is bit-identical cross-engine (a pow(x, 0.7)
+    // would only be 1-ulp-accurate and could flip a floor). Scale
+    // shape: the rate table is one tiny map-side-combinable agg
+    // broadcast back onto the corpus — the big side never shuffles,
+    // admission is a codegen'd narrow filter.
+    GraftQuery(
+      "d36_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        val rates = counts
+          .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+          .select(col("lang"),
+            sqrt(col("n_min").cast("double") / col("n_s").cast("double"))
+              .as("rate"))
+        val h8 = substring(md5(col("doc_id").cast("string")), 1, 8)
+        docs.join(broadcast(rates), "lang")
+          .filter(col("rate") >= 1.0 ||
+            h8 < lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
+              .cast("bigint"))), 8, "0"))
+          .select(col("doc_id"), col("lang"), col("rate"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents
+            GROUP BY 1),
+          r AS (SELECT lang,
+              sqrt(CAST((SELECT MIN(n_s) FROM c) AS DOUBLE)
+                / CAST(n_s AS DOUBLE)) AS rate
+            FROM c)
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE r.rate >= 1.0
+          OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+            lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+              8, '0')""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

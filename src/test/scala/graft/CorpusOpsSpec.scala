@@ -189,6 +189,33 @@ class CorpusOpsSpec extends SparkSpec {
       ("srcB", 10L, 0L)))
   }
 
+  test("d36: temperature mixing keeps the smallest lang stratum whole and " +
+      "downsamples the biggest near its sqrt rate") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("d36_temperature_mix", sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = total.values.min
+    // rate-1.0 strata (the smallest) keep every doc
+    total.filter(_._2 == nMin).keys
+      .foreach(l => assert(kept(l) == total(l), s"smallest stratum $l"))
+    // every stratum's kept count sits near its Bernoulli mean n·r_s with
+    // r_s = sqrt(nMin/n) — 5σ envelope, so the assertion is about the
+    // mechanism (threshold admission at the right rate), not the exact
+    // hash draw
+    total.foreach { case (l, n) =>
+      val rate = math.sqrt(nMin.toDouble / n)
+      val mean = rate * n
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept(l) - mean) <= 5 * sd + 1,
+        s"$l: kept=${kept(l)} expected≈$mean σ=$sd")
+    }
+    // the fixture's dominant stratum is genuinely downsampled
+    val maxLang = total.maxBy(_._2)._1
+    assert(kept(maxLang) < total(maxLang))
+  }
+
   test("e07: recall is 1.0 when LSH buckets hold the true neighbors, " +
       "0.0 when they don't") {
     // All vectors share sign pattern on dims 1-4 (bits = MinBits at this

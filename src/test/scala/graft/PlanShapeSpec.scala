@@ -29,10 +29,12 @@ class PlanShapeSpec extends SparkSpec {
     * row set against a narrow or bounded side — linear, not quadratic):
     * e01/e07 broadcast probe vectors; d24 broadcasts the 1-row corpus
     * total against the ≤1000-row vocab cut; d32 broadcasts the 1-row
-    * corpus total (vocab logprobs) and the 1-row OOV floor (scoring). */
+    * corpus total (vocab logprobs) and the 1-row OOV floor (scoring);
+    * d36 broadcasts the 1-row stratum-count minimum against the
+    * per-stratum count table (both tiny aggregates). */
   private val nlJoinIntended =
     Set("e01_cosine_topk", "e07_ann_recall", "d24_vocab_coverage",
-      "d32_unigram_logprob")
+      "d32_unigram_logprob", "d36_temperature_mix")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
