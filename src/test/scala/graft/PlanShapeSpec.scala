@@ -149,6 +149,28 @@ class PlanShapeSpec extends SparkSpec {
       s"q26's Expand must replicate the pre-aggregate, not the scan:\n$q26")
   }
 
+  test("round-12 queries hold their scale shapes (d35/d36/m05)") {
+    // d35 containment: candidate gen + two join-backs — every join must
+    // stay broadcast (the small side is the verified pair table); an SMJ
+    // here means the corpus-sized fingerprint frame started shuffling
+    val d35 = plan("d35_containment_pairs")
+    assert(d35.contains("BroadcastHashJoin") && !d35.contains("SortMergeJoin"),
+      s"d35 join-backs must broadcast the pair table:\n$d35")
+    // d36 temperature mix: the corpus join must broadcast the tiny rate
+    // table; the only hash exchanges are the per-stratum count aggs.
+    // The corpus scan must prune to exactly (doc_id, lang) — dragging
+    // `text` through the mixing filter would 100× the scan bytes.
+    val d36 = plan("d36_temperature_mix")
+    assert(d36.contains("BroadcastHashJoin") && !d36.contains("SortMergeJoin"),
+      s"d36 must broadcast the rate table:\n$d36")
+    assert(d36.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"d36 corpus scan must prune to (doc_id, lang):\n$d36")
+    // m05 audio chunks: narrow decode + explode — zero exchanges
+    val m05 = plan("m05_audio_chunks")
+    assert(shuffles(m05) == 0 && !m05.contains("Join"),
+      s"m05 must stay a narrow explode:\n$m05")
+  }
+
   test("star queries keep broadcast dimensions and map-side top-k") {
     val q03 = plan("q03_top_revenue_orders")
     assert(q03.contains("BroadcastHashJoin"))
