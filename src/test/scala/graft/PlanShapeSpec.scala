@@ -19,10 +19,15 @@ import graft.queries.GraftQuery
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // Cold-scan shapes: another suite's leaked .cache() of a base table
+    // would reroute the scan through InMemoryTableScan and hide the
+    // ReadSchema-pruning evidence these assertions pin.
+    spark.catalog.clearCache()
     GraftQuery.all.find(_.name == name)
       .getOrElse(fail(s"unknown query $name"))
       .run(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   /** Queries whose single-probe / scalar / tiny-sample side makes a
     * broadcast nested-loop cross join the INTENDED plan (one broadcast
