@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -195,5 +195,27 @@ object Multimodal {
       col("width"), col("height"),
       round(col("width") * scale).cast("int").as("out_width"),
       round(col("height") * scale).cast("int").as("out_height"))
+  }
+
+  /** ViT-style patch-grid plan for image rows: how a `patch`×`patch`
+    * tiling covers each image — grid dims (ceil division), total patch
+    * count (= the image's transformer sequence length), and the
+    * right/bottom padding a patchifier must add. All-integer math
+    * (`(w + p - 1) div p` is exact ceil on non-negative ints), one
+    * narrow codegen'd projection — the actual pixel tiling lives behind
+    * the decode seam like resize does. */
+  def patchGrid(decoded: Dataset[Decoded], patch: Int): DataFrame = {
+    def ceilDiv(c: Column): Column =
+      call_function("div", c + lit(patch - 1), lit(patch))
+    decoded.toDF().filter(col("kind") === "image")
+      .select(
+        col("media_id"), col("width"), col("height"),
+        ceilDiv(col("width")).as("n_x"),
+        ceilDiv(col("height")).as("n_y"),
+        (ceilDiv(col("width")) * ceilDiv(col("height"))).as("n_patches"),
+        (ceilDiv(col("width")) * patch - col("width")).cast("bigint")
+          .as("pad_w"),
+        (ceilDiv(col("height")) * patch - col("height")).cast("bigint")
+          .as("pad_h"))
   }
 }

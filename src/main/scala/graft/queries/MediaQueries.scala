@@ -154,5 +154,25 @@ object MediaQueries {
           CAST(chunk_idx * hop AS BIGINT) AS start_sample,
           CAST(least(chunk_idx * hop + win, n_samples) AS BIGINT) AS end_sample
         FROM ch""")),
+
+    // ViT patch-grid plan: 16-px tiling geometry per image — grid dims,
+    // sequence length, right/bottom padding. All-integer ceil division
+    // ((w + 15) // 16), narrow codegen'd projection over the decode seam,
+    // zero shuffles. See Multimodal.patchGrid.
+    GraftQuery(
+      "m06_patch_grid",
+      (s, d) =>
+        Multimodal.patchGrid(
+          Multimodal.decodeFeatures(Multimodal.syntheticMedia(Tables.documents(s, d))),
+          patch = 16),
+      Some(s"""WITH $sqlDecodedCte
+        SELECT media_id, width, height,
+          CAST((width + 15) // 16 AS BIGINT) AS n_x,
+          CAST((height + 15) // 16 AS BIGINT) AS n_y,
+          CAST(((width + 15) // 16) * ((height + 15) // 16) AS BIGINT)
+            AS n_patches,
+          CAST(((width + 15) // 16) * 16 - width AS BIGINT) AS pad_w,
+          CAST(((height + 15) // 16) * 16 - height AS BIGINT) AS pad_h
+        FROM dec WHERE kind = 'image'""")),
   )
 }

@@ -283,5 +283,57 @@ object SimQueries {
           probeId = 0L, k = 10, nprobe = math.max(2, cells / 8))
       },
       None),
+
+    // ---- int8 scalar quantization (embedding compression) ---------------
+    // The storage-side half of an ANN index: per-vector min/max affine
+    // int8 quantization (the faiss SQ8 scheme) — code_i = clamp(floor(
+    // (x_i - mn) * 256 / (mx - mn)), 0..255) — plus the max absolute
+    // reconstruction error of the midpoint dequantizer. One narrow
+    // codegen'd projection, zero shuffles: at 100 TB this is a scan-fused
+    // rewrite pass (4× storage cut for float32 embeddings).
+    //
+    // Cross-engine exactness: float→double casts are exact; the quantize
+    // and dequantize expressions are written with IDENTICAL operation
+    // order in both engines ((x-mn)*256/scl, mn+(c+0.5)*scl/256), so
+    // every intermediate double is bit-equal; floor/least/abs are exact.
+    // Constant vectors (scl = 0) pin code 0 / error 0 on both sides
+    // rather than dividing by zero.
+    GraftQuery(
+      "e08_scalar_quantize",
+      (s, d) => {
+        val xs = transform(col("embedding"), x => x.cast("double"))
+        val code = (x: Column) =>
+          when(col("scl") === 0.0, lit(0L))
+            .otherwise(least(lit(255L),
+              floor((x - col("mn")) * 256.0 / col("scl"))))
+        val err = (x: Column) =>
+          when(col("scl") === 0.0, lit(0.0))
+            .otherwise(abs(x - (col("mn") +
+              (code(x).cast("double") + 0.5) * col("scl") / 256.0)))
+        Tables.validEmbeddings(s, d)
+          .withColumn("xs", xs)
+          .withColumn("mn", array_min(col("xs")))
+          .withColumn("mx", array_max(col("xs")))
+          .withColumn("scl", col("mx") - col("mn"))
+          .select(col("vec_id"),
+            col("mn").as("q_min"), col("mx").as("q_max"),
+            aggregate(transform(col("xs"), code), lit(0L), _ + _)
+              .as("code_sum"),
+            array_max(transform(col("xs"), err)).as("max_err"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings WHERE $sqlValidEmb),
+        s AS (SELECT vec_id, xs, list_min(xs) AS mn, list_max(xs) AS mx,
+          list_max(xs) - list_min(xs) AS scl FROM e)
+        SELECT vec_id, mn AS q_min, mx AS q_max,
+          CAST(list_sum(list_transform(xs, x -> CASE WHEN scl = 0 THEN 0
+            ELSE LEAST(255, CAST(floor((x - mn) * 256.0 / scl) AS BIGINT))
+            END)) AS BIGINT) AS code_sum,
+          list_max(list_transform(xs, x -> CASE WHEN scl = 0 THEN 0.0
+            ELSE abs(x - (mn + (CAST(LEAST(255, CAST(floor((x - mn) * 256.0
+              / scl) AS BIGINT)) AS DOUBLE) + 0.5) * scl / 256.0)) END))
+            AS max_err
+        FROM s""")),
   )
 }

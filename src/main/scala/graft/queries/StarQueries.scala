@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.GlobalRank
 import graft.queries.GraftQuery.{dec, dsum, dsumSql, floorDiv}
 import graft.sources.Tables
 
@@ -602,5 +603,46 @@ object StarQueries {
           FROM c)
         SELECT cohort, week_offset, COUNT(*) AS n_users
         FROM s GROUP BY 1, 2""")),
+
+    // ---- exact global ranking: customer spend deciles --------------------
+    // The ranking-family gap (ntile/percent_rank territory) done SCALE-
+    // RIGHT: `row_number().over(Window.orderBy(...))` plans a single-
+    // partition window (every customer in one task), so the exact global
+    // rank comes from GlobalRank.withRowNumber instead — range-partitioned
+    // total sort + partition-offset indexing, never concentrated. Decile
+    // assignment is then pure arithmetic on the rank ((rn-1)*10 div N:
+    // equal-width by rank, deterministic under the (spend desc, custkey)
+    // total order), and the output collapses to 10 rows. The N scalar is
+    // one count job on the pre-aggregated frame (|customers|, not
+    // |orders|) — same driver-scalar pattern as e05/e07's sizing scans.
+    GraftQuery(
+      "q27_spend_deciles",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        val n = spend.count()
+        val ranked = GlobalRank.withRowNumber(spend,
+          Seq(col("spend").desc, col("o_custkey").asc))
+        ranked
+          .withColumn("decile",
+            floorDiv((col("rn") - 1L) * 10L, n) + 1L)
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(dec(col("spend"))).cast("double").as("total_spend"),
+            min(col("spend")).as("min_spend"),
+            max(col("spend")).as("max_spend"))
+      },
+      Some(s"""WITH spend AS (SELECT o_custkey,
+          ${dsumSql("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey),
+        r AS (SELECT spend,
+          row_number() OVER (ORDER BY spend DESC, o_custkey ASC) AS rn,
+          COUNT(*) OVER () AS n FROM spend)
+        SELECT ((rn - 1) * 10) // n + 1 AS decile,
+          COUNT(*) AS n_customers,
+          ${dsumSql("spend")} AS total_spend,
+          MIN(spend) AS min_spend, MAX(spend) AS max_spend
+        FROM r GROUP BY 1""")),
   )
 }

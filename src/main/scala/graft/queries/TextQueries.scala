@@ -1122,6 +1122,77 @@ object TextQueries {
           OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
             lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
               8, '0')""")),
+
+    // ---- cross-doc duplicate-chunk REMOVAL with reassembly (C4-style) ----
+    // d22 measures chunk duplication; this is the transform that acts on
+    // it: drop every 10-token chunk that appears in ≥ 2 distinct docs,
+    // then stitch each doc's surviving chunks back together in order —
+    // the C4/RefinedWeb "remove duplicated spans" pass, producing the
+    // cleaned corpus (kept_text) plus per-doc accounting. Chunk
+    // convention (10-token windows, tail tokens dropped) is d22's.
+    //
+    // Scale shape: global per-chunk distinct-doc counts are a map-side-
+    // combinable groupBy on the 32-byte chunk hash, attached back via a
+    // shuffle JOIN on that hash — not a window: a boilerplate chunk
+    // shared by millions of docs would make the window partition buffer
+    // all of them (the hot-key shape m04 exists to avoid), while the
+    // join streams and AQE skew-splits it. The join-back recomputes the
+    // narrow scan→chunk→explode pass once (the documented join-back
+    // trade, cf. Multimodal.perceptualHashGroups); reassembly is one
+    // groupBy(doc_id) whose per-group state is the doc's own chunks —
+    // bounded by doc length, the same envelope as d28's packing.
+    GraftQuery(
+      "d37_dup_chunk_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("chunks",
+            when(size(col("toks")) >= 10,
+              expr("transform(sequence(0, size(toks) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+        val occ = docs
+          .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "c")))
+          .withColumn("ch", md5(col("c")))
+        val counts = occ.groupBy(col("ch"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+        val per = occ.join(counts, "ch")
+          .groupBy(col("doc_id"))
+          .agg(
+            sort_array(collect_list(
+              when(col("nd") < 2, struct(col("pos"), col("c"))))).as("kept"),
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dropped"))
+          .select(col("doc_id"),
+            array_join(expr("transform(kept, k -> k.c)"), " ").as("kept_text"),
+            col("n_chunks"), col("n_dropped"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        ck AS (SELECT doc_id, CASE WHEN len(toks) >= 10 THEN
+            list_transform(range(0, len(toks) // 10),
+              i -> array_to_string(toks[i*10 + 1 : i*10 + 10], ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS chunks FROM toks),
+        occ0 AS (SELECT doc_id, unnest(list_transform(range(1, len(chunks) + 1),
+            i -> {'pos': i, 'c': chunks[i]})) AS u FROM ck),
+        occ AS (SELECT doc_id, u.pos AS pos, u.c AS c, md5(u.c) AS ch
+          FROM occ0),
+        cnt AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY ch),
+        per AS (SELECT o.doc_id,
+            string_agg(o.c, ' ' ORDER BY o.pos) FILTER (WHERE n.nd < 2)
+              AS kept_text,
+            CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN n.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dropped
+          FROM occ o JOIN cnt n USING (ch) GROUP BY o.doc_id)
+        SELECT d.doc_id, COALESCE(p.kept_text, '') AS kept_text,
+          COALESCE(p.n_chunks, 0) AS n_chunks,
+          COALESCE(p.n_dropped, 0) AS n_dropped
+        FROM documents d LEFT JOIN per p USING (doc_id)""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

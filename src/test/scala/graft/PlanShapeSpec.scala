@@ -176,6 +176,31 @@ class PlanShapeSpec extends SparkSpec {
       s"m05 must stay a narrow explode:\n$m05")
   }
 
+  test("round-12 queries hold their scale shapes (d37/e08/m06/q27)") {
+    // d37 chunk scrub: global chunk counts attach via a shuffle JOIN on
+    // the chunk hash, never a window (a boilerplate chunk would buffer
+    // its whole partition); exchanges stay bounded (chunk agg + join
+    // sides + doc reassembly + final left join)
+    val d37 = plan("d37_dup_chunk_scrub")
+    assert(!d37.contains("Window ") && shuffles(d37) <= 5,
+      s"d37 must count-join on the chunk hash with bounded exchanges:\n$d37")
+    // e08 scalar quantization: a scan-fused narrow projection — zero
+    // exchanges, zero joins (this is a rewrite pass at 100 TB)
+    val e08 = plan("e08_scalar_quantize")
+    assert(shuffles(e08) == 0 && !e08.contains("Join"),
+      s"e08 must stay a narrow scan-fused projection:\n$e08")
+    // m06 patch grid: narrow integer projection — zero exchanges
+    val m06 = plan("m06_patch_grid")
+    assert(shuffles(m06) == 0 && !m06.contains("Join"),
+      s"m06 must stay a narrow projection:\n$m06")
+    // q27 deciles: the exact global rank must come from the
+    // range-sort + zip scheme (an RDD scan leaf), NEVER a single-
+    // partition window (Window with an empty partition spec)
+    val q27 = plan("q27_spend_deciles")
+    assert(!q27.contains("Window ") && q27.contains("ExistingRDD"),
+      s"q27 must rank via GlobalRank, not a global window:\n$q27")
+  }
+
   test("star queries keep broadcast dimensions and map-side top-k") {
     val q03 = plan("q03_top_revenue_orders")
     assert(q03.contains("BroadcastHashJoin"))
