@@ -26,9 +26,15 @@ import org.apache.spark.sql.types.LongType
 object GlobalRank {
 
   /** `df` plus a 1-based `rankCol` long column following `sort`'s total
-    * order. `sort` MUST be a total order (include a unique key last). */
+    * order. `sort` MUST be a total order (include a unique key last).
+    *
+    * EAGER: `zipWithIndex` submits its count job at *call* time, so
+    * constructing the returned DataFrame already runs the full sort —
+    * this is not a lazily-planned operator like the rest of the API. */
   def withRowNumber(df: DataFrame, sort: Seq[Column],
       rankCol: String = "rn"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' collides with an existing column")
     val sorted = df.orderBy(sort: _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>

@@ -302,10 +302,14 @@ object SimQueries {
       "e08_scalar_quantize",
       (s, d) => {
         val xs = transform(col("embedding"), x => x.cast("double"))
+        // greatest(0, ..): no-op for finite inputs (x >= mn by
+        // construction) but makes the documented clamp(0..255) literal —
+        // a NaN element can't smuggle engine-specific semantics through
+        // the lower bound. Mirrored verbatim in the oracle SQL.
         val code = (x: Column) =>
           when(col("scl") === 0.0, lit(0L))
-            .otherwise(least(lit(255L),
-              floor((x - col("mn")) * 256.0 / col("scl"))))
+            .otherwise(greatest(lit(0L), least(lit(255L),
+              floor((x - col("mn")) * 256.0 / col("scl")))))
         val err = (x: Column) =>
           when(col("scl") === 0.0, lit(0.0))
             .otherwise(abs(x - (col("mn") +
@@ -328,11 +332,13 @@ object SimQueries {
           list_max(xs) - list_min(xs) AS scl FROM e)
         SELECT vec_id, mn AS q_min, mx AS q_max,
           CAST(list_sum(list_transform(xs, x -> CASE WHEN scl = 0 THEN 0
-            ELSE LEAST(255, CAST(floor((x - mn) * 256.0 / scl) AS BIGINT))
+            ELSE GREATEST(0, LEAST(255,
+              CAST(floor((x - mn) * 256.0 / scl) AS BIGINT)))
             END)) AS BIGINT) AS code_sum,
           list_max(list_transform(xs, x -> CASE WHEN scl = 0 THEN 0.0
-            ELSE abs(x - (mn + (CAST(LEAST(255, CAST(floor((x - mn) * 256.0
-              / scl) AS BIGINT)) AS DOUBLE) + 0.5) * scl / 256.0)) END))
+            ELSE abs(x - (mn + (CAST(GREATEST(0, LEAST(255,
+              CAST(floor((x - mn) * 256.0 / scl) AS BIGINT))) AS DOUBLE)
+              + 0.5) * scl / 256.0)) END))
             AS max_err
         FROM s""")),
   )

@@ -621,7 +621,11 @@ object StarQueries {
         val spend = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("spend"))
-        val n = spend.count()
+        // max(_, 1): on an empty orders table `spend` has zero rows, so
+        // the divisor is never applied to a row — but ANSI mode would
+        // still reject a literal 0 divisor. Clamping keeps the one code
+        // path and returns the (empty) frame unchanged.
+        val n = math.max(spend.count(), 1L)
         val ranked = GlobalRank.withRowNumber(spend,
           Seq(col("spend").desc, col("o_custkey").asc))
         ranked
