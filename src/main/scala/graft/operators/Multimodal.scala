@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -217,5 +218,59 @@ object Multimodal {
           .as("pad_w"),
         (ceilDiv(col("height")) * patch - col("height")).cast("bigint")
           .as("pad_h"))
+  }
+
+  /** Multimodal sequence packing — the d28 greedy text pack generalized
+    * to text+media training samples: per-sample token cost = text tokens
+    * + media tokens (image: ViT patch count, [[patchGrid]]'s ceil-div
+    * geometry; video: strided sampled-frame count, [[sampleFrames]]'s
+    * stride, × patches per frame; audio: 1 s / 50%-hop chunk count,
+    * [[audioChunks]]' framing), then per-source id-ordered cumulative
+    * packing into fixed token budgets.
+    *
+    * Input must carry (media_id, kind, payload, source, n_text). The
+    * cost model is pure column arithmetic over the decode metadata — a
+    * COUNT derived in closed form, never m02/m05's generators run just
+    * to be re-counted (an explode + groupBy would add a shuffle and
+    * materialize every frame/chunk row for a scalar). One narrow
+    * projection + ONE exchange: the per-source pack window — the same
+    * key/skew analysis as d28 (every source ships its own contiguous
+    * cumsum; a hot source bounds a task at its row count, which the
+    * corpus layout already buckets on).
+    *
+    * All framing math is non-negative integer arithmetic (`div` is exact
+    * floor there), so both engines bit-agree; the byte taps mirror
+    * [[decodeStub]]'s masks exactly (0x3f ≡ %64, 0x0f ≡ %16). */
+  def multimodalPack(media: DataFrame, patch: Int = 16,
+      frameStride: Int = 4, budget: Int = 2048): DataFrame = {
+    def byteAt(i: Int) =
+      conv(substring(lower(hex(col("payload"))), 2 * i + 1, 2), 16, 10)
+        .cast("int")
+    def ceilDiv(c: Column): Column =
+      call_function("div", c + lit(patch - 1), lit(patch))
+    val w = lit(64) + byteAt(0) % 64
+    val h = lit(64) + byteAt(15) % 64
+    val nFrames = lit(1) + byteAt(8) % 16
+    val patches = ceilDiv(w) * ceilDiv(h)
+    val sampledFrames =
+      call_function("div", nFrames - 1, lit(frameStride)) + 1
+    val sr = (lit(8000) * (lit(1) + byteAt(1) % 4)).cast("long")
+    val nSamples =
+      sr * (lit(1) + byteAt(2) % 8).cast("long") + byteAt(3).cast("long") * 100L
+    val hop = call_function("div", sr, lit(2L))
+    val chunks = when(nSamples <= sr, lit(1L))
+      .otherwise(call_function("div", nSamples - sr, hop) + 1L)
+    val nMedia = when(col("kind") === "image", patches.cast("long"))
+      .when(col("kind") === "video", (sampledFrames * patches).cast("long"))
+      .otherwise(chunks)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("media_id"))
+    media.select(col("media_id"), col("source"), col("kind"),
+        col("n_text"), nMedia.as("n_media"))
+      .withColumn("n_tokens", col("n_text") + col("n_media"))
+      .withColumn("cum", sum(col("n_tokens")).over(wSrc))
+      .select(col("media_id"), col("source"), col("kind"), col("n_text"),
+        col("n_media"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))
+          .cast("bigint").as("pack_id"))
   }
 }

@@ -174,5 +174,57 @@ object MediaQueries {
           CAST(((width + 15) // 16) * 16 - width AS BIGINT) AS pad_w,
           CAST(((height + 15) // 16) * 16 - height AS BIGINT) AS pad_h
         FROM dec WHERE kind = 'image'""")),
+
+    // multimodal sequence packing: text tokens + per-modality media
+    // tokens (image patches / sampled-frames × patches / audio chunks),
+    // packed per source into 2048-token budgets — the multimodal analog
+    // of d28's text-only pack. See Multimodal.multimodalPack for the
+    // cost model and the one-exchange scale shape. The input projection
+    // mirrors Multimodal.syntheticMedia plus the text token count the
+    // packer charges (a real pipeline reads both off the media table).
+    GraftQuery(
+      "m07_multimodal_pack",
+      (s, d) =>
+        Multimodal.multimodalPack(
+          Tables.documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id").as("media_id"),
+              element_at(typedlit(Seq("image", "audio", "video")),
+                (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+              to_binary(md5(col("text")), lit("hex")).as("payload"),
+              col("source"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("bigint").as("n_text")),
+          patch = 16, frameStride = 4, budget = 2048),
+      Some(s"""WITH c AS (SELECT doc_id AS media_id, source,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+          md5(text) AS hx,
+          CAST(len(${TextQueries.sqlToks}) AS BIGINT) AS n_text
+        FROM documents WHERE text IS NOT NULL),
+        m AS (SELECT media_id, source, kind, n_text,
+          64 + (${hexByte("hx", 0)} % 64) AS w,
+          64 + (${hexByte("hx", 15)} % 64) AS h,
+          1 + (${hexByte("hx", 8)} % 16) AS nf,
+          CAST(8000 * (1 + ${hexByte("hx", 1)} % 4) AS BIGINT) AS sr,
+          1 + ${hexByte("hx", 2)} % 8 AS dur,
+          ${hexByte("hx", 3)} AS b3
+        FROM c),
+        t AS (SELECT media_id, source, kind, n_text,
+          CAST(CASE kind
+            WHEN 'image' THEN ((w + 15) // 16) * ((h + 15) // 16)
+            WHEN 'video' THEN ((nf - 1) // 4 + 1)
+              * ((w + 15) // 16) * ((h + 15) // 16)
+            ELSE CASE WHEN sr * dur + b3 * 100 <= sr THEN 1
+              ELSE (sr * dur + b3 * 100 - sr) // (sr // 2) + 1 END
+          END AS BIGINT) AS n_media
+        FROM m),
+        cum AS (SELECT media_id, source, kind, n_text, n_media,
+          n_text + n_media AS n_tokens,
+          SUM(n_text + n_media) OVER (PARTITION BY source
+            ORDER BY media_id) AS cum
+        FROM t)
+        SELECT media_id, source, kind, n_text, n_media, n_tokens,
+          CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        FROM cum""")),
   )
 }

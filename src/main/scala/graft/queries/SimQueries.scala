@@ -43,6 +43,11 @@ object SimQueries {
   private[queries] val MinBits = 4
   private[queries] val MaxBits = 16
 
+  /** Prefix length for the truncated-dim (Matryoshka) recall eval (e09):
+    * a 4× storage/compute cut over the 64-dim fixtures — the coarse tier
+    * a prefix-trained embedding would serve. */
+  private[queries] val TruncDims = 16
+
   /** bits = clamp(ceil(log2(ceil(n / TargetBucket))), MinBits, MaxBits),
     * computed with exact integer arithmetic. The DuckDB oracle mirrors it
     * in float log2 ([[sqlBitsCte]]) — the two agree everywhere because
@@ -341,5 +346,75 @@ object SimQueries {
               + 0.5) * scl / 256.0)) END))
             AS max_err
         FROM s""")),
+
+    // ---- Matryoshka truncation quality: recall@3 of prefix-dim search ----
+    // The eval behind "store a D'-dim prefix for coarse search, full-D
+    // for rerank" (Matryoshka-representation truncation): rank the corpus
+    // by cosine over the FIRST TruncDims dims and score recall@3 against
+    // the full-dim brute-force truth, per probe. Same bounded probe
+    // sample as e07, so the two recall reports (bucketed-LSH vs
+    // truncated-dim) are directly comparable per probe id.
+    //
+    // Scale shape (same argument as e07's truth side): the probe set is
+    // bounded (~n/100, broadcast); each ranking is one narrow scan of the
+    // corpus against the broadcast probes with a per-probe top-3 window —
+    // never a corpus self-join. The truncated side's scan reads 4× fewer
+    // bytes once the prefix is stored as its own column/index file; here
+    // both sides scan the same column and `slice` does the truncation.
+    //
+    // Cross-engine exactness: slice(emb,1,16) == DuckDB e[1:16] (both
+    // 1-based inclusive); cosine folds are bit-identical per the module
+    // contract; ties broken by vec_id in both engines.
+    GraftQuery(
+      "e09_matryoshka_recall",
+      (s, d) => {
+        val bb = bucketed(s, d)
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = bb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        val cands = bb.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+        val w = Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        def top3(scored: DataFrame) = scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("b_id"))
+        val truth = top3(cands.withColumn("cos_sim",
+          cosine(col("a_emb"), col("b_emb"))))
+        val trunc = top3(cands.withColumn("cos_sim",
+          cosine(slice(col("a_emb"), 1, TruncDims),
+            slice(col("b_emb"), 1, TruncDims))))
+        val hits = truth.join(trunc, Seq("a_id", "b_id"))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+        probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        truth AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        trunc AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos(s"p.ae[1:$TruncDims]", s"c.e[1:$TruncDims]")}
+                DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        hits AS (SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t JOIN trunc a ON t.a_id = a.a_id AND t.b_id = a.b_id
+          GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
   )
 }

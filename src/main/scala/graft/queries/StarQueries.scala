@@ -648,5 +648,52 @@ object StarQueries {
           ${dsumSql("spend")} AS total_spend,
           MIN(spend) AS min_spend, MAX(spend) AS max_spend
         FROM r GROUP BY 1""")),
+
+    // ---- trailing 7-day revenue: RANGE window frame ----------------------
+    // The value-based frame spec (RANGE BETWEEN 6 PRECEDING AND CURRENT
+    // ROW over an integer day key) — the window family's last uncovered
+    // facet (q07/q18 cover partitioned rank/lag; q27 global rank). RANGE,
+    // not ROWS: a missing day must still widen the frame by calendar
+    // distance, which a row-counted frame gets wrong.
+    //
+    // Scale shape: the frame runs over the PRE-AGGREGATED day domain —
+    // groupBy(day) is map-side combinable and collapses 100 TB of orders
+    // to one row per day (~365×years rows), so the unpartitioned window
+    // that follows is bounded by the calendar, not the fact table. Running
+    // the frame directly over raw orders would put every order in one
+    // task — the same single-partition trap q27 documents.
+    //
+    // Exactness: day revenue is summed as decimal(18,2) (exact, order-
+    // free), the frame sums decimals, and only the final values cast to
+    // double; counts are integers end-to-end (DuckDB's HUGEINT window sum
+    // cast back to BIGINT).
+    GraftQuery(
+      "q28_trailing_revenue",
+      (s, d) => {
+        val w = Window.orderBy(col("day_int")).rangeBetween(-6, 0)
+        Tables.orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("rev_dec"))
+          .withColumn("day_int",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+          .withColumn("orders_7d", sum(col("n_orders")).over(w))
+          .withColumn("rev_7d", sum(col("rev_dec")).over(w).cast("double"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("order_date"),
+            col("n_orders"), col("rev_dec").cast("double").as("day_rev"),
+            col("orders_7d"), col("rev_7d"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          COUNT(*) AS n_orders,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        FROM orders GROUP BY 1),
+        d2 AS (SELECT day, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_int,
+          n_orders, rev_dec FROM daily)
+        SELECT strftime(day, '%Y-%m-%d') AS order_date, n_orders,
+          CAST(rev_dec AS DOUBLE) AS day_rev,
+          CAST(SUM(n_orders) OVER w AS BIGINT) AS orders_7d,
+          CAST(SUM(rev_dec) OVER w AS DOUBLE) AS rev_7d
+        FROM d2
+        WINDOW w AS (ORDER BY day_int RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""")),
   )
 }

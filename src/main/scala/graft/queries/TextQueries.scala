@@ -20,8 +20,9 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** DuckDB expression for the whitespace token list of `text`. */
-  private val sqlToks =
+  /** DuckDB expression for the whitespace token list of `text`
+    * (package-visible: MediaQueries' m07 text-token mirror uses it). */
+  private[queries] val sqlToks =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
 
   /** Spark SQL expression for the word-3-gram list of a column named
@@ -1193,6 +1194,144 @@ object TextQueries {
           COALESCE(p.n_chunks, 0) AS n_chunks,
           COALESCE(p.n_dropped, 0) AS n_dropped
         FROM documents d LEFT JOIN per p USING (doc_id)""")),
+
+    // ---- minhash fidelity eval: k-sig estimate vs exact jaccard ----------
+    // The tuning input for every banded-LSH deployment decision (k, bands
+    // × rows, threshold): per candidate pair, the k=16 one-permutation
+    // minhash ESTIMATE of jaccard (matching-component fraction — the
+    // textbook unbiased estimator, sd √(J(1-J)/k)) next to the EXACT
+    // hashed-set jaccard, plus the absolute error. The text analog of
+    // e07's ANN recall eval: measure the approximation on a bounded
+    // sample BEFORE trusting it at 100 TB.
+    //
+    // Plan shape: identical to d09 — same capped single-band buckets,
+    // same in-bucket expansion (never all-pairs); the only addition is
+    // the k-sig array riding the bucket payload. The md5-keyed sigs here
+    // are the ORACLE-CHECKABLE analog of the production xxhash64 sigs
+    // (d12 / NearDup.minhashLshPairs — rows-only, DuckDB has no
+    // xxhash64); same estimator, slower hash, exact cross-engine mirror.
+    GraftQuery(
+      "d38_minhash_est_error",
+      (s, d) => {
+        import graft.functions.MinHashExprs
+        import graft.operators.NearDup
+        val withSigs = minhashed(s, d)
+          .withColumn("grams", expr(sparkGrams))
+          .withColumn("sigs", expr(
+            """transform(sequence(0, 15), i ->
+               array_min(transform(grams, g ->
+                 md5(concat(cast(i as string), '|', g)))))"""))
+        val grouped = withSigs
+          .select(col("doc_id"),
+            MinHashExprs.shingleHashes(col("toks")).as("hs"), col("sigs"),
+            coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
+              .as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(sort_array(collect_list(
+            struct(col("doc_id"), col("hs"), col("sigs")))).as("docs"))
+          .filter(size(col("docs")) <= lshMaxBucket)
+        NearDup.pairsWithinBuckets(grouped)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs")).as("jaccard"),
+            (aggregate(zip_with(col("a.sigs"), col("b.sigs"),
+                (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+              lit(0L), _ + _).cast("double") / lit(16.0)).as("est"))
+          .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      },
+      Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte,
+        sg AS (SELECT doc_id, list_transform(range(0, 16), i ->
+            list_min(list_transform(shingle_set,
+              g -> md5(CAST(i AS VARCHAR) || '|' || g)))) AS sigs
+          FROM mh)
+        SELECT a_id, b_id, jaccard, est, abs(est - jaccard) AS abs_err
+        FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) AS jaccard,
+          CAST(list_sum(list_transform(list_zip(sa.sigs, sb.sigs),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est
+        FROM mhc a JOIN mhc b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+        JOIN sg sa ON sa.doc_id = a.doc_id
+        JOIN sg sb ON sb.doc_id = b.doc_id) t""")),
+
+    // ---- EXACT similarity join via prefix filtering (PPJoin-lite) --------
+    // The n-gram-Jaccard family's exact member: ALL pairs with jaccard
+    // ≥ 0.5, no LSH recall loss — the shape to reach for when a dedup
+    // decision must be provably complete (d09/d12 trade recall for
+    // cheaper candidates). Classic prefix filter: order each doc's gram
+    // set rarest-first (global df, then gram), keep only the first
+    // |G| - ceil(t·|G|) + 1 grams (= |G| div 2 + 1 at t=0.5); two sets
+    // with jaccard ≥ t MUST share a prefix gram, so bucketing on prefix
+    // grams is a lossless candidate generator.
+    //
+    // Scale shape: every stage is keyed on gram or doc_id with map-side
+    // partial aggs — never all-pairs. Rarest-first ordering is the skew
+    // defense: a boilerplate gram's df is huge, so it sorts LAST and
+    // stays out of prefixes; residual hot prefix grams are capped at
+    // lshMaxBucket like every bucketed family (drop policy mirrored in
+    // the oracle). Candidates dedupe to id-pairs BEFORE verification,
+    // and the bounded pair table broadcasts back onto the corpus for the
+    // hashed-set jaccard (d35's join-back pattern) — the corpus never
+    // shuffles its shingle payloads, the d09-vs-hashed-shingles lesson
+    // taken one step further.
+    GraftQuery(
+      "d39_prefix_jaccard_join",
+      (s, d) => {
+        import graft.functions.MinHashExprs
+        import graft.operators.NearDup
+        val sets = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("gs", array_distinct(expr(sparkGrams)))
+          .select(col("doc_id"), col("gs"), size(col("gs")).as("sz"),
+            MinHashExprs.shingleHashes(col("toks")).as("hs"))
+        val ex = sets.select(col("doc_id"), col("sz"),
+          explode(col("gs")).as("g"))
+        val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val pref = ex.join(dfreq, "g")
+          .groupBy(col("doc_id"))
+          .agg(max(col("sz")).as("sz"),
+            sort_array(collect_list(struct(col("df"), col("g"))))
+              .as("ordered"))
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(slice(ordered, 1, sz div 2 + 1), x -> x.g)"))
+              .as("g"))
+        val buckets = pref.groupBy(col("g"))
+          .agg(sort_array(collect_list(struct(col("doc_id")))).as("docs"))
+          .filter(size(col("docs")) <= lshMaxBucket)
+        val cand = NearDup.pairsWithinBuckets(buckets)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val aSide = sets.select(col("doc_id").as("a_id"), col("hs").as("a_hs"))
+          .join(broadcast(cand), "a_id")
+        sets.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))
+          .join(broadcast(aSide), "b_id")
+          .withColumn("jaccard",
+            MinHashExprs.jaccardSorted(col("a_hs"), col("b_hs")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        sh AS (SELECT doc_id, $sqlGrams AS grams FROM toks),
+        sets AS (SELECT doc_id, list_distinct(grams) AS gs FROM sh),
+        sz AS (SELECT doc_id, gs, len(gs) AS sz FROM sets),
+        ex AS (SELECT doc_id, sz, unnest(gs) AS g FROM sz),
+        dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+        ordered AS (SELECT e.doc_id, e.sz, e.g,
+            row_number() OVER (PARTITION BY e.doc_id
+              ORDER BY f.df, e.g) AS rn
+          FROM ex e JOIN dfreq f USING (g)),
+        pref AS (SELECT doc_id, g FROM ordered WHERE rn <= sz // 2 + 1),
+        pc AS (SELECT g, COUNT(*) AS cnt FROM pref GROUP BY g),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+          JOIN pc ON pc.g = a.g AND pc.cnt <= $lshMaxBucket),
+        ver AS (SELECT c.a_id, c.b_id,
+            CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(sa.gs, sb.gs))) AS DOUBLE)
+              AS jaccard
+          FROM cand c JOIN sz sa ON sa.doc_id = c.a_id
+          JOIN sz sb ON sb.doc_id = c.b_id)
+        SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

@@ -105,6 +105,44 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected narrow plan, got:\n$plan")
   }
 
+  test("multimodalPack cost model equals the generators' actual row counts") {
+    import graft.queries.GraftQuery
+    // the registered m07 frame (cost model in closed form)
+    val m07 = GraftQuery.all.find(_.name == "m07_multimodal_pack").get
+      .run(spark, sfDir).cache()
+    try {
+      val dec = Multimodal.decodeFeatures(media)
+      // image: n_media must equal patchGrid's n_patches
+      val imgBad = m07.filter(col("kind") === "image")
+        .join(Multimodal.patchGrid(dec, 16), Seq("media_id"))
+        .filter(col("n_media") =!= col("n_patches")).count()
+      assert(imgBad == 0, "image cost != patch count")
+      // audio: n_media must equal audioChunks' emitted rows per media
+      val audioBad = m07.filter(col("kind") === "audio")
+        .join(Multimodal.audioChunks(media).groupBy("media_id")
+          .agg(org.apache.spark.sql.functions.count(col("chunk_idx"))
+            .as("n_rows")), Seq("media_id"))
+        .filter(col("n_media") =!= col("n_rows")).count()
+      assert(audioBad == 0, "audio cost != chunk row count")
+      // video: n_media must equal sampled frames × patches per frame
+      val vidFrames = Multimodal.sampleFrames(dec, every = 4)
+        .filter(col("kind") === "video")
+        .groupBy("media_id")
+        .agg(org.apache.spark.sql.functions.count(col("frame_idx"))
+          .as("n_f"))
+      val vidPatches = dec.toDF().filter(col("kind") === "video")
+        .selectExpr("media_id",
+          "((width + 15) div 16) * ((height + 15) div 16) as n_pp")
+      val vidBad = m07.filter(col("kind") === "video")
+        .join(vidFrames, Seq("media_id")).join(vidPatches, Seq("media_id"))
+        .filter(col("n_media") =!= col("n_f") * col("n_pp")).count()
+      assert(vidBad == 0, "video cost != frames × patches")
+      // the pack invariant: within (source, pack), cumulative tokens
+      // before the last member stay under budget (greedy floor-div pack)
+      assert(m07.filter(col("pack_id") < 0).count() == 0)
+    } finally m07.unpersist(blocking = true)
+  }
+
   test("perceptualHashGroups over the corpus: exact-dup media cluster " +
       "together, groups partition the set") {
     // cache handle must be dropped: CacheManager would otherwise

@@ -184,4 +184,23 @@ class NearDupSpec extends SparkSpec {
     assert(ann.contains(brute.head),
       s"IVF(probe 2/8) missed brute-force top-1 ${brute.head}")
   }
+
+  test("d39 prefix-filter join is exhaustive: equals brute-force all-pairs " +
+      "jaccard >= 0.5 (the lossless-prefix theorem, sf0.001)") {
+    import graft.queries.GraftQuery
+    val got = GraftQuery.all.find(_.name == "d39_prefix_jaccard_join").get
+      .run(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sets = NearDup.shingled(docs)
+      .select($"doc_id", $"shingle_set").as[(Long, Seq[String])].collect()
+      .map { case (id, g) => (id, g.toSet) }
+    val brute = (for {
+      (a, ga) <- sets; (b, gb) <- sets
+      if a < b
+      uni = ga.union(gb).size
+      if uni > 0 && ga.intersect(gb).size.toDouble / uni >= 0.5
+    } yield (a, b)).toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
 }

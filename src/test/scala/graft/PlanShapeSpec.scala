@@ -36,10 +36,11 @@ class PlanShapeSpec extends SparkSpec {
     * total against the ≤1000-row vocab cut; d32 broadcasts the 1-row
     * corpus total (vocab logprobs) and the 1-row OOV floor (scoring);
     * d36 broadcasts the 1-row stratum-count minimum against the
-    * per-stratum count table (both tiny aggregates). */
+    * per-stratum count table (both tiny aggregates); e09 broadcasts the
+    * same bounded probe sample as e07 for both its rankings. */
   private val nlJoinIntended =
-    Set("e01_cosine_topk", "e07_ann_recall", "d24_vocab_coverage",
-      "d32_unigram_logprob", "d36_temperature_mix")
+    Set("e01_cosine_topk", "e07_ann_recall", "e09_matryoshka_recall",
+      "d24_vocab_coverage", "d32_unigram_logprob", "d36_temperature_mix")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -199,6 +200,40 @@ class PlanShapeSpec extends SparkSpec {
     val q27 = plan("q27_spend_deciles")
     assert(!q27.contains("Window ") && q27.contains("ExistingRDD"),
       s"q27 must rank via GlobalRank, not a global window:\n$q27")
+  }
+
+  test("round-13 queries hold their scale shapes (q28/m07/d38/d39/e09)") {
+    // q28 trailing window: the RANGE frame must run over the day
+    // PRE-AGGREGATE (HashAggregate below the Window) — a frame over raw
+    // orders would single-partition the fact table
+    val q28 = plan("q28_trailing_revenue")
+    val windowAt = q28.indexOf("Window")
+    assert(windowAt >= 0 && q28.substring(windowAt).contains("HashAggregate"),
+      s"q28's frame must consume the day pre-aggregate:\n$q28")
+    // m07 multimodal pack: closed-form cost model — no Generate (the
+    // explode-and-count anti-shape), no Join, ONE exchange (the
+    // per-source pack window)
+    val m07 = plan("m07_multimodal_pack")
+    assert(!m07.contains("Generate") && !m07.contains("Join") &&
+      shuffles(m07) == 1,
+      s"m07 must be a narrow cost projection + one pack window:\n$m07")
+    // d38 minhash fidelity eval: d09's exact bucket shape — one exchange
+    // (the bucket groupBy), in-bucket expansion, never a join
+    val d38 = plan("d38_minhash_est_error")
+    assert(!d38.contains("Join") && shuffles(d38) == 1,
+      s"d38 must keep d09's single-exchange bucket shape:\n$d38")
+    // d39 prefix join: the deduped candidate pair table must BROADCAST
+    // back onto the corpus for verification — an SMJ of the corpus's
+    // shingle payloads on pair ids means the join-back inverted
+    val d39 = plan("d39_prefix_jaccard_join")
+    assert(d39.contains("BroadcastHashJoin"),
+      s"d39's verify join-backs must broadcast the pair table:\n$d39")
+    // e09 matryoshka recall: both rankings must plan the map-side top-k
+    // (WindowGroupLimit) like e07's — a full sort per probe partition
+    // would buffer the whole candidate set
+    val e09 = plan("e09_matryoshka_recall")
+    assert(e09.contains("WindowGroupLimit"),
+      s"e09's per-probe top-3 must use WindowGroupLimit:\n$e09")
   }
 
   test("star queries keep broadcast dimensions and map-side top-k") {
