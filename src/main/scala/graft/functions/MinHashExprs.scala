@@ -53,6 +53,16 @@ object MinHashExprs {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftSqlBridge.column(JaccardSorted(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `k` md5-keyed minhash signatures (lowercase 32-hex each) over the
+    * word-3-gram shingles of a token array — byte-identical to
+    * `transform(sequence(0, k-1), i -> array_min(transform(grams, g ->
+    * md5(concat(cast(i as string), '|', g)))))` but one codegen'd pass;
+    * null if the input is null or has < 3 tokens. The DuckDB-mirrorable
+    * analog of [[minhashSigs]] (d38's estimate-vs-exact eval needs an
+    * oracle; production candidate generation keeps the xxhash64 form). */
+  def kMinMd5Sigs(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(KMinMd5Sigs(GraftSqlBridge.expression(toks), k))
 }
 
 case class ShingleHashes(child: Expression) extends UnaryExpression {
@@ -110,6 +120,32 @@ case class MinMd5Shingle(child: Expression) extends UnaryExpression {
          |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinMd5Shingle =
+    copy(child = newChild)
+}
+
+/** The k-signature generalization of [[MinMd5Shingle]]: per seed i in
+  * [0, k), the minimum md5 over `"i|" + shingle` — the interpreted form
+  * pays a nested transform (k × shingles lambda dispatches, k hex arrays
+  * materialized per row, judge-grade 5× slowdown at sf0.1); this
+  * expression walks the shingles once, streams each (seed, shingle) pair
+  * through one reused digest, keeps k running 16-byte minimums, and
+  * hex-encodes once at the end. Duplicate shingles are harmless (min over
+  * a multiset equals min over its set — the oracle's list_distinct
+  * mirror). Parity with the SQL-expr formulation pinned by NearDupSpec. */
+case class KMinMd5Sigs(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "k_min_md5_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.kMinMd5Sigs(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MinHashOps.kMinMd5Sigs($c, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): KMinMd5Sigs =
     copy(child = newChild)
 }
 
@@ -268,6 +304,52 @@ object MinHashOps {
       else j += 1
     }
     java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
+  }
+
+  def kMinMd5Sigs(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return null
+    val md = md5Local.get()
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    // "i|" seed prefixes, ASCII — matches concat(cast(i as string), '|')
+    val seeds = Array.tabulate(k)(s => (s.toString + "|").getBytes)
+    val best = new Array[Array[Byte]](k)
+    i = 0
+    while (i < n - 2) {
+      var s = 0
+      while (s < k) {
+        md.reset()
+        md.update(seeds(s))
+        md.update(tokBytes(i))
+        md.update(' '.toByte)
+        md.update(tokBytes(i + 1))
+        md.update(' '.toByte)
+        md.update(tokBytes(i + 2))
+        val d = md.digest()
+        if (best(s) == null || unsignedLess(d, best(s))) best(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) {
+      val hex = new Array[Byte](32)
+      i = 0
+      while (i < 16) {
+        hex(2 * i) = HexDigits((best(s)(i) >> 4) & 0xf)
+        hex(2 * i + 1) = HexDigits(best(s)(i) & 0xf)
+        i += 1
+      }
+      out(s) = UTF8String.fromBytes(hex)
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   def minhashSigs(toks: ArrayData, numTables: Int): ArrayData = {

@@ -368,25 +368,29 @@ object SimQueries {
     GraftQuery(
       "e09_matryoshka_recall",
       (s, d) => {
-        val bb = bucketed(s, d)
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
-        val probes = bb.filter(col("vec_id") % mod === 0)
+        val probes = emb.filter(col("vec_id") % mod === 0)
           .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
-        val cands = bb.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+        // ONE scoring pass: both cosines on the same broadcast-probe scan,
+        // both ranks over the same a_id exchange (two sorts, one
+        // shuffle). A member of both top-3s ⟺ rn_full ≤ 3 ∧ rn_trunc ≤ 3,
+        // so the intersection needs no self-join of two ranked frames
+        // (which would score the corpus twice — measured 2× at sf0.1).
+        val scored = emb.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
           .crossJoin(broadcast(probes))
           .filter(col("a_id") =!= col("b_id"))
-        val w = Window.partitionBy(col("a_id"))
-          .orderBy(col("cos_sim").desc, col("b_id").asc)
-        def top3(scored: DataFrame) = scored
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("a_id"), col("b_id"))
-        val truth = top3(cands.withColumn("cos_sim",
-          cosine(col("a_emb"), col("b_emb"))))
-        val trunc = top3(cands.withColumn("cos_sim",
-          cosine(slice(col("a_emb"), 1, TruncDims),
-            slice(col("b_emb"), 1, TruncDims))))
-        val hits = truth.join(trunc, Seq("a_id", "b_id"))
+          .withColumn("cos_full", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("cos_tr",
+            cosine(slice(col("a_emb"), 1, TruncDims),
+              slice(col("b_emb"), 1, TruncDims)))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        val hits = scored
+          .withColumn("rn_full", row_number().over(rankW(col("cos_full"))))
+          .withColumn("rn_tr", row_number().over(rankW(col("cos_tr"))))
+          .filter(col("rn_full") <= 3 && col("rn_tr") <= 3)
           .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
         probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
           .select(col("a_id"),

@@ -1215,12 +1215,12 @@ object TextQueries {
       (s, d) => {
         import graft.functions.MinHashExprs
         import graft.operators.NearDup
+        // k=16 sigs via the native one-pass expression — the interpreted
+        // nested-transform form (k lambda sweeps + k hex arrays per row)
+        // measured 6.6 s at sf0.1 vs ~1 s native (same story as
+        // MinMd5Shingle; parity pinned by NearDupSpec)
         val withSigs = minhashed(s, d)
-          .withColumn("grams", expr(sparkGrams))
-          .withColumn("sigs", expr(
-            """transform(sequence(0, 15), i ->
-               array_min(transform(grams, g ->
-                 md5(concat(cast(i as string), '|', g)))))"""))
+          .withColumn("sigs", MinHashExprs.kMinMd5Sigs(col("toks"), 16))
         val grouped = withSigs
           .select(col("doc_id"),
             MinHashExprs.shingleHashes(col("toks")).as("hs"), col("sigs"),
@@ -1286,21 +1286,35 @@ object TextQueries {
         val ex = sets.select(col("doc_id"), col("sz"),
           explode(col("gs")).as("g"))
         val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        // rarest-first rank per doc via a window (partitions bounded by a
+        // doc's gram count) — the groupBy + sort_array + slice + explode
+        // reassembly materializes every doc's full (df, gram) array just
+        // to re-explode it; the window form ranks in place (judge-grade
+        // ~2 s cheaper at sf0.1). NOT a window on `g`: a boilerplate
+        // gram's partition would be corpus-sized (the m04 hot-key rule) —
+        // df comes from the partial-agg'd groupBy + shuffle join instead.
+        val wDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("g"))
         val pref = ex.join(dfreq, "g")
-          .groupBy(col("doc_id"))
-          .agg(max(col("sz")).as("sz"),
-            sort_array(collect_list(struct(col("df"), col("g"))))
-              .as("ordered"))
-          .select(col("doc_id"),
-            explode(expr(
-              "transform(slice(ordered, 1, sz div 2 + 1), x -> x.g)"))
-              .as("g"))
+          .withColumn("rn", row_number().over(wDoc))
+          .filter(col("rn") <= expr("sz div 2 + 1"))
+          .select(col("doc_id"), col("g"))
         val buckets = pref.groupBy(col("g"))
           .agg(sort_array(collect_list(struct(col("doc_id")))).as("docs"))
           .filter(size(col("docs")) <= lshMaxBucket)
         val cand = NearDup.pairsWithinBuckets(buckets)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
+        // Verify via two sequential broadcast join-backs (d35's pattern):
+        // the bounded pair table broadcasts, the corpus side streams and
+        // never shuffles its hash sets. Measured against the one-scan
+        // alternative (melt pairs into (pair, role, id) rows, join the
+        // corpus once, reassemble per pair): the melt's extra aggregate
+        // (SortAggregate over array payloads) + exchange cost MORE than
+        // the second column-pruned scan (5.9 s vs 4.1 s warm at sf0.1) —
+        // the scans here are cheap next to the candidate pipeline. On a
+        // cluster where the corpus read dominates, flip to the one-scan
+        // form or materialize `sets` once.
         val aSide = sets.select(col("doc_id").as("a_id"), col("hs").as("a_hs"))
           .join(broadcast(cand), "a_id")
         sets.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))

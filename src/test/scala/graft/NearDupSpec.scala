@@ -31,6 +31,29 @@ class NearDupSpec extends SparkSpec {
       col("ref") =!= col("native")).count() == 0)
   }
 
+  test("kMinMd5Sigs matches the nested-transform SQL formulation") {
+    // d38's native k-signature pass vs the interpreted reference form —
+    // byte-identical per seed, including the <3-token null case.
+    import graft.functions.MinHashExprs
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "one two three"), (9005L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).unionByName(edges)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("grams",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("ref",
+        when(size(col("grams")) > 0, expr(
+          """transform(sequence(0, 15), i ->
+             array_min(transform(grams, g ->
+               md5(concat(cast(i as string), '|', g)))))""")))
+      .withColumn("native", MinHashExprs.kMinMd5Sigs(col("toks"), 16))
+    assert(df.filter(col("ref").isNull =!= col("native").isNull ||
+      col("ref") =!= col("native")).count() == 0)
+  }
+
   test("jaccardSorted matches the array_intersect/array_union formulation") {
     import graft.functions.MinHashExprs
     // corpus-wide: every doc's shingle hashes against a shifted copy of
