@@ -420,5 +420,56 @@ object SimQueries {
         SELECT p.a_id,
           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
+
+    // ---- per-dim mean centering (whitening/PCA preprocessing pass) -------
+    // The global-statistics rewrite every embedding pipeline runs before
+    // PCA/whitening/quantizer training: per-dimension corpus mean, then
+    // each vector re-expressed against it. Scale shape: pass 1 is a
+    // constant-size aggregate (64 decimal sums + a count — map-side
+    // combinable, no key skew possible); the 1-row means array broadcasts
+    // back (the d24/d32 tiny-broadcast pattern); pass 2 is a narrow
+    // scan-fused projection. At 100 TB this is the canonical two-pass
+    // stats job: nothing grows with the corpus but the scans.
+    //
+    // Cross-engine exactness: per-element round(x, 6) → DECIMAL(18,6)
+    // sums are exact and order-free (the d32 technique); sum×10^6 fits
+    // long precision, so the decimal→double cast is exact in both
+    // engines, and the single double division (sum/n) then matches
+    // bit-for-bit. The centering fold is the module's strict
+    // left-to-right contract.
+    GraftQuery(
+      "e10_mean_center",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val means = e.select(posexplode(col("xs")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+            / count(lit(1)).cast("double")).as("mu"))
+        val ma = means.agg(expr(
+          "transform(sort_array(collect_list(struct(pos, mu))), s -> s.mu)")
+          .as("mus"))
+        e.crossJoin(broadcast(ma))
+          .select(col("vec_id"),
+            norm(col("xs")).as("raw_norm"),
+            sqrt(aggregate(
+              zip_with(col("xs"), col("mus"), (x, mu) => (x - mu) * (x - mu)),
+              lit(0.0), (acc, v) => acc + v)).as("centered_norm"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings WHERE $sqlValidEmb),
+        el AS (SELECT unnest(xs) AS x,
+          unnest(range(1, len(xs) + 1)) AS pos FROM e),
+        m AS (SELECT pos,
+          CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS mu
+          FROM el GROUP BY pos),
+        ma AS (SELECT list(mu ORDER BY pos) AS mus FROM m)
+        SELECT vec_id,
+          ${sqlNorm("xs")} AS raw_norm,
+          sqrt(list_sum(list_transform(list_zip(xs, mus),
+            p -> (p[1] - p[2]) * (p[1] - p[2])))) AS centered_norm
+        FROM e, ma""")),
   )
 }

@@ -1305,20 +1305,23 @@ object TextQueries {
         val cand = NearDup.pairsWithinBuckets(buckets)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        // Verify via two sequential broadcast join-backs (d35's pattern):
-        // the bounded pair table broadcasts, the corpus side streams and
-        // never shuffles its hash sets. Measured against the one-scan
-        // alternative (melt pairs into (pair, role, id) rows, join the
-        // corpus once, reassemble per pair): the melt's extra aggregate
-        // (SortAggregate over array payloads) + exchange cost MORE than
-        // the second column-pruned scan (5.9 s vs 4.1 s warm at sf0.1) —
-        // the scans here are cheap next to the candidate pipeline. On a
-        // cluster where the corpus read dominates, flip to the one-scan
-        // form or materialize `sets` once.
+        // Verify via two sequential join-backs (d35's pattern). Join
+        // strategy is left to AQE ON PURPOSE: on a typical corpus the
+        // pair table is tiny and AQE broadcasts it (the corpus never
+        // shuffles its hash sets — plan-asserted at test scale), but an
+        // EXACT join's pair output is quadratic in dup-group size, and on
+        // a dup-heavy corpus `aSide` (pairs × hash-set payload) can reach
+        // hundreds of MB — a forced broadcast() hint OOMed the driver on
+        // the 8× stress corpus (StressDup, ~476k pairs × ~1.6 KB); AQE
+        // flips that case to a shuffle join at runtime. Measured against
+        // the one-scan melt alternative (join the corpus once against
+        // exploded (pair, role) rows, reassemble per pair): the melt's
+        // extra aggregate + exchange cost MORE than the second
+        // column-pruned scan (5.9 s vs 4.1 s warm at sf0.1).
         val aSide = sets.select(col("doc_id").as("a_id"), col("hs").as("a_hs"))
-          .join(broadcast(cand), "a_id")
+          .join(cand, "a_id")
         sets.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))
-          .join(broadcast(aSide), "b_id")
+          .join(aSide, "b_id")
           .withColumn("jaccard",
             MinHashExprs.jaccardSorted(col("a_hs"), col("b_hs")))
           .filter(col("jaccard") >= 0.5)

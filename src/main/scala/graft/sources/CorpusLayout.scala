@@ -49,4 +49,40 @@ object CorpusLayout {
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+
+  // ---- interchange formats -------------------------------------------
+  // Parquet is the native layout; these exist for corpora that arrive in
+  // (or must be handed to) other stacks. Capability ladder, verified by
+  // CorpusLayoutSpec's plan assertions:
+  //   parquet/orc — columnar: predicate pushdown + column pruning skip
+  //     I/O (stats-pruned row groups/stripes, unread columns);
+  //   csv — row-text: filters push only to the PARSER (unmatched rows
+  //     never materialize) and pruning drops fields post-parse, but
+  //     every byte of every line is still read and split. Hand-off
+  //     format, not a processing format.
+
+  /** ORC mirror of the parquet layout — same pushdown/pruning class. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
+  /** CSV hand-off: header + quote-all + backslash-free `"`-escaping so
+    * embedded newlines/quotes/commas round-trip losslessly. */
+  def writeCsv(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(dir)
+
+  /** CSV read with a DECLARED schema (inference would re-scan the data
+    * and guess types the writer knew). `multiLine` honors quoted embedded
+    * newlines — which makes a file non-splittable (no record boundary is
+    * knowable mid-file), so a CSV corpus parallelizes by FILE COUNT, not
+    * by split: another reason it's a hand-off format. */
+  def readCsv(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(dir)
 }

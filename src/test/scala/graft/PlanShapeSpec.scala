@@ -37,10 +37,12 @@ class PlanShapeSpec extends SparkSpec {
     * corpus total (vocab logprobs) and the 1-row OOV floor (scoring);
     * d36 broadcasts the 1-row stratum-count minimum against the
     * per-stratum count table (both tiny aggregates); e09 broadcasts the
-    * same bounded probe sample as e07 for both its rankings. */
+    * same bounded probe sample as e07 for both its rankings; e10
+    * broadcasts the 1-row per-dim means array. */
   private val nlJoinIntended =
     Set("e01_cosine_topk", "e07_ann_recall", "e09_matryoshka_recall",
-      "d24_vocab_coverage", "d32_unigram_logprob", "d36_temperature_mix")
+      "e10_mean_center", "d24_vocab_coverage", "d32_unigram_logprob",
+      "d36_temperature_mix")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -234,6 +236,12 @@ class PlanShapeSpec extends SparkSpec {
     val e09 = plan("e09_matryoshka_recall")
     assert(e09.contains("WindowGroupLimit"),
       s"e09's per-probe top-3 must use WindowGroupLimit:\n$e09")
+    // e10 mean centering: the stats pass must be a hash aggregate on pos
+    // (constant 64-group state), never a sort/window, and the only joins
+    // are the 1-row means broadcast — no shuffle join of the corpus
+    val e10 = plan("e10_mean_center")
+    assert(!e10.contains("SortMergeJoin") && !e10.contains("Window "),
+      s"e10 must stay two narrow passes + a 1-row broadcast:\n$e10")
   }
 
   test("star queries keep broadcast dimensions and map-side top-k") {
