@@ -130,15 +130,18 @@ object Winnowing {
     * bucket expansion (never all-pairs); the full sets are then attached
     * by joining the PAIR table back against the RAW docs — two joins whose
     * small side is the verified-candidate pair list, which the boilerplate
-    * caps keep far below the corpus size, so it is broadcast and the big
-    * doc side never shuffles. Crucially the winnow projection sits ABOVE
-    * each join-back, so the O(chars) fingerprint pass runs only for the
-    * few rows the broadcast probe keeps — joining pre-fingerprinted frames
-    * instead would recompute the full-corpus winnow pass once per side
-    * (measured 2.8 s → 2.1 s at sf0.1 for d35, leaving ~candidate-gen
-    * cost only). (At a pair count too
-    * large to broadcast, drop the hints and the planner falls back to
-    * shuffle joins on doc id — the semantics don't change.)
+    * caps keep far below the corpus size, so AQE broadcasts it and the
+    * big doc side never shuffles (plan-asserted at test scale). The join
+    * strategy is deliberately NOT hinted: a forced broadcast() of a
+    * pair table whose second join-back side carries per-pair fingerprint
+    * arrays OOMs the driver on dup-heavy corpora (the d39 stress lesson —
+    * pair output is quadratic in dup-group size); unhinted, AQE flips the
+    * oversized case to a shuffle join with identical semantics. Crucially
+    * the winnow projection sits ABOVE each join-back, so the O(chars)
+    * fingerprint pass runs only for the few rows the join keeps — joining
+    * pre-fingerprinted frames instead would recompute the full-corpus
+    * winnow pass once per side (measured 2.8 s → 2.1 s at sf0.1 for d35,
+    * leaving ~candidate-gen cost only).
     *
     * Cross-engine exactness: intersection/min-size are exact integers on
     * distinct fingerprint sets; the one double division is bit-stable. */
@@ -152,10 +155,10 @@ object Winnowing {
     // Join raw docs first, fingerprint after: the winnow pass runs only on
     // the (few) rows the broadcast pair probe keeps.
     val withA = docs.select(col(idCol).as("a_id"), col(textCol).as("ta"))
-      .join(broadcast(pairs), "a_id")
+      .join(pairs, "a_id")
       .select(col("a_id"), col("b_id"), fpOf(col("ta")).as("fa"))
     val both = docs.select(col(idCol).as("b_id"), col(textCol).as("tb"))
-      .join(broadcast(withA), "b_id")
+      .join(withA, "b_id")
       .select(col("a_id"), col("b_id"), col("fa"), fpOf(col("tb")).as("fb"))
     both
       .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("bigint"))
