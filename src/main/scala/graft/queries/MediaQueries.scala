@@ -26,6 +26,20 @@ object MediaQueries {
   private def hexByte(hx: String, i: Int): String =
     s"(${hexDigit(hx, 2 * i + 1)} * 16 + ${hexDigit(hx, 2 * i + 2)})"
 
+  /** [[hexDigit]] with a DYNAMIC 1-based position expression — written in
+    * the substring/ascii/BETWEEN dialect intersection, so the SAME string
+    * is valid Spark SQL and DuckDB SQL (m08 interpolates it into both
+    * engines' caption-time lambdas; identical text = identical bytes). */
+  private def hexDigitAt(hx: String, pos: String): String =
+    s"(CASE WHEN substring($hx, $pos, 1) BETWEEN '0' AND '9' " +
+      s"THEN ascii(substring($hx, $pos, 1)) - 48 " +
+      s"ELSE ascii(substring($hx, $pos, 1)) - 87 END)"
+
+  /** [[hexByte]] with a dynamic 0-based byte-index expression (dual-engine
+    * like [[hexDigitAt]]). */
+  private def hexByteAt(hx: String, i: String): String =
+    s"(${hexDigitAt(hx, s"2*($i)+1")} * 16 + ${hexDigitAt(hx, s"2*($i)+2")})"
+
   /** Decoded-stub CTE: mirrors Multimodal.syntheticMedia (kind
     * round-robins by id, payload = md5 bytes) + decodeStub (width/height
     * from first/last payload byte & 0x3f, video frames from the middle
@@ -226,5 +240,70 @@ object MediaQueries {
         SELECT media_id, source, kind, n_text, n_media, n_tokens,
           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         FROM cum""")),
+
+    // ---- frame ↔ caption alignment (as-of join in the media domain) ------
+    // The video-text pair construction step: every sampled frame (m02's
+    // stride-4 grid, 4 fps ⇒ ts = frame_idx·250 ms) is aligned to the
+    // most recent transcript caption that started at or before it — a
+    // per-media as-of join, exactly the q19 attribution shape applied to
+    // multimodal pairing. Captions are 8-token transcript chunks whose
+    // start times come from the same deterministic md5-byte seam as every
+    // media fixture: chunk k starts at k·900 + byte(md5(text), k mod 16)·3
+    // ms (jitter ≤ 765 < 900 keeps starts strictly increasing, so the
+    // as-of right side is unique per (media, ts) as TemporalJoins
+    // requires). Frames before the first caption align to NULL (left
+    // as-of) — the honest cold-open case.
+    //
+    // Scale shape: TemporalJoins.asOfJoin — union both sides, ONE shuffle
+    // on media_id, one in-partition window carrying the latest caption
+    // forward; never an inequality join (DuckDB's ASOF JOIN is the
+    // oracle's native mirror of the same semantics).
+    GraftQuery(
+      "m08_caption_align",
+      (s, d) => {
+        import graft.operators.{Multimodal, TemporalJoins}
+        val frames = Multimodal.sampleFrames(
+          Multimodal.decodeFeatures(
+            Multimodal.syntheticMedia(Tables.documents(s, d))), every = 4)
+          .select(col("media_id"), col("kind"), col("frame_idx"),
+            (col("frame_idx") * 250).cast("bigint").as("ts_ms"))
+        val caps = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+          .filter(size(col("toks")) >= 1)
+          .withColumn("hx", md5(col("text")))
+          .select(col("doc_id").as("media_id"), explode(expr(
+            s"""transform(sequence(0, (size(toks)-1) div 8), k -> named_struct(
+               'cap_idx', CAST(k AS BIGINT),
+               'ts_ms', CAST(k * 900 + ${hexByteAt("hx", "k % 16")} * 3 AS BIGINT)))"""))
+            .as("cap"))
+          .select(col("media_id"), col("cap.cap_idx").as("cap_idx"),
+            col("cap.ts_ms").as("ts_ms"))
+        TemporalJoins.asOfJoin(frames, caps, "media_id", "ts_ms")
+          .select(col("media_id"), col("kind"), col("frame_idx"),
+            col("ts_ms"), col("asof.cap_idx").as("cap_idx"),
+            col("asof.ts_ms").as("cap_start_ms"))
+      },
+      Some(s"""WITH $sqlDecodedCte,
+        frames AS (SELECT media_id, kind,
+          CAST(unnest(CASE WHEN kind = 'video'
+            THEN generate_series(0, n_frames - 1, 4)
+            ELSE [CAST(0 AS BIGINT)] END) AS INT) AS frame_idx
+        FROM dec),
+        f AS (SELECT media_id, kind, frame_idx,
+          CAST(frame_idx * 250 AS BIGINT) AS ts_ms FROM frames),
+        tk AS (SELECT doc_id, md5(text) AS hx,
+            ${TextQueries.sqlToks} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        caps AS (SELECT doc_id AS media_id,
+            unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+              k -> {'ci': CAST(k AS BIGINT),
+                'st': CAST(k * 900 + ${hexByteAt("hx", "k % 16")} * 3 AS BIGINT)})) AS u
+          FROM tk WHERE len(toks) >= 1),
+        c AS (SELECT media_id, u.ci AS cap_idx, u.st AS ts_ms FROM caps)
+        SELECT f.media_id, f.kind, f.frame_idx, f.ts_ms,
+          c.cap_idx, c.ts_ms AS cap_start_ms
+        FROM f ASOF LEFT JOIN c
+          ON f.media_id = c.media_id AND f.ts_ms >= c.ts_ms""")),
   )
 }

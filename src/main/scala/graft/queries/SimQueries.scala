@@ -33,6 +33,22 @@ object SimQueries {
       when(element_at(emb, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** 32-bit sign word over dims [off+1, off+32] (e11's binary
+    * quantization): bit i set iff the element is > 0. Values stay in
+    * [0, 2^32), so a BIGINT carrier never sign-overflows — the reason the
+    * 64-dim signature is two words, not one. */
+  private def signWord(emb: Column, off: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(emb, off + i + 1) > lit(0.0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of [[signWord]]. */
+  private def sqlSignWord(emb: String, off: Int): String =
+    (0 until 32).map { i =>
+      s"(CASE WHEN $emb[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
   // Bucket-width scaling: bits grows with the corpus so the EXPECTED
   // bucket size stays ≤ TargetBucket vectors — a fixed bits would make
   // every bucket 1/2^bits of the corpus, a straggler by construction at
@@ -471,5 +487,79 @@ object SimQueries {
           sqrt(list_sum(list_transform(list_zip(xs, mus),
             p -> (p[1] - p[2]) * (p[1] - p[2])))) AS centered_norm
         FROM e, ma""")),
+
+    // ---- 1-bit binary quantization + Hamming coarse pass + float rerank --
+    // The binary-quantized search tier (the faiss-BQ / "binary passage
+    // retrieval" scheme): each 64-dim embedding collapses to ONE sign bit
+    // per dim, packed into two 32-bit words (bit 63 is never set, so the
+    // BIGINT words can't sign-overflow in either engine). Coarse pass
+    // ranks the corpus per probe by Hamming distance — bit_count(xor) on
+    // two machine words, a 32× memory cut vs float32 — then the top-8
+    // coarse survivors are reranked by EXACT cosine to a final top-3.
+    // This is e08's storage story taken to its limit plus e07's
+    // eval-before-trusting discipline in one operator: the rerank is what
+    // production systems do about BQ's resolution loss.
+    //
+    // Scale shape: probes broadcast against the corpus (narrow scan, no
+    // corpus shuffle — e07's pattern); the only exchange keys on a_id,
+    // and row_number ≤ 8 gets map-side WindowGroupLimit before it. The
+    // rerank window repartitions on the SAME key, so Catalyst plans one
+    // exchange for both windows; exact cosine runs on probes×8 rows only.
+    // At 100 TB the coarse scan is memory-bandwidth-bound over 8 B/vec
+    // (vs 256 B float) — the whole point of the operator.
+    //
+    // Determinism: Hamming is integer; both windows tie-break on b_id;
+    // cosine is the strict left-to-right fold mirrored by sqlCos.
+    GraftQuery(
+      "e11_hamming_rerank",
+      (s, d) => {
+        val base = Tables.validEmbeddings(s, d).select(
+          col("vec_id"), asDouble(col("embedding")).as("emb"),
+          signWord(col("embedding"), 0).as("w0"),
+          signWord(col("embedding"), 32).as("w1"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = base.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+            col("w0").as("a_w0"), col("w1").as("a_w1"))
+        val wH = Window.partitionBy(col("a_id"))
+          .orderBy(col("hamming").asc, col("b_id").asc)
+        val wC = Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        base.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+            col("w0").as("b_w0"), col("w1").as("b_w1"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("hamming",
+            (bit_count(col("a_w0").bitwiseXOR(col("b_w0"))) +
+              bit_count(col("a_w1").bitwiseXOR(col("b_w1")))).cast("bigint"))
+          .withColumn("rn_h", row_number().over(wH))
+          .filter(col("rn_h") <= 8)
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn", row_number().over(wC).cast("bigint"))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("rn"), col("b_id"), col("hamming"),
+            col("cos_sim"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          ${sqlSignWord("embedding", 0)} AS w0,
+          ${sqlSignWord("embedding", 32)} AS w1
+        FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae, w0 AS aw0, w1 AS aw1
+          FROM b WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        h AS (SELECT p.a_id, c.vec_id AS b_id, p.ae, c.e,
+            CAST(bit_count(xor(p.aw0, c.w0)) + bit_count(xor(p.aw1, c.w1))
+              AS BIGINT) AS hamming
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        coarse AS (SELECT a_id, b_id, ae, e, hamming FROM (
+          SELECT h.*, row_number() OVER (PARTITION BY a_id
+            ORDER BY hamming ASC, b_id ASC) AS rn_h FROM h) t
+          WHERE rn_h <= 8)
+        SELECT a_id, rn, b_id, hamming, cos_sim FROM (
+          SELECT a_id, b_id, hamming, ${sqlCos("ae", "e")} AS cos_sim,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY ${sqlCos("ae", "e")} DESC, b_id ASC) AS rn
+          FROM coarse) t WHERE rn <= 3""")),
   )
 }

@@ -1349,6 +1349,124 @@ object TextQueries {
           FROM cand c JOIN sz sa ON sa.doc_id = c.a_id
           JOIN sz sb ON sb.doc_id = c.b_id)
         SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5""")),
+
+    // ---- bigram LM log-prob score (Jelinek-Mercer interpolation) ---------
+    // d32's unigram filter upgraded one order: score each document by the
+    // mean log-probability of its bigrams under the corpus-trained
+    // interpolated model p(cur|prev) = λ·c(prev,cur)/c(prev,·) +
+    // (1-λ)·c(·,cur)/N (λ=0.5) — the Jelinek-Mercer smoother, the
+    // context-sensitivity a unigram model can't give (word salad with a
+    // plausible unigram mix scores low here). No OOV floor is needed:
+    // scoring the training corpus itself, every bigram has c ≥ 1 (a
+    // held-out scorer would add d32's floor).
+    //
+    // Scale shape: ONE lineage — the corpus explodes once into (doc_id,
+    // prev, cur) rows, then a chain of three COUNT-ONLY windows tags each
+    // row with c(prev,cur), c(prev,·), c(·,cur) (the d33 hot-key rule:
+    // a boilerplate bigram's partition is corpus-sized but count-only
+    // window state is O(1)), the 1-row corpus total broadcasts on, and a
+    // doc_id agg folds the mean. Four exchanges, zero joins, zero repeat
+    // scans — the groupBy-count tables + 3 join-backs alternative scans
+    // the corpus four times. Cross-engine determinism: per-bigram
+    // logprobs round to 6 dp and sum as exact DECIMAL(18,6) (the d32
+    // technique), so the doc mean is independent of summation order; the
+    // double expression inside ln is written with IDENTICAL operation
+    // order in both engines.
+    GraftQuery(
+      "d40_bigram_logprob",
+      (s, d) => {
+        val toked = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+        // N = total bigram occurrences: a narrow no-explode scan (1 row).
+        val total = toked.agg(
+          sum(greatest(size(col("toks")) - 1, lit(0))).cast("bigint").as("nn"))
+        val occ = toked.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS prev, toks[i+1] AS cur))"))
+            .as("bg"))
+          .select(col("doc_id"), col("bg.prev").as("prev"),
+            col("bg.cur").as("cur"))
+        val scored = occ
+          .withColumn("cbi",
+            count(lit(1)).over(Window.partitionBy(col("prev"), col("cur"))))
+          .withColumn("cleft",
+            count(lit(1)).over(Window.partitionBy(col("prev"))))
+          .withColumn("cright",
+            count(lit(1)).over(Window.partitionBy(col("cur"))))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            round(log(
+              lit(0.5) * col("cbi").cast("double") / col("cleft").cast("double")
+                + lit(0.5) * col("cright").cast("double") / col("nn").cast("double")), 6)
+              .cast("decimal(18,6)").as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(
+            (sum(col("lp")).cast("double") / count(lit(1)).cast("double"))
+              .as("logprob_per_bigram"),
+            count(lit(1)).as("n_bigrams"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("logprob_per_bigram"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        nn AS (SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS nn
+          FROM toks),
+        occ AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> {'p': toks[i], 'c': toks[i+1]})) AS u
+          FROM toks WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, u.p AS prev, u.c AS cur FROM occ),
+        cnt AS (SELECT doc_id,
+            COUNT(*) OVER (PARTITION BY prev, cur) AS cbi,
+            COUNT(*) OVER (PARTITION BY prev) AS cleft,
+            COUNT(*) OVER (PARTITION BY cur) AS cright
+          FROM bg),
+        sc AS (SELECT doc_id,
+            CAST(round(ln(
+              0.5 * CAST(cbi AS DOUBLE) / CAST(cleft AS DOUBLE)
+                + 0.5 * CAST(cright AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM cnt, nn),
+        agg AS (SELECT doc_id,
+            CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              AS logprob_per_bigram,
+            CAST(COUNT(*) AS BIGINT) AS n_bigrams
+          FROM sc GROUP BY 1)
+        SELECT d.doc_id, a.logprob_per_bigram,
+          coalesce(a.n_bigrams, 0) AS n_bigrams
+        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // ---- deterministic epoch shuffle + dataloader shard assignment -------
+    // The last step before training ever reads a corpus: a full epoch
+    // permutation (seeded, reproducible — md5("epoch0:" || doc_id) is the
+    // standard keyed-hash shuffle, a different epoch tag reshuffles
+    // without data movement elsewhere) plus round-robin assignment to 8
+    // dataloader shards: shard = (rank-1) % 8, pos = (rank-1) div 8 —
+    // every shard gets ⌈n/8⌉±1 docs in a deterministic read order.
+    //
+    // Scale shape: the q27 lesson applied — exact global rank via
+    // GlobalRank's range-sort + partition-offset zip, NEVER a
+    // single-partition row_number window. Sorting on the md5 key is the
+    // permutation itself, so the rank consumes the only shuffle the
+    // operation fundamentally needs.
+    GraftQuery(
+      "d41_epoch_shards",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val keyed = Tables.documents(s, d).select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("k"))
+        GlobalRank.withRowNumber(keyed, Seq(col("k"), col("doc_id")))
+          .select(col("doc_id"),
+            ((col("rn") - 1) % 8).as("shard"),
+            expr("(rn - 1) div 8").as("pos"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+          row_number() OVER (
+            ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, CAST((rn - 1) % 8 AS BIGINT) AS shard,
+          CAST((rn - 1) // 8 AS BIGINT) AS pos
+        FROM r""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

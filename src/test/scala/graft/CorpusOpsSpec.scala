@@ -29,6 +29,7 @@ class CorpusOpsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-corpus").toString
     if (docs.nonEmpty)
       docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("und"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     if (embs.nonEmpty)
       embs.toDF("vec_id", "embedding")
@@ -237,5 +238,100 @@ class CorpusOpsSpec extends SparkSpec {
     val r0 = run("e07_ann_recall", corpus(Nil, lone)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(r0 == Map(0L -> 0.0))
+  }
+
+  test("e11: Hamming coarse pass finds the sign-identical clones; rerank " +
+      "orders them by exact cosine") {
+    val dim = graft.sources.Tables.EmbeddingDim
+    // probe: +/- split halfway; no zero elements (0 is not > 0)
+    def base(j: Int): Float = if (j < 32) 0.5f else -0.5f
+    def flip(v: Array[Float], idxs: Int*): Array[Float] = {
+      val c = v.clone(); idxs.foreach(i => c(i) = -c(i)); c
+    }
+    val v0 = Array.tabulate(dim)(base)
+    val embs: Seq[(Long, Array[Float])] =
+      Seq(0L -> v0,
+        1L -> v0.map(_ * 0.9f),       // hamming 0, cosine 1.0
+        2L -> flip(v0, 0),            // hamming 1
+        3L -> flip(v0, 0, 1)) ++      // hamming 2
+        (4L to 19L).map(i => i -> v0.map(x => -x)) // hamming 64
+    val out = run("e11_hamming_rerank", corpus(Nil, embs)).collect()
+      .filter(_.getLong(0) == 0L) // probe set = vec_id % 20 == 0
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // (rn, b_id, hamming)
+      .sortBy(_._1)
+    // coarse top-8 keeps {1,2,3} (hamming 0/1/2) + 5 far vectors; the
+    // cosine rerank puts the three near-clones first, in flip order
+    assert(out.take(3).toSeq == Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 2L)),
+      s"unexpected rerank: ${out.mkString(", ")}")
+  }
+
+  test("d40: interpolated bigram logprob — hand-computed corpus, and " +
+      "sub-2-token docs score NULL with zero bigrams") {
+    // docA "a b a b a": bigrams (a,b)x2, (b,a)x2; with docB's single
+    // token contributing nothing, N=4. For every bigram: p_bi = 1,
+    // p_uni(cur) = 2/4 => s = 0.5*1 + 0.5*0.5 = 0.75.
+    val dir = corpus(Seq(10L -> "a b a b a", 11L -> "x", 12L -> ""))
+    val rows = run("d40_bigram_logprob", dir).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
+    val lp = BigDecimal(math.log(0.75)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(10L) == (Some(lp), 4L))
+    assert(rows(11L) == (None, 0L))
+    assert(rows(12L) == (None, 0L))
+  }
+
+  test("d41: epoch shards are balanced round-robin over the md5 " +
+      "permutation, deterministically") {
+    val dir = corpus((0L until 20L).map(i => i -> s"doc $i"))
+    def runOnce(): Seq[(Long, Long, Long)] =
+      run("d41_epoch_shards", dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val out = runOnce()
+    assert(out.map(_._1).toSet == (0L until 20L).toSet)
+    // expected permutation: sort by (md5("epoch0:" || id), id)
+    val perm = (0L until 20L).sortBy(i => (md5Hex(s"epoch0:$i"), i))
+    val expected = perm.zipWithIndex.map { case (id, r) =>
+      (id, (r % 8).toLong, (r / 8).toLong)
+    }
+    assert(out.toSet == expected.toSet)
+    // balance: every shard holds ceil(20/8)=3 or floor=2 docs
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(n => n == 2 || n == 3) && sizes.size == 8)
+    assert(runOnce().toSet == out.toSet) // stable across runs
+  }
+
+  test("m08: every sampled frame aligns to the latest caption at or " +
+      "before it; cold-open frames align to NULL") {
+    // doc_id 2 -> video (id % 3); text long enough for 3 captions
+    val text2 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = corpus(Seq(0L -> "img doc words here", 2L -> text2))
+    def byteAt(hex: String, i: Int): Int =
+      Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16)
+    def capStarts(text: String): Seq[(Long, Long)] = {
+      val hx = md5Hex(text)
+      val n = text.trim.split("\\s+").count(_.nonEmpty)
+      (0 to (n - 1) / 8).map(k =>
+        k.toLong -> (k * 900L + byteAt(hx, k % 16) * 3L))
+    }
+    def expectedFor(id: Long, text: String, kind: String): Set[(Long, String, Long, Long, Option[Long], Option[Long])] = {
+      val caps = capStarts(text)
+      val hx = md5Hex(text)
+      val frames: Seq[Int] =
+        if (kind == "video") 0 until (1 + byteAt(hx, 8) % 16) by 4
+        else Seq(0)
+      frames.map { fi =>
+        val ts = fi * 250L
+        val hit = caps.filter(_._2 <= ts).lastOption
+        (id, kind, fi.toLong, ts, hit.map(_._1), hit.map(_._2))
+      }.toSet
+    }
+    val out = run("m08_caption_align", dir).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))
+    }.toSet
+    assert(out == expectedFor(0L, "img doc words here", "image") ++
+      expectedFor(2L, text2, "video"))
   }
 }

@@ -41,8 +41,8 @@ class PlanShapeSpec extends SparkSpec {
     * broadcasts the 1-row per-dim means array. */
   private val nlJoinIntended =
     Set("e01_cosine_topk", "e07_ann_recall", "e09_matryoshka_recall",
-      "e10_mean_center", "d24_vocab_coverage", "d32_unigram_logprob",
-      "d36_temperature_mix")
+      "e10_mean_center", "e11_hamming_rerank", "d24_vocab_coverage",
+      "d32_unigram_logprob", "d36_temperature_mix", "d40_bigram_logprob")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -250,5 +250,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(q03.contains("TakeOrderedAndProject"))
     val q07 = plan("q07_top_orders_per_segment")
     assert(q07.contains("WindowGroupLimit"))
+  }
+
+  test("round-13 batch 2 holds its scale shapes (e11/d40/d41/m08)") {
+    // e11 binary-quantized search: the coarse top-8 must get the map-side
+    // WindowGroupLimit BEFORE the single a_id exchange, and the rerank
+    // window must REUSE that partitioning — a second exchange between the
+    // two windows means the rerank repartitioned probes×8 rows for nothing
+    val e11 = plan("e11_hamming_rerank")
+    assert(e11.contains("WindowGroupLimit"),
+      s"e11's coarse top-8 must use WindowGroupLimit:\n$e11")
+    assert(shuffles(e11) == 1,
+      s"e11 must plan ONE exchange (a_id) shared by both windows:\n$e11")
+    // d40 bigram LM: one lineage — the count-window chain, never a
+    // groupBy-table + join-back (a shuffle join would re-scan the corpus
+    // per count table); the only joins are the 1-row total broadcast and
+    // the final doc_id outer join-back
+    val d40 = plan("d40_bigram_logprob")
+    assert(!d40.contains("SortMergeJoin"),
+      s"d40 must not shuffle-join count tables back:\n$d40")
+    // 3 hash exchanges (prev, cur, doc_id — Catalyst satisfies the
+    // (prev,cur) window with the cur partitioning) + the 1-row corpus
+    // total's SinglePartition collapse
+    assert(shuffles(d40) <= 4,
+      s"d40's window chain must stay at <= 4 exchanges:\n$d40")
+    // d41 epoch shards: exact global rank via GlobalRank's range-sort +
+    // zip (an ExistingRDD leaf), NEVER a single-partition global window
+    val d41 = plan("d41_epoch_shards")
+    assert(!d41.contains("Window ") && d41.contains("ExistingRDD"),
+      s"d41 must rank via GlobalRank, not a global window:\n$d41")
+    // m08 caption alignment: the as-of must be the union-window form —
+    // one media_id exchange, no inequality join (a nested-loop or
+    // cartesian means the asOfJoin regressed to the naive formulation)
+    val m08 = plan("m08_caption_align")
+    assert(m08.contains("Window"), s"m08 must align via the as-of window:\n$m08")
+    assert(!m08.contains("BroadcastNestedLoopJoin") &&
+      !m08.contains("CartesianProduct"),
+      s"m08 must never plan an inequality join:\n$m08")
   }
 }
