@@ -561,5 +561,60 @@ object SimQueries {
             row_number() OVER (PARTITION BY a_id
               ORDER BY ${sqlCos("ae", "e")} DESC, b_id ASC) AS rn
           FROM coarse) t WHERE rn <= 3""")),
+
+    // ---- paraphrase pairs: semantic near-dups that are NOT lexical -------
+    // The SemDeDup finding operationalized: pairs whose EMBEDDINGS say
+    // near-duplicate (e04's LSH-bucketed cosine ≥ 0.4, vec_id ≡ doc_id —
+    // the corpus's embedding column) but whose TEXT does not (no verified
+    // 3-gram-jaccard ≥ 0.5 pair from d09's generator) — rephrasings,
+    // translations-of-boilerplate, and template variants that every
+    // lexical dedup family (d04-d17) structurally misses. This is the
+    // composite a real pipeline runs AFTER lexical dedup: lexical dups
+    // are cheaper to kill first; what remains here is the semantic-only
+    // tail.
+    //
+    // Scale shape: both inputs are the engine's bounded pair generators
+    // (LSH-bucketed, capped — linear-ish output, never all-pairs); the
+    // subtraction is a left-anti join keyed on the (a_id, b_id) pair —
+    // it shuffles only the two pair tables, never a corpus payload. Both
+    // generators emit a_id < b_id, so pair identity needs no
+    // normalization.
+    GraftQuery(
+      "d42_paraphrase_pairs",
+      (s, d) => {
+        val base = bucketed(s, d)
+        val a = base.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+          col("bucket"))
+        val b = base.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+          col("bucket").as("bucket_b"))
+        val sem = a
+          .join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("cos_sim"))
+        val lex = TextQueries.candidatePairs(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"))
+        sem.join(lex, Seq("a_id", "b_id"), "left_anti")
+      },
+      Some(s"""${TextQueries.sqlMinhashCte}, ${TextQueries.sqlMinhashCappedCte},
+        $sqlBitsCte,
+        b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          ${sqlSignBucket("embedding", "bits")} AS bucket
+        FROM embeddings, nb WHERE $sqlValidEmb),
+        sem AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            ${sqlCos("a.e", "b.e")} AS cos_sim
+          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${sqlCos("a.e", "b.e")} >= 0.4),
+        lex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM mhc a JOIN mhc b
+            ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
+            >= 0.5)
+        SELECT s.a_id, s.b_id, s.cos_sim FROM sem s
+        WHERE NOT EXISTS (SELECT 1 FROM lex l
+          WHERE l.a_id = s.a_id AND l.b_id = s.b_id)""")),
   )
 }

@@ -72,7 +72,7 @@ object TextQueries {
       .withColumn("minhash",
         graft.functions.MinHashExprs.minMd5Shingle(col("toks")))
 
-  private val sqlMinhashCte: String =
+  private[queries] val sqlMinhashCte: String =
     s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
       sh AS (SELECT doc_id,
         list_transform(range(1, greatest(len(toks)-1, 1)),
@@ -105,7 +105,7 @@ object TextQueries {
   /** The capped bucket side of the oracle join — `mhc` is `mh` minus
     * unsignable docs and over-cap buckets (exactly what the Spark side's
     * size(docs) filter admits to pair expansion). */
-  private val sqlMinhashCappedCte: String =
+  private[queries] val sqlMinhashCappedCte: String =
     s"""mhc AS (SELECT * FROM mh WHERE minhash IS NOT NULL
         QUALIFY count(*) OVER (PARTITION BY minhash) <= $lshMaxBucket)"""
 
@@ -135,7 +135,7 @@ object TextQueries {
     *
     * The md5 minhash stays the bucket key (d08's oracle-pinned
     * signature); `lshMaxBucket` bounds the g²/2 in-bucket expansion. */
-  private def candidatePairs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def candidatePairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.MinHashExprs
     import graft.operators.NearDup
@@ -1467,6 +1467,58 @@ object TextQueries {
         SELECT doc_id, CAST((rn - 1) % 8 AS BIGINT) AS shard,
           CAST((rn - 1) // 8 AS BIGINT) AS pos
         FROM r""")),
+
+    // ---- per-doc token-distribution Shannon entropy ----------------------
+    // The information-theoretic sibling of d18's repetition ratio: H =
+    // -Σ_t (c_t/n)·ln(c_t/n) over the doc's own token distribution. Low
+    // entropy flags degenerate repetition (keyword stuffing, scraped
+    // navigation) that the repeated-token FRACTION underweights when the
+    // repeats spread over a few distinct tokens; max entropy (ln n) means
+    // every token unique. A standard Gopher-family quality signal.
+    //
+    // Scale shape: one explode, then two map-side-combinable aggregates —
+    // (doc_id, term) counts, then the per-doc fold. Docs aren't split
+    // across partitions, so the first partial agg collapses each doc's
+    // terms before its exchange and the second sees one row per (doc,
+    // term). Determinism: per-term ln(c/n) rounds to 6 dp, weights by the
+    // exact integer count, and sums as DECIMAL(18,6) (d32's technique) —
+    // the final single division is the only unrounded double op.
+    GraftQuery(
+      "d43_token_entropy",
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val perTerm = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        val perDoc = perTerm
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+          .select(col("doc_id"), col("n"),
+            (col("c") * round(log(col("c").cast("double") / col("n").cast("double")), 6)
+              .cast("decimal(18,6)")).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(
+            (-(sum(col("w")).cast("double")) / first(col("n")).cast("double"))
+              .as("entropy"),
+            first(col("n")).as("n_tokens"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("entropy"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term
+          FROM documents),
+        pt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM t GROUP BY 1, 2),
+        pn AS (SELECT doc_id, term, c,
+            SUM(c) OVER (PARTITION BY doc_id) AS n
+          FROM pt),
+        pd AS (SELECT doc_id,
+            -CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+              AS DECIMAL(18,6))) AS DOUBLE) / CAST(MIN(n) AS DOUBLE) AS entropy,
+            CAST(MIN(n) AS BIGINT) AS n_tokens
+          FROM pn GROUP BY 1)
+        SELECT d.doc_id, pd.entropy, coalesce(pd.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN pd USING (doc_id)""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

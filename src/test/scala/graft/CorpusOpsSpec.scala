@@ -301,6 +301,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(runOnce().toSet == out.toSet) // stable across runs
   }
 
+  test("d42: only semantically-near pairs WITHOUT a lexical near-dup " +
+      "match survive the subtraction") {
+    val dim = graft.sources.Tables.EmbeddingDim
+    // all four vectors share the dim-1..4 sign prefix (one LSH bucket);
+    // A-pattern (docs 0,1) ⊥ B-pattern (docs 2,3) beyond it, so the only
+    // cos ≥ 0.4 pairs are (0,1) and (2,3)
+    def vec(hot: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j < 4) 1.0f else if (j == hot) 10.0f else 0.0f)
+    val docs = Seq(             // 0,1: lexical dups too; 2,3: no shared 3-gram
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "six seven eight nine ten")
+    val embs = Seq(0L -> vec(5), 1L -> vec(5), 2L -> vec(9), 3L -> vec(9))
+    val out = run("d42_paraphrase_pairs", corpus(docs, embs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 3L)),
+      s"expected only the paraphrase pair (2,3), got $out")
+  }
+
+  test("d43: token entropy — hand-computed distributions, degenerate and " +
+      "empty docs") {
+    val dir = corpus(Seq(
+      20L -> "a a b b",      // H = ln 2
+      21L -> "x x x",        // H = 0 (degenerate)
+      22L -> "a b c d",      // H = ln 4 (max: all unique)
+      23L -> ""))            // no tokens -> NULL entropy
+    val rows = run("d43_token_entropy", dir).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
+    def h(probs: Seq[(Long, Long)]): Double = { // (count, n) pairs
+      val s = probs.map { case (c, n) =>
+        c * BigDecimal(math.log(c.toDouble / n.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+      -s / probs.map(_._1).sum.toDouble
+    }
+    assert(rows(20L) == (Some(h(Seq(2L -> 4L, 2L -> 4L))), 4L))
+    assert(rows(21L) == (Some(-0.0), 3L) || rows(21L) == (Some(0.0), 3L))
+    assert(rows(22L) == (Some(h(Seq(1L -> 4L, 1L -> 4L, 1L -> 4L, 1L -> 4L))), 4L))
+    assert(rows(23L) == (None, 0L))
+  }
+
   test("m08: every sampled frame aligns to the latest caption at or " +
       "before it; cold-open frames align to NULL") {
     // doc_id 2 -> video (id % 3); text long enough for 3 captions

@@ -287,5 +287,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!m08.contains("BroadcastNestedLoopJoin") &&
       !m08.contains("CartesianProduct"),
       s"m08 must never plan an inequality join:\n$m08")
+    // d42 paraphrase pairs: the lexical side must be SUBTRACTED via an
+    // anti join of the two bounded pair tables — never recomputed as a
+    // filter over corpus payloads
+    val d42 = plan("d42_paraphrase_pairs")
+    assert(d42.contains("LeftAnti"),
+      s"d42 must subtract lexical pairs with an anti join:\n$d42")
+    // d43 entropy: two map-side-combinable aggregates + the outer
+    // join-back — a window-free sort or extra corpus scan means the
+    // one-lineage shape regressed
+    val d43 = plan("d43_token_entropy")
+    assert(shuffles(d43) <= 4,
+      s"d43 must stay at <= 4 exchanges:\n$d43")
   }
 }
