@@ -123,6 +123,19 @@ object Multimodal {
     * pipeline materializes the hash table once behind this same API and
     * pays the decode exactly once. */
   def perceptualHashGroups(media: DataFrame): DataFrame = {
+    val hashed = perceptualHash(media)
+    val groups = hashed.groupBy(col("kind"), col("phash"))
+      .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("group_n"))
+    hashed.join(broadcast(groups), Seq("kind", "phash"))
+      .select(col("media_id"), col("kind"), col("phash"),
+        col("rep_id"), col("group_n"))
+  }
+
+  /** The aHash projection alone — every input column except the consumed
+    * payload/meta, plus `phash`. Exposed so composites (m09's
+    * caption-reuse detector) can ride extra per-media columns through the
+    * SAME narrow scan instead of re-deriving the hash behind a self-join. */
+  def perceptualHash(media: DataFrame): DataFrame = {
     val bytes = (0 until 8).map(j =>
       conv(substring(lower(hex(col("payload"))), 2 * j + 1, 2), 16, 10)
         .cast("int"))
@@ -130,12 +143,7 @@ object Multimodal {
     val phash = bytes.zipWithIndex
       .map { case (b, j) => when(b * 8 > tot, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)
-    val hashed = media.select(col("media_id"), col("kind"), phash.as("phash"))
-    val groups = hashed.groupBy(col("kind"), col("phash"))
-      .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("group_n"))
-    hashed.join(broadcast(groups), Seq("kind", "phash"))
-      .select(col("media_id"), col("kind"), col("phash"),
-        col("rep_id"), col("group_n"))
+    media.withColumn("phash", phash).drop("payload", "meta")
   }
 
   /** Audio chunking over the decode seam — the audio analog of

@@ -305,5 +305,65 @@ object MediaQueries {
           c.cap_idx, c.ts_ms AS cap_start_ms
         FROM f ASOF LEFT JOIN c
           ON f.media_id = c.media_id AND f.ts_ms >= c.ts_ms""")),
+
+    // ---- caption reuse: same visual, different text ----------------------
+    // The image-text-pair curation check m04 can't make alone: a phash
+    // group (visually-identical media) paired with MORE THAN ONE distinct
+    // caption fingerprint is boilerplate imagery recycled under new text
+    // (stock photos, logos, thumbnails) — pairs a CLIP-style trainer
+    // downweights or dedups, while a group with one caption is an honest
+    // exact dup (m04's case). Composite of the two fingerprint families:
+    // m04's integer aHash for the visual key, d04's md5 text fingerprint
+    // for the caption key.
+    //
+    // Scale shape: phash and caption fingerprint ride ONE narrow scan
+    // (Multimodal.perceptualHash keeps rider columns — no self-join to
+    // re-attach text), then two map-side-combinable groupBys: the
+    // distinct-caption count goes through groupBy(kind, phash, fp) FIRST,
+    // so the (kind, phash) hot keys (≤ 768 distinct values — m04's
+    // documented skew) never feed a count(DISTINCT) expand or a window;
+    // the second agg sees at most |captions| rows per hot key.
+    GraftQuery(
+      "m09_caption_reuse",
+      (s, d) => {
+        val media = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id").as("media_id"),
+            element_at(typedlit(Seq("image", "audio", "video")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+            to_binary(md5(col("text")), lit("hex")).as("payload"),
+            graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        val perCaption = Multimodal.perceptualHash(media)
+          .groupBy(col("kind"), col("phash"), col("fp"))
+          .agg(count(lit(1)).as("c"))
+        perCaption.groupBy(col("kind"), col("phash"))
+          .agg(sum(col("c")).as("n_media"),
+            count(lit(1)).as("n_captions"))
+          .filter(col("n_media") >= 2)
+          .select(col("kind"), col("phash"), col("n_media"),
+            col("n_captions"), (col("n_captions") >= 2).as("multi_caption"))
+      },
+      Some {
+        val byteCols = (0 until 8)
+          .map(j => s"${hexByte("hx", j)} AS b$j").mkString(", ")
+        val tot = (0 until 8).map(j => s"b$j").mkString(" + ")
+        val bits = (0 until 8)
+          .map(j => s"CASE WHEN b$j * 8 > tot THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH med AS (SELECT doc_id AS media_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            md5(text) AS hx, ${TextQueries.sqlFingerprint} AS fp
+            FROM documents WHERE text IS NOT NULL),
+          byt AS (SELECT media_id, kind, fp, $byteCols FROM med),
+          ph AS (SELECT media_id, kind, fp, CAST($bits AS BIGINT) AS phash
+            FROM (SELECT *, $tot AS tot FROM byt)),
+          pc AS (SELECT kind, phash, fp, COUNT(*) AS c
+            FROM ph GROUP BY 1, 2, 3),
+          g AS (SELECT kind, phash, CAST(SUM(c) AS BIGINT) AS n_media,
+            CAST(COUNT(*) AS BIGINT) AS n_captions FROM pc GROUP BY 1, 2)
+          SELECT kind, phash, n_media, n_captions,
+            n_captions >= 2 AS multi_caption
+          FROM g WHERE n_media >= 2"""
+      }),
   )
 }

@@ -616,5 +616,105 @@ object SimQueries {
         SELECT s.a_id, s.b_id, s.cos_sim FROM sem s
         WHERE NOT EXISTS (SELECT 1 FROM lex l
           WHERE l.a_id = s.a_id AND l.b_id = s.b_id)""")),
+
+    // ---- top-variance dimension selection recall (PCA-proxy eval) --------
+    // e09 asked "how much recall does the FIRST-16-dims prefix keep?"
+    // (Matryoshka — assumes the embedding was trained prefix-first). This
+    // is the eval for embeddings that WEREN'T: rank dimensions by corpus
+    // variance (the energy ordering a PCA rotation would formalize — for
+    // axis-aligned selection, top-variance coordinates are the best
+    // k-subset under the same criterion), search on the top-16, score
+    // recall@3 against full-dim truth on the shared probe sample. Read
+    // e09 vs e12 side by side to decide prefix-store vs variance-mask for
+    // a 4× coarse-tier cut.
+    //
+    // Scale shape: pass 1 is e10's constant-size per-dim stats aggregate
+    // (64 keys, map-side combinable — decimal Σx and Σx², exact and
+    // order-free); the 1-row dims array broadcasts; the scoring pass is
+    // e09's single-scan dual ranking (both cosines on one broadcast-probe
+    // scan, both ranks over one a_id exchange — never a corpus self-join).
+    //
+    // Cross-engine exactness: variance ranks compare identical doubles
+    // ((sx2 - sx·sx/n)/n, same op order both engines; decimal sums make
+    // the inputs exact), ties break on dim index; the gathered subvector
+    // keeps rank order on both sides, and cosine is the module's strict
+    // left-to-right fold.
+    GraftQuery(
+      "e12_topvar_recall",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val dims = e.select(posexplode(col("xs")).as(Seq("pos0", "x")))
+          .groupBy(col("pos0"))
+          .agg(
+            sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+              .as("sx"),
+            sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+              .cast("double").as("sx2"),
+            count(lit(1)).cast("double").as("n"))
+          .select((col("pos0") + 1).cast("int").as("pos"),
+            ((col("sx2") - col("sx") * col("sx") / col("n")) / col("n"))
+              .as("variance"))
+          .agg(expr(s"""transform(
+            slice(array_sort(collect_list(struct(-variance AS nv, pos AS pos))),
+              1, $TruncDims),
+            t -> t.pos)""").as("dims"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = e.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("xs").as("a_emb"))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        val hits = e.select(col("vec_id").as("b_id"), col("xs").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .crossJoin(broadcast(dims))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_full", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("cos_tv", cosine(
+            expr("transform(dims, i -> element_at(a_emb, i))"),
+            expr("transform(dims, i -> element_at(b_emb, i))")))
+          .withColumn("rn_full", row_number().over(rankW(col("cos_full"))))
+          .withColumn("rn_tv", row_number().over(rankW(col("cos_tv"))))
+          .filter(col("rn_full") <= 3 && col("rn_tv") <= 3)
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+        probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        el AS (SELECT unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos
+          FROM b),
+        m AS (SELECT pos,
+          CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+          CAST(COUNT(*) AS DOUBLE) AS n
+          FROM el GROUP BY pos),
+        v AS (SELECT CAST(pos AS INT) AS pos,
+          (sx2 - sx * sx / n) / n AS variance FROM m),
+        dm AS (SELECT (list(pos ORDER BY variance DESC, pos ASC))[1:$TruncDims]
+          AS dims FROM v),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        truth AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        tv AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("list_transform(dims, i -> p.ae[i])",
+                "list_transform(dims, i -> c.e[i])")} DESC,
+                c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id, dm) t WHERE rn <= 3),
+        hits AS (SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t JOIN tv a ON t.a_id = a.a_id AND t.b_id = a.b_id
+          GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
   )
 }

@@ -695,5 +695,67 @@ object StarQueries {
           CAST(SUM(rev_dec) OVER w AS DOUBLE) AS rev_7d
         FROM d2
         WINDOW w AS (ORDER BY day_int RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""")),
+
+    // ---- robust outlier flags: exact grouped median + MAD ----------------
+    // Robust statistics the mean/stddev family (q01/q21) can't give: per
+    // order priority, the exact LOWER MEDIAN of order totals, the median
+    // absolute deviation around it, and how many orders sit beyond the
+    // classic |x - med| > 3·MAD robust-z fence. Exact — not
+    // approx_percentile — via RobustStats.groupedMedian's value-histogram
+    // construction: groupBy(key, value) collapses the fact table to its
+    // price histogram with full map-side partial agg, so the median rank
+    // arithmetic runs over distinct prices per group, never a per-group
+    // sort of raw rows (a 5-value key over 100 TB would otherwise be five
+    // straggler sorts — the q27 single-partition trap in grouped form).
+    // Two histogram passes (values, then deviations), each one exchange;
+    // the 5-row median/MAD tables broadcast back.
+    //
+    // Exactness: prices live as DECIMAL(18,2) end-to-end — medians are
+    // data elements, deviations/fences are exact decimal arithmetic, and
+    // only the two reported stats cast to double at the end.
+    GraftQuery(
+      "q29_robust_outliers",
+      (s, d) => {
+        import graft.operators.RobustStats
+        val spend = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("priority"),
+            dec(col("o_totalprice")).as("price"))
+        val med = RobustStats.groupedMedian(spend, "priority", "price", "med")
+        val devs = spend.join(broadcast(med), Seq("priority"))
+          .withColumn("dev", abs(col("price") - col("med")))
+        val mad = RobustStats.groupedMedian(devs, "priority", "dev", "mad")
+        devs.join(broadcast(mad), Seq("priority"))
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("med")).cast("double").as("med"),
+            min(col("mad")).cast("double").as("mad"),
+            sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"))
+      },
+      Some("""WITH p AS (SELECT o_orderpriority AS priority,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        h1 AS (SELECT priority, price, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        r1 AS (SELECT priority, price, c,
+            SUM(c) OVER (PARTITION BY priority ORDER BY price) AS cum,
+            SUM(c) OVER (PARTITION BY priority) AS n
+          FROM h1),
+        med AS (SELECT priority, price AS med FROM r1
+          WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+        devs AS (SELECT p.priority, abs(p.price - m.med) AS dev, m.med
+          FROM p JOIN med m USING (priority)),
+        h2 AS (SELECT priority, dev, COUNT(*) AS c FROM devs GROUP BY 1, 2),
+        r2 AS (SELECT priority, dev, c,
+            SUM(c) OVER (PARTITION BY priority ORDER BY dev) AS cum,
+            SUM(c) OVER (PARTITION BY priority) AS n
+          FROM h2),
+        mad AS (SELECT priority, dev AS mad FROM r2
+          WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2)
+        SELECT d.priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(MIN(d.med) AS DOUBLE) AS med,
+          CAST(MIN(ma.mad) AS DOUBLE) AS mad,
+          CAST(SUM(CASE WHEN d.dev > ma.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+        FROM devs d JOIN mad ma USING (priority)
+        GROUP BY 1""")),
   )
 }

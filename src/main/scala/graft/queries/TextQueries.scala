@@ -43,7 +43,7 @@ object TextQueries {
   /** DuckDB form of TextFunctions.fingerprint — lower → squish → trim →
     * md5. ONE definition: d04/d05/d23 all hash-compare against it, and the
     * lower/squish/trim order is a known cross-engine gotcha. */
-  private val sqlFingerprint: String =
+  private[queries] val sqlFingerprint: String =
     """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
 
   /** Snapshot id parsed from the source tag — NULL (never an error) when
@@ -96,6 +96,12 @@ object TextQueries {
 
   /** Token budget per training pack (d28) — a typical 2k-context window. */
   private val packBudget = 2048
+
+  /** Sliding-window width (tokens) for d44's duplicated-span detector —
+    * the "minimum duplicated substring length" knob of an
+    * exact-substring-dedup pass (suffix-array dedup uses ~50 BPE tokens;
+    * 8 whitespace tokens plays the same role at fixture scale). */
+  private val dupSpanWindow = 8
 
   /** Docs kept per source by the exact-k sampler (d29) — small enough
     * that the rank cap bites even at sf0.01 (25 docs/source), so the
@@ -1519,6 +1525,85 @@ object TextQueries {
           FROM pn GROUP BY 1)
         SELECT d.doc_id, pd.entropy, coalesce(pd.n_tokens, 0) AS n_tokens
         FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
+    // ---- cross-doc duplicated-SPAN merge (exact-substring-dedup analog) --
+    // The span-level view the chunk family (d22 fixed chunks, d33 gram
+    // fractions, d37 chunk scrub) can't give: WHERE duplicated text lives
+    // in each doc, as maximal merged spans. Slide an 8-token window
+    // (stride 1) over every doc, hash each window, count occurrences
+    // corpus-wide (within-doc repeats count — self-plagiarized
+    // boilerplate is still duplicated text); a doc's duplicated window
+    // positions then merge into maximal spans wherever consecutive
+    // positions are ≤ W apart (windows overlap or touch ⟺ the duplicated
+    // token ranges are contiguous) — the gaps-and-islands construction.
+    // Output: one row per (doc, span): 1-based [start_tok, end_tok] and
+    // its length — the spans a surgical dedup pass would cut (vs dropping
+    // whole docs), per Lee et al.'s exact-substring finding.
+    //
+    // Scale shape: the window hashes groupBy with full map-side partial
+    // agg (32-byte key); the join-back carries only (doc_id, pos, hash) —
+    // never text; boilerplate hash hot keys meet an already-aggregated
+    // build side (one row per hash), AQE's skew split handles the probe.
+    // The islands window partitions by doc — bounded by doc length, the
+    // same per-doc bound every d-query relies on.
+    GraftQuery(
+      "d44_dup_span_merge",
+      (s, d) => {
+        val W = dupSpanWindow
+        val occ = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), explode(expr(
+            s"""CASE WHEN size(toks) >= $W THEN
+                 transform(sequence(1, size(toks) - ${W - 1}), p -> named_struct(
+                   'pos', CAST(p AS BIGINT),
+                   'h', md5(concat_ws(' ', slice(toks, p, $W)))))
+               ELSE CAST(array() AS array<struct<pos: bigint, h: string>>)
+               END""")).as("w"))
+          .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+        val dupHashes = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val spans = occ.join(dupHashes, Seq("h"))
+          .select(col("doc_id"), col("pos"))
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(byDoc) > W, 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("brk")).over(byDoc))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).as("start_tok"),
+            (max(col("pos")) + (W - 1)).as("end_tok"))
+        spans
+          .withColumn("span_idx", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("start_tok")))
+            .cast("bigint"))
+          .select(col("doc_id"), col("span_idx"), col("start_tok"),
+            col("end_tok"),
+            (col("end_tok") - col("start_tok") + 1).as("span_len"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        w AS (SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) - ${dupSpanWindow - 2}),
+            p -> {'pos': CAST(p AS BIGINT),
+              'h': md5(array_to_string(toks[p:p+${dupSpanWindow - 1}], ' '))})) AS u
+          FROM toks WHERE len(toks) >= $dupSpanWindow),
+        occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM w),
+        dup AS (SELECT o.doc_id, o.pos FROM occ o
+          JOIN (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2) c
+            USING (h)),
+        brk AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              > $dupSpanWindow THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        grp AS (SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+        sp AS (SELECT doc_id, MIN(pos) AS start_tok,
+            MAX(pos) + ${dupSpanWindow - 1} AS end_tok
+          FROM grp GROUP BY doc_id, g)
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+            AS BIGINT) AS span_idx,
+          start_tok, end_tok, end_tok - start_tok + 1 AS span_len
+        FROM sp""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

@@ -344,6 +344,84 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(23L) == (None, 0L))
   }
 
+  test("d44: duplicated windows merge into maximal spans; within-doc " +
+      "repeats count; a gap > W splits islands; short docs emit nothing") {
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val sharedA = toks("a", 10)
+    val run = toks("s", 8)
+    val dir = corpus(Seq(
+      0L -> s"$sharedA ${toks("u", 10)}",   // shares a1..a10 with doc 1
+      1L -> s"$sharedA ${toks("v", 10)}",
+      2L -> s"$run ${toks("x", 9)} $run",   // repeats its own 8-token run
+      3L -> "tiny doc"))                    // < 8 tokens: no windows
+    val out = run4("d44_dup_span_merge", dir)
+    // docs 0/1: dup window positions {1,2,3} (the windows fully inside
+    // a1..a10) merge into ONE span covering exactly the shared 10 tokens
+    assert(out(0L) == Seq((1L, 1L, 10L, 10L)))
+    assert(out(1L) == Seq((1L, 1L, 10L, 10L)))
+    // doc 2: dup positions {1, 18} are 17 > W apart -> two spans, each
+    // exactly the repeated run
+    assert(out(2L) == Seq((1L, 1L, 8L, 8L), (2L, 18L, 25L, 8L)))
+    assert(!out.contains(3L))
+  }
+
+  private def run4(name: String, dir: String): Map[Long, Seq[(Long, Long, Long, Long)]] =
+    run(name, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+
+  test("e12: when every nonzero coordinate lies in the 16 top-variance " +
+      "dims, variance-masked search recalls the full-dim truth exactly") {
+    val dim = graft.sources.Tables.EmbeddingDim
+    val hot = (17 to 32).toSet // 1-based; 16 dims, zero elsewhere
+    // integer-valued coordinates: all dots/norms are exact integer sums in
+    // double, so cos over the gathered subvector == cos over the full
+    // vector bit-for-bit and the two rankings must agree everywhere
+    def vec(i: Int): Array[Float] = Array.tabulate(dim) { j0 =>
+      val j = j0 + 1
+      if (hot(j)) ((i * 7 + j * 3) % 11 + 1).toFloat else 0.0f
+    }
+    val embs = (0 to 20).map(i => i.toLong -> vec(i))
+    val out = run("e12_topvar_recall", corpus(Seq(0L -> "stub doc"), embs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(0L, 20L)) // probes: vec_id % 20 == 0
+    assert(out.values.forall(_ == 1.0),
+      s"variance-masked recall must be exact on hot-dim-only vectors: $out")
+  }
+
+  test("m09: a phash group with two distinct captions is flagged " +
+      "multi_caption; exact-dup captions are not; singletons are dropped") {
+    def aHash(text: String): Long = {
+      val bytes = MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).take(8).map(b => b & 0xff)
+      val tot = bytes.sum
+      bytes.zipWithIndex
+        .map { case (b, j) => if (b * 8 > tot) 1L << j else 0L }.sum
+    }
+    val tC = "stable shared caption"
+    // search the synthetic seam for two DIFFERENT captions whose md5-byte
+    // aHash collides (8-bit hash: a pair appears within a few dozen
+    // candidates) and doesn't collide with the control groups
+    val cands = Iterator.from(0).map(i => s"caption variant $i")
+      .filter(t => aHash(t) != aHash(tC)).take(200).toSeq
+    val (tA, tB) = cands.groupBy(aHash).values.find(_.size >= 2)
+      .map(g => (g(0), g(1)))
+      .getOrElse(fail("no aHash collision in 200 candidates"))
+    val tD = Iterator.from(0).map(i => s"solo caption $i")
+      .find(t => aHash(t) != aHash(tC) && aHash(t) != aHash(tA))
+      .get
+    // all ids ≡ 0 (mod 3) -> every row is kind 'image'
+    val dir = corpus(Seq(0L -> tA, 3L -> tB, 6L -> tC, 9L -> tC, 12L -> tD))
+    val out = run("m09_caption_reuse", dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(out == Map(
+      aHash(tA) -> (2L, 2L, true),   // same visual, two captions
+      aHash(tC) -> (2L, 1L, false))) // honest exact dup
+  }
+
   test("m08: every sampled frame aligns to the latest caption at or " +
       "before it; cold-open frames align to NULL") {
     // doc_id 2 -> video (id % 3); text long enough for 3 captions
