@@ -78,11 +78,17 @@ object Bench {
     }
     // failed queries report null (not their time-to-failure) so the driver
     // can't mistake a crash for a fast run; they're excluded from total.
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
+    // Times round to ms and the summary fields (total/failures/sf) come
+    // AFTER the per-query map: the driver keeps only the LAST ~2000 chars
+    // of stdout, so with 90+ queries a leading summary scrolls out of the
+    // captured tail while a trailing one always survives.
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) ms(v) else "null") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val failures = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","queries":$qs,"unit":"sec","failures":$failures,"value":${ms(total)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

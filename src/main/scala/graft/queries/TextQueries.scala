@@ -1371,9 +1371,11 @@ object TextQueries {
     // row with c(prev,cur), c(prev,·), c(·,cur) (the d33 hot-key rule:
     // a boilerplate bigram's partition is corpus-sized but count-only
     // window state is O(1)), the 1-row corpus total broadcasts on, and a
-    // doc_id agg folds the mean. Four exchanges, zero joins, zero repeat
-    // scans — the groupBy-count tables + 3 join-backs alternative scans
-    // the corpus four times. Cross-engine determinism: per-bigram
+    // doc_id agg folds the mean. Four exchanges and zero joins in the
+    // scoring lineage itself; the only join is a final doc_id-only left
+    // join-back of a second documents scan so sub-2-token docs emit a
+    // NULL score — still far from the groupBy-count-tables alternative,
+    // which scans the full corpus text four times. Cross-engine determinism: per-bigram
     // logprobs round to 6 dp and sum as exact DECIMAL(18,6) (the d32
     // technique), so the doc mean is independent of summation order; the
     // double expression inside ln is written with IDENTICAL operation

@@ -38,11 +38,14 @@ class PlanShapeSpec extends SparkSpec {
     * d36 broadcasts the 1-row stratum-count minimum against the
     * per-stratum count table (both tiny aggregates); e09 broadcasts the
     * same bounded probe sample as e07 for both its rankings; e10
-    * broadcasts the 1-row per-dim means array. */
+    * broadcasts the 1-row per-dim means array; e12 broadcasts the
+    * bounded probe sample and the 1-row top-variance dim list (same
+    * pattern as e07/e09/e10). */
   private val nlJoinIntended =
     Set("e01_cosine_topk", "e07_ann_recall", "e09_matryoshka_recall",
       "e10_mean_center", "e11_hamming_rerank", "d24_vocab_coverage",
-      "d32_unigram_logprob", "d36_temperature_mix", "d40_bigram_logprob")
+      "d32_unigram_logprob", "d36_temperature_mix", "d40_bigram_logprob",
+      "e12_topvar_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
