@@ -67,28 +67,56 @@ object Bench {
       // q13 7.6 s mid-suite vs 1.8 s isolated).
       System.gc()
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // failed queries report null (not their time-to-failure) so the driver
     // can't mistake a crash for a fast run; they're excluded from total.
-    // Times round to ms and the summary fields (total/failures/sf) come
-    // AFTER the per-query map: the driver keeps only the LAST ~2000 chars
-    // of stdout, so with 90+ queries a leading summary scrolls out of the
-    // captured tail while a trailing one always survives.
+    // Times round to ms and the summary fields (errors/total/failures/sf)
+    // come AFTER the per-query map: the driver keeps only the LAST ~2000
+    // chars of stdout, so with 90+ queries a leading summary scrolls out of
+    // the captured tail while a trailing one always survives. With 94
+    // queries the map alone (~25 chars/entry) EXCEEDS 2000 chars, so the
+    // captured tail starts mid-map and is unparseable as a whole object —
+    // the full line is therefore also written to bench_full.json (cwd, or
+    // SPARK_GRAFT_BENCH_OUT), the diagnosable-from-artifacts copy.
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) ms(v) else "null") }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val failures = results.count(!_._3)
-    println(s"""{"metric":"total","queries":$qs,"unit":"sec","failures":$failures,"value":${ms(total)},"sf":"$sfDir"}""")
+    // JSON string escape for error messages (same contract as Verify's q).
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isEmpty) ms(v) else "null")
+    }.mkString("{", ",", "}")
+    // Failure reasons ride along (truncated: exception class + message head
+    // is the diagnostic; a full analysis-error tree would swamp the tail).
+    // Normally {} so the trailing summary fields still fit the tail.
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":" + q(e.take(200))
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val failures = results.count(_._3.nonEmpty)
+    val line =
+      s"""{"metric":"total","queries":$qs,"unit":"sec","errors":$errs,"failures":$failures,"value":${ms(total)},"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
