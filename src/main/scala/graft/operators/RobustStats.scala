@@ -39,19 +39,36 @@ object RobustStats {
     * bucket whose cumulative range covers rank ⌈n/2⌉.
     */
   def groupedMedian(df: DataFrame, keyCol: String, valCol: String,
-      outCol: String = "median"): DataFrame = {
-    val hist = df.groupBy(col(keyCol), col(valCol))
-      .agg(count(lit(1)).as("c"))
+      outCol: String = "median"): DataFrame =
+    medianOfHistogram(valueHistogram(df, keyCol, valCol),
+      keyCol, valCol, "c", outCol)
+
+  /** `groupBy(key, value).count()` — the map-side-combinable reduction
+    * every order statistic here runs on. Exposed so a caller computing
+    * SEVERAL statistics of the same (or a derived) value can build the
+    * histogram ONCE and stay in histogram space: q29 derives its
+    * deviation histogram from the price histogram (weights re-summed
+    * under the |price − med| mapping), so the fact table is scanned once
+    * for the whole median + MAD + outlier-count chain. */
+  def valueHistogram(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
+
+  /** Rank arithmetic over an existing histogram (keyCol, valCol, cntCol):
+    * one exchange on keyCol feeds both window functions, then a filter
+    * keeps exactly the bucket whose cumulative range covers rank ⌈n/2⌉. */
+  def medianOfHistogram(hist: DataFrame, keyCol: String, valCol: String,
+      cntCol: String, outCol: String = "median"): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))
     val cumW = byKey.orderBy(col(valCol))
     hist
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .withColumn("n", sum(col("c")).over(byKey))
+      .withColumn("cum", sum(col(cntCol)).over(cumW))
+      .withColumn("n", sum(col(cntCol)).over(byKey))
       // target rank ⌈n/2⌉ = (n+1) div 2 (n ≥ 1, so plain div is floor
       // div); the median bucket is the one whose cumulative rank range
       // [cum-c+1, cum] contains the target
       .withColumn("tgt", call_function("div", col("n") + 1, lit(2L)))
-      .filter(col("cum") >= col("tgt") && (col("cum") - col("c")) < col("tgt"))
+      .filter(col("cum") >= col("tgt") &&
+        (col("cum") - col(cntCol)) < col("tgt"))
       .select(col(keyCol), col(valCol).as(outCol))
   }
 }

@@ -701,14 +701,19 @@ object StarQueries {
     // order priority, the exact LOWER MEDIAN of order totals, the median
     // absolute deviation around it, and how many orders sit beyond the
     // classic |x - med| > 3·MAD robust-z fence. Exact — not
-    // approx_percentile — via RobustStats.groupedMedian's value-histogram
-    // construction: groupBy(key, value) collapses the fact table to its
-    // price histogram with full map-side partial agg, so the median rank
-    // arithmetic runs over distinct prices per group, never a per-group
-    // sort of raw rows (a 5-value key over 100 TB would otherwise be five
-    // straggler sorts — the q27 single-partition trap in grouped form).
-    // Two histogram passes (values, then deviations), each one exchange;
-    // the 5-row median/MAD tables broadcast back.
+    // approx_percentile — via RobustStats' value-histogram construction:
+    // groupBy(key, value) collapses the fact table to its price histogram
+    // with full map-side partial agg, so the median rank arithmetic runs
+    // over distinct prices per group, never a per-group sort of raw rows
+    // (a 5-value key over 100 TB would otherwise be five straggler sorts
+    // — the q27 single-partition trap in grouped form).
+    //
+    // ONE fact scan for the whole chain: the deviation histogram is
+    // DERIVED from the price histogram (|price − med| maps buckets, sum(c)
+    // re-merges collisions) instead of rejoining raw orders, and the final
+    // outlier count folds the same deviation histogram with c-weighted
+    // sums. Everything after the first groupBy is histogram-sized; the
+    // 5-row median/MAD tables broadcast back.
     //
     // Exactness: prices live as DECIMAL(18,2) end-to-end — medians are
     // data elements, deviations/fences are exact decimal arithmetic, and
@@ -720,16 +725,23 @@ object StarQueries {
         val spend = Tables.orders(s, d)
           .select(col("o_orderpriority").as("priority"),
             dec(col("o_totalprice")).as("price"))
-        val med = RobustStats.groupedMedian(spend, "priority", "price", "med")
-        val devs = spend.join(broadcast(med), Seq("priority"))
-          .withColumn("dev", abs(col("price") - col("med")))
-        val mad = RobustStats.groupedMedian(devs, "priority", "dev", "mad")
-        devs.join(broadcast(mad), Seq("priority"))
+        val hist = RobustStats.valueHistogram(spend, "priority", "price")
+        val med = RobustStats.medianOfHistogram(
+          hist, "priority", "price", "c", "med")
+        // med is constant per priority, so carrying it as a grouping key
+        // leaves the histogram's bucket structure unchanged.
+        val devHist = hist.join(broadcast(med), Seq("priority"))
+          .groupBy(col("priority"), col("med"),
+            abs(col("price") - col("med")).as("dev"))
+          .agg(sum(col("c")).as("c"))
+        val mad = RobustStats.medianOfHistogram(
+          devHist, "priority", "dev", "c", "mad")
+        devHist.join(broadcast(mad), Seq("priority"))
           .groupBy(col("priority"))
-          .agg(count(lit(1)).as("n_orders"),
+          .agg(sum(col("c")).as("n_orders"),
             min(col("med")).cast("double").as("med"),
             min(col("mad")).cast("double").as("mad"),
-            sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+            sum(when(col("dev") > col("mad") * 3, col("c")).otherwise(0L))
               .as("n_outliers"))
       },
       Some("""WITH p AS (SELECT o_orderpriority AS priority,
