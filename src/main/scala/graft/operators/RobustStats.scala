@@ -53,16 +53,26 @@ object RobustStats {
   def valueHistogram(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
 
-  /** Rank arithmetic over an existing histogram (keyCol, valCol, cntCol):
-    * one exchange on keyCol feeds both window functions, then a filter
-    * keeps exactly the bucket whose cumulative range covers rank ⌈n/2⌉. */
-  def medianOfHistogram(hist: DataFrame, keyCol: String, valCol: String,
-      cntCol: String, outCol: String = "median"): DataFrame = {
+  /** Histogram rows augmented with `cum` (cumulative count in value
+    * order) and `n` (group total): the shared substrate for every rank
+    * statistic here. ONE exchange on keyCol feeds both window functions
+    * (the unordered total shares the ordered window's partitioning), and
+    * callers fold arbitrary rank predicates on top — medianOfHistogram
+    * filters one bucket, q30 folds three percentiles in a single agg. */
+  def rankedHistogram(hist: DataFrame, keyCol: String, valCol: String,
+      cntCol: String): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))
-    val cumW = byKey.orderBy(col(valCol))
     hist
-      .withColumn("cum", sum(col(cntCol)).over(cumW))
+      .withColumn("cum", sum(col(cntCol)).over(byKey.orderBy(col(valCol))))
       .withColumn("n", sum(col(cntCol)).over(byKey))
+  }
+
+  /** Rank arithmetic over an existing histogram (keyCol, valCol, cntCol):
+    * the ranked histogram plus a filter that keeps exactly the bucket
+    * whose cumulative range covers rank ⌈n/2⌉. */
+  def medianOfHistogram(hist: DataFrame, keyCol: String, valCol: String,
+      cntCol: String, outCol: String = "median"): DataFrame =
+    rankedHistogram(hist, keyCol, valCol, cntCol)
       // target rank ⌈n/2⌉ = (n+1) div 2 (n ≥ 1, so plain div is floor
       // div); the median bucket is the one whose cumulative rank range
       // [cum-c+1, cum] contains the target
@@ -70,5 +80,4 @@ object RobustStats {
       .filter(col("cum") >= col("tgt") &&
         (col("cum") - col(cntCol)) < col("tgt"))
       .select(col(keyCol), col(valCol).as(outCol))
-  }
 }

@@ -769,5 +769,59 @@ object StarQueries {
             AS n_outliers
         FROM devs d JOIN mad ma USING (priority)
         GROUP BY 1""")),
+
+    // ---- exact grouped percentiles via the ranked value histogram --------
+    // The latency-dashboard shape (p50/p90/p99 of event value per type),
+    // EXACT, through the same value-histogram substrate as q29: groupBy
+    // (key, value) collapses the fact table under full map-side partial
+    // agg, ONE exchange on event_type feeds the cumulative + total
+    // windows, and all three percentiles fold in a single conditional-min
+    // agg over the ranked rows — three quantiles cost exactly one
+    // histogram pass, not three sorts. Lower (discrete) percentile: the
+    // element at 1-based rank ⌈p·n/100⌉, always a data element, so the
+    // result is engine-exact. Values histogram on DECIMAL(18,6) so equal
+    // doubles genuinely collide into one bucket in both engines; nulls
+    // are dropped (a NULL value has no rank). At 100 TB: bounded by
+    // (event_type × distinct values), never a per-type sort of raw rows —
+    // and where the value domain were genuinely continuous this flips to
+    // approx_percentile's mergeable sketch (the d30 note), exactness here
+    // buys the hashable oracle.
+    GraftQuery(
+      "q30_value_percentiles",
+      (s, d) => {
+        import graft.operators.RobustStats
+        val hist = RobustStats.valueHistogram(
+          Tables.events(s, d).filter(col("value").isNotNull)
+            .select(col("event_type"), col("value").cast("decimal(18,6)").as("v")),
+          "event_type", "v")
+        val ranked = RobustStats.rankedHistogram(hist, "event_type", "v", "c")
+        // ⌈n·p/100⌉ = (n·p + 99) div 100 in exact int64 (n ≥ 1, positive —
+        // plain div is floor div here)
+        def pick(p: Int) = {
+          val tgt = call_function("div", col("n") * p + 99, lit(100L))
+          min(when(col("cum") >= tgt && (col("cum") - col("c")) < tgt,
+            col("v")))
+        }
+        ranked.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_values"),
+            pick(50).cast("double").as("p50"),
+            pick(90).cast("double").as("p90"),
+            pick(99).cast("double").as("p99"))
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+          FROM events WHERE value IS NOT NULL),
+        h AS (SELECT event_type, v, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        r AS (SELECT event_type, v, c,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+            SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM h)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_values,
+          CAST(MIN(CASE WHEN cum >= (n*50+99)//100 AND cum - c < (n*50+99)//100
+            THEN v END) AS DOUBLE) AS p50,
+          CAST(MIN(CASE WHEN cum >= (n*90+99)//100 AND cum - c < (n*90+99)//100
+            THEN v END) AS DOUBLE) AS p90,
+          CAST(MIN(CASE WHEN cum >= (n*99+99)//100 AND cum - c < (n*99+99)//100
+            THEN v END) AS DOUBLE) AS p99
+        FROM r GROUP BY 1""")),
   )
 }

@@ -1606,6 +1606,119 @@ object TextQueries {
             AS BIGINT) AS span_idx,
           start_tok, end_tok, end_tok - start_tok + 1 AS span_len
         FROM sp""")),
+
+    // ---- per-doc TF-IDF keywords (top-3 terms per document) --------------
+    // The keyword-extraction primitive the corpus-level term rankings
+    // (d13/d24) can't give: each document's most CHARACTERISTIC terms —
+    // term frequency × inverse document frequency, top-3 per doc. Scale
+    // shape: ONE corpus explode; the (doc, term) tf agg and the term df
+    // agg are both map-side combinable (df folds the already-distinct tf
+    // rows, vocab-sized, never re-scanning the corpus); the df join-back
+    // keys on term (vocab ≪ corpus — broadcasts under the 64 MB
+    // threshold, degrades to a hash join keyed the way the df agg already
+    // partitioned); the top-3 window partitions by doc_id — bounded by
+    // distinct terms per doc, the same per-doc bound every d-query
+    // window relies on. The corpus doc count is a 1-row broadcast.
+    //
+    // Determinism: idf rounds ln(N/df) to 6 decimals (the d32 rule — both
+    // engines' libm agree through 6dp), tf is an exact small integer, and
+    // the tf·idf product is then the same IEEE double in both engines;
+    // ties break on term asc.
+    GraftQuery(
+      "d45_tfidf_keywords",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = broadcast(
+          Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(df, Seq("term"))
+          .crossJoin(nDocs)
+          .withColumn("tfidf", col("tf").cast("double") *
+            round(log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("tfidf"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+            CAST(tf.tf AS DOUBLE) *
+              round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+              AS tfidf
+          FROM tf JOIN df USING (term), nd)
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank,
+          term, tf, tfidf
+        FROM sc
+        QUALIFY rank <= 3""")),
+
+    // ---- cross-snapshot unigram drift (dataset-shift detector) -----------
+    // The corpus-refresh monitoring op next to d23/d31's dedup: which
+    // terms' relative frequency moved most between the prior dump
+    // (snap 0) and the new crawl (snap 1)? Top-20 by drift magnitude with
+    // both snapshots' counts and probabilities — the table a pipeline
+    // reads before deciding a re-crawl changed the data distribution
+    // enough to re-mix. Scale shape: ONE corpus explode with the snap tag
+    // riding along; per-term conditional sums in a single map-side-
+    // combinable groupBy (never a per-snapshot agg + self-join); the
+    // totals are a 1-row broadcast; the top-20 cut is
+    // TakeOrderedAndProject — bounded driver/exchange bytes, no global
+    // sort materialized.
+    //
+    // Determinism: the ranking key |cnt_a·tot_b − cnt_b·tot_a| is exact
+    // int64 cross-multiplication (no float epsilon deciding the cut;
+    // overflow-safe while counts·total < 2^63 — at larger scale widen to
+    // decimal), ties break on term asc; p_a/p_b/drift are single IEEE
+    // divisions — bit-identical in both engines.
+    GraftQuery(
+      "d46_unigram_drift",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .withColumn("snap", snapOf % 2)
+          .filter(col("snap").isNotNull)
+          .select(col("snap"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term"))
+          .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("cnt_a"),
+            sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cnt_b"))
+        val totals = broadcast(counts.agg(
+          sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b")))
+        counts.crossJoin(totals)
+          .orderBy(abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a")).desc,
+            col("term").asc)
+          .limit(20)
+          .select(col("term"), col("cnt_a"), col("cnt_b"),
+            (col("cnt_a").cast("double") / col("tot_a").cast("double")).as("p_a"),
+            (col("cnt_b").cast("double") / col("tot_b").cast("double")).as("p_b"),
+            round(col("cnt_a").cast("double") / col("tot_a").cast("double")
+              - col("cnt_b").cast("double") / col("tot_b").cast("double"), 6)
+              .as("drift"))
+      },
+      Some(s"""WITH t AS (SELECT $sqlSnap % 2 AS snap, unnest($sqlToks) AS term
+          FROM documents WHERE $sqlSnap IS NOT NULL),
+        c AS (SELECT term,
+            CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+            CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+          FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+            CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM c)
+        SELECT term, cnt_a, cnt_b,
+          CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+          CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+          round(CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+            - CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE), 6) AS drift
+        FROM c, tot
+        ORDER BY abs(cnt_a * tot_b - cnt_b * tot_a) DESC, term ASC
+        LIMIT 20""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

@@ -45,7 +45,11 @@ class PlanShapeSpec extends SparkSpec {
     Set("e01_cosine_topk", "e07_ann_recall", "e09_matryoshka_recall",
       "e10_mean_center", "e11_hamming_rerank", "d24_vocab_coverage",
       "d32_unigram_logprob", "d36_temperature_mix", "d40_bigram_logprob",
-      "e12_topvar_recall")
+      "e12_topvar_recall",
+      // d45 broadcasts the 1-row corpus doc count against the tf×df
+      // rows; d46 broadcasts the 1-row snapshot totals against the
+      // vocab-sized count table — both the same bounded pattern as d24.
+      "d45_tfidf_keywords", "d46_unigram_drift")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -302,5 +306,37 @@ class PlanShapeSpec extends SparkSpec {
     val d43 = plan("d43_token_entropy")
     assert(shuffles(d43) <= 4,
       s"d43 must stay at <= 4 exchanges:\n$d43")
+  }
+
+  test("round-15 queries hold their scale shapes (q30/d45/d46)") {
+    // q30 percentiles: ONE histogram exchange + ONE event_type window
+    // exchange; all three percentiles fold in the same agg — a third
+    // exchange or a join means a per-percentile pass crept in
+    val q30 = plan("q30_value_percentiles")
+    assert(shuffles(q30) == 2 && !q30.contains("Join"),
+      s"q30 must fold all percentiles over one ranked histogram:\n$q30")
+    // d45 TF-IDF: bounded exchanges — (doc,term) tf agg, term df agg,
+    // df join-back, doc window, plus the PLAN-STRING duplicate of the
+    // tf exchange inside the df subtree (two references to the same
+    // lineage; AQE's canonicalized stage cache dedupes it at runtime —
+    // the q29 measurement in SCALING.md). Never a cartesian; the
+    // doc-count side is a 1-row broadcast; the top-3 must group-limit
+    // map-side before the doc window's exchange.
+    val d45 = plan("d45_tfidf_keywords")
+    assert(shuffles(d45) <= 5 && !d45.contains("CartesianProduct"),
+      s"d45 must stay at <= 5 exchanges with no cartesian:\n$d45")
+    assert(d45.contains("WindowGroupLimit"),
+      s"d45 must cut top-3 with a map-side WindowGroupLimit:\n$d45")
+    // d46 drift: single conditional-sum term agg (no per-snapshot agg +
+    // self-join), totals broadcast, and the top-20 cut must be
+    // TakeOrderedAndProject — a global Sort materializes the whole
+    // vocab. <= 3: term agg + 1-row totals agg + the plan-string
+    // duplicate of the term exchange inside the totals subtree (AQE
+    // stage cache dedupes it at runtime).
+    val d46 = plan("d46_unigram_drift")
+    assert(shuffles(d46) <= 3 && d46.contains("TakeOrderedAndProject"),
+      s"d46 must take its top-20 with TakeOrderedAndProject:\n$d46")
+    assert(!d46.contains("SortMergeJoin") && !d46.contains("CartesianProduct"),
+      s"d46 must never self-join the vocab:\n$d46")
   }
 }
