@@ -98,22 +98,34 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) ms(v) else "null")
+    def qsJson(key: String => String) = results.map { case (k, v, err) =>
+      "\"" + key(k) + "\":" + (if (err.isEmpty) ms(v) else "null")
     }.mkString("{", ",", "}")
     // Failure reasons ride along (truncated: exception class + message head
     // is the diagnostic; a full analysis-error tree would swamp the tail).
     // Normally {} so the trailing summary fields still fit the tail.
-    val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":" + q(e.take(200))
+    def errsJson(key: String => String) = results.collect {
+      case (k, _, Some(e)) => "\"" + key(k) + "\":" + q(e.take(200))
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val failures = results.count(_._3.nonEmpty)
-    val line =
-      s"""{"metric":"total","queries":$qs,"unit":"sec","errors":$errs,"failures":$failures,"value":${ms(total)},"sf":"$sfDir"}"""
-    println(line)
+    def line(key: String => String) =
+      s"""{"metric":"total","queries":${qsJson(key)},"unit":"sec","errors":${errsJson(key)},"failures":$failures,"value":${ms(total)},"sf":"$sfDir"}"""
+    // STDOUT gets the short-key form (q01, d45, …): the driver captures
+    // only the last ~2000 chars of stdout, and at 97 queries the
+    // full-name map alone exceeds that, truncating the captured JSON
+    // mid-map. Short prefixes are unique by construction and cut the
+    // line to ~1.3k chars so the whole object survives the tail. The
+    // full-name form goes to bench_full.json (cwd, or
+    // SPARK_GRAFT_BENCH_OUT) — the diagnosable-from-artifacts copy.
+    val shortKey: String => String =
+      if (results.map(_._1.split("_").head).distinct.size == results.size)
+        _.split("_").head
+      else identity // prefix collision: full names beat a silently-merged map
+    println(line(shortKey))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line(identity) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

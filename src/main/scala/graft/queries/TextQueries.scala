@@ -1719,6 +1719,68 @@ object TextQueries {
         FROM c, tot
         ORDER BY abs(cnt_a * tot_b - cnt_b * tot_a) DESC, term ASC
         LIMIT 20""")),
+
+    // ---- banded MinHash LSH pairs, ORACLE-CHECKABLE variant of d12 -------
+    // d12 (NearDup.minhashLshPairs) is the production path: xxhash64
+    // shingles, native codegen'd signatures, 8 B longs on the wire,
+    // shuffle-free multi-table dedup — but xxhash64 has no DuckDB
+    // counterpart, so it verifies rows-only. This variant keys every
+    // band's signature with md5 (table t's signature = min over shingles
+    // of md5('t:' || shingle)), which BOTH engines compute identically —
+    // moving the banded-LSH recall semantics (T independent tables,
+    // bucket-cap policy, exact string-set Jaccard verify) under the
+    // hash-match gate. Same pipeline shape as d12: ONE corpus explode
+    // into T bucket rows per doc, bucket groupBy (capped), in-bucket pair
+    // expansion, distinct over the bounded pair table. The md5-over-
+    // strings cost and the T-fold string-shingle shuffle payload are the
+    // price of oracle parity — production stays on d12's native path.
+    GraftQuery(
+      "d47_banded_lsh_md5",
+      (s, d) => {
+        import graft.operators.NearDup
+        val T = 4
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), expr(sparkGrams).as("sh"))
+        val banded = sh.select(col("doc_id"), col("sh"), explode(expr(
+          s"""transform(sequence(0, ${T - 1}), t -> struct(t AS t,
+               CASE WHEN size(sh) > 0 THEN
+                 array_min(transform(sh, x -> md5(concat(t, ':', x))))
+               END AS mh))""")).as("bk"))
+          .filter(col("bk.mh").isNotNull)
+        val grouped = banded
+          .groupBy(col("bk.t").as("t"), col("bk.mh").as("mh"))
+          .agg(sort_array(collect_list(
+            struct(col("doc_id").as("id"), col("sh")))).as("docs"))
+          .filter(size(col("docs")) <= lshMaxBucket)
+        NearDup.pairsWithinBuckets(grouped)
+          .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+            (size(array_intersect(array_distinct(col("a.sh")),
+                array_distinct(col("b.sh")))).cast("double") /
+              size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .distinct()
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
+        b AS (SELECT doc_id, sh, t,
+            list_min(list_transform(sh, x -> md5(t || ':' || x))) AS mh
+          FROM g, (SELECT unnest(range(0, 4)) AS t) tt
+          WHERE len(sh) > 0),
+        bc AS (SELECT * FROM b
+          QUALIFY COUNT(*) OVER (PARTITION BY t, mh) <= $lshMaxBucket)
+        SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
+          CAST(len(list_intersect(list_distinct(a.sh), list_distinct(c.sh)))
+              AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS DOUBLE)
+            AS jaccard
+        FROM bc a JOIN bc c ON a.t = c.t AND a.mh = c.mh
+          AND a.doc_id < c.doc_id
+        WHERE CAST(len(list_intersect(list_distinct(a.sh), list_distinct(c.sh)))
+              AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS DOUBLE)
+            >= 0.5""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure
