@@ -1781,6 +1781,79 @@ object TextQueries {
               AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS DOUBLE)
             >= 0.5""")),
+
+    // ---- Gopher-style rule flags (the named rule-filter battery) ---------
+    // The Rae et al. (Gopher) repetition/format rules as per-doc flags,
+    // complementing d03's composite score and d14's gate: token-count
+    // bounds (50..100k), mean word length in [3, 10], ≥80% of words
+    // containing an alphabetic character, and word-3-gram repetition
+    // ≤0.2 (d18's signal as a rule), plus the conjunction. Flags emit as
+    // 0/1 BIGINT — booleans hash differently across engines, integers
+    // don't. Scale shape: ONE corpus scan, all-narrow per-doc lambdas,
+    // zero exchanges, zero joins (plan-pinned) — the shape a 100 TB
+    // pre-filter pass must have, since it runs before anything shuffles.
+    // Ratios are single IEEE divisions of exact integers — bit-identical
+    // in both engines.
+    GraftQuery(
+      "d48_gopher_flags",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("grams", expr(sparkGrams))
+          .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+          .withColumn("mean_word_len",
+            when(col("n_tokens") === 0, lit(0.0)).otherwise(
+              expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+                .cast("double") / col("n_tokens").cast("double")))
+          .withColumn("alpha_word_ratio",
+            when(col("n_tokens") === 0, lit(0.0)).otherwise(
+              expr("size(filter(toks, x -> x rlike '[A-Za-z]'))")
+                .cast("double") / col("n_tokens").cast("double")))
+          .withColumn("rep_ratio",
+            when(size(col("grams")) === 0, lit(0.0)).otherwise(
+              lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+                size(col("grams")).cast("double")))
+          .select(
+            col("doc_id"), col("n_tokens"),
+            col("mean_word_len"), col("alpha_word_ratio"), col("rep_ratio"),
+            (col("n_tokens") >= 50 && col("n_tokens") <= 100000)
+              .cast("bigint").as("f_word_count"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+              .cast("bigint").as("f_mean_word_len"),
+            (col("alpha_word_ratio") >= 0.8)
+              .cast("bigint").as("f_alpha_words"),
+            (col("rep_ratio") <= 0.2).cast("bigint").as("f_repetition"))
+          .withColumn("f_pass",
+            (col("f_word_count") === 1 && col("f_mean_word_len") === 1 &&
+              col("f_alpha_words") === 1 && col("f_repetition") === 1)
+              .cast("bigint")),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id, toks, $sqlGrams AS grams FROM toks),
+        m AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+            CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) END AS alpha_word_ratio,
+            CASE WHEN len(grams) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                / CAST(len(grams) AS DOUBLE) END AS rep_ratio
+          FROM g)
+        SELECT doc_id, n_tokens, mean_word_len, alpha_word_ratio, rep_ratio,
+          CAST(n_tokens >= 50 AND n_tokens <= 100000 AS BIGINT)
+            AS f_word_count,
+          CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT)
+            AS f_mean_word_len,
+          CAST(alpha_word_ratio >= 0.8 AS BIGINT) AS f_alpha_words,
+          CAST(rep_ratio <= 0.2 AS BIGINT) AS f_repetition,
+          CAST(n_tokens >= 50 AND n_tokens <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_word_ratio >= 0.8 AND rep_ratio <= 0.2 AS BIGINT)
+            AS f_pass
+        FROM m""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

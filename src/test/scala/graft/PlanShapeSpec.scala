@@ -338,5 +338,10 @@ class PlanShapeSpec extends SparkSpec {
       s"d46 must take its top-20 with TakeOrderedAndProject:\n$d46")
     assert(!d46.contains("SortMergeJoin") && !d46.contains("CartesianProduct"),
       s"d46 must never self-join the vocab:\n$d46")
+    // d48 Gopher flags: a pre-filter pass runs before anything shuffles —
+    // all-narrow per-doc lambdas, zero exchanges, zero joins
+    val d48 = plan("d48_gopher_flags")
+    assert(shuffles(d48) == 0 && !d48.contains("Join"),
+      s"d48 must stay a narrow zero-exchange scan pass:\n$d48")
   }
 }
