@@ -166,4 +166,103 @@ object VectorSearch {
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the code-compression tier between scalar
+  // quantization (e08, 1 B/dim) and binary signs (e11, 1 bit/dim): split
+  // the vector into `m` subspaces, learn `k` codewords per subspace, and
+  // store only the m codeword indices (m bytes at k ≤ 256 — a 64-dim
+  // float32 vector compresses 256 B → 8 B at m=8). Search never decodes
+  // the corpus: the asymmetric-distance (ADC) score of a probe against a
+  // code is q · reconstruct(code), which decomposes per subspace — here
+  // expressed as dot(q, reconstruction) with the codebooks inlined as
+  // literals, so the scan stays a narrow codegen-friendly pass and the
+  // ranking reuses the same WindowGroupLimit shape as every other tier.
+  // ---------------------------------------------------------------------
+
+  /** Train PQ codebooks: `m` subspaces × ≤`k` codewords each, learned
+    * DRIVER-SIDE on the `sample` lowest-id vectors (bounded by contract —
+    * faiss trains PQ on a fixed sample too; the cluster never shuffles
+    * for training). Deterministic end to end: sample = lowest ids,
+    * seeds = first k sample subvectors, `iters` local Lloyd steps under
+    * L2, empty cells keep their previous codeword, ties to the lower
+    * codeword index. Returns m × (≤k) × (dim/m) codebooks (empty inner
+    * seqs on an empty corpus — [[pqEncode]] guards that). */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, sample: Int = 256, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val rows = emb.select(col(idCol), asDouble(col(vecCol)).as("e"))
+      .orderBy(col(idCol).asc).limit(sample)
+      .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    if (rows.isEmpty) return Seq.fill(m)(Seq.empty)
+    val dim = rows.head.length
+    val sub = dim / m
+    (0 until m).map { j =>
+      val xs = rows.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents: Array[Array[Double]] = xs.take(k).map(_.clone)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val cnts = new Array[Long](cents.length)
+        xs.foreach { x =>
+          val c = nearestL2Local(x, cents)
+          var i = 0
+          while (i < sub) { sums(c)(i) += x(i); i += 1 }
+          cnts(c) += 1
+        }
+        cents = Array.tabulate(cents.length)(ci =>
+          if (cnts(ci) == 0L) cents(ci)
+          else sums(ci).map(_ / cnts(ci)))
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  private def nearestL2Local(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict < keeps the lower index on ties
+      c += 1
+    }
+    best
+  }
+
+  /** Squared-L2 column fold (the PQ assignment metric). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ code column (array<int>, length m): per subspace, the index of
+    * the nearest codeword under L2, ties to the lower index (array_min on
+    * (dist, idx) structs is lexicographic). Codebooks ride as literals —
+    * no join, the encode pass stays narrow. Empty codebooks (empty
+    * corpus) encode as an empty code array so the expression still
+    * analyzes. */
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return typedlit(Seq.empty[Int])
+    val sub = books.head.head.length
+    val perSubspace = books.zipWithIndex.map { case (cws, j) =>
+      val scored = cws.zipWithIndex.map { case (cw, ci) =>
+        struct(
+          l2sq(slice(vec, j * sub + 1, sub), typedlit(cw)).as("d"),
+          lit(ci).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    array(perSubspace: _*)
+  }
+
+  /** Reconstruction of a PQ code (the ADC identity: q · recon(code) is
+    * exactly the per-subspace distance-table sum). Narrow literal-lookup
+    * expression — flatten of one codeword per subspace. */
+  def pqReconstruct(codes: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return typedlit(Seq.empty[Double])
+    val booksLit = typedlit(books)
+    flatten(transform(sequence(lit(0), lit(books.length - 1)), j =>
+      element_at(element_at(booksLit, j + 1), element_at(codes, j + 1) + 1)))
+  }
 }

@@ -716,5 +716,63 @@ object SimQueries {
         SELECT p.a_id,
           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
+
+    // ---- PQ (product quantization) ADC recall eval -----------------------
+    // The code-compression tier between SQ (e08) and binary signs (e11):
+    // m=8 subspaces × k=16 codewords store a 64-dim vector as 8 nibbles
+    // (256 B float32 → 4 B — 64×), and search scores codes WITHOUT
+    // decoding the corpus: ADC(q, code) = q · reconstruct(code), a narrow
+    // literal-lookup dot against the broadcast probe set, top-3 per probe
+    // on the same single exchange as every recall eval (e07/e09/e12),
+    // then recall@3 vs the exact-cosine truth. Vectors are L2-normalized
+    // first so dot-ADC approximates cosine ranking. Codebooks come from
+    // the driver-side bounded-sample Lloyd trainer
+    // (VectorSearch.pqTrain — deterministic, documented-tiny, the e05
+    // quantizer contract), so there is no SQL oracle: rows-only +
+    // spec-anchored (NearDupSpec's PQ test).
+    GraftQuery(
+      "e13_pq_adc_recall",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val raw = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val base = raw
+          .withColumn("nrm", norm(col("e")))
+          // zero vectors pass through un-normalized (0/0 is a NaN score
+          // everywhere downstream otherwise — the e01 cosine guard)
+          .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+            .otherwise(transform(col("e"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("emb"))
+        val books = VectorSearch.pqTrain(base, "vec_id", "emb", m = 8, k = 16)
+        val encoded = base
+          .withColumn("codes", VectorSearch.pqEncode(col("emb"), books))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = base.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        val w = Window.partitionBy(col("a_id"))
+          .orderBy(col("score").desc, col("b_id").asc)
+        val truth = base
+          .select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("score", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("a_id"), col("b_id"))
+        val adc = encoded
+          .select(col("vec_id").as("b_id"),
+            VectorSearch.pqReconstruct(col("codes"), books).as("recon"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("score", dot(col("a_emb"), col("recon")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("a_id"), col("b_id"))
+        val hits = truth.join(adc, Seq("a_id", "b_id"))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+        probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      None),
   )
 }

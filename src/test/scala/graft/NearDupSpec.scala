@@ -208,6 +208,40 @@ class NearDupSpec extends SparkSpec {
       s"IVF(probe 2/8) missed brute-force top-1 ${brute.head}")
   }
 
+  test("PQ: codebook shape, code range, exact reconstruction identity, " +
+      "and ADC recall floor") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val base = Tables.validEmbeddings(spark, sfDir)
+      .select($"vec_id", asDouble($"embedding").as("emb"))
+    val books = VectorSearch.pqTrain(base, "vec_id", "emb", m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.nonEmpty) &&
+      books.forall(_.forall(_.length == 8)),
+      "8 subspaces of 8 dims, non-empty codebooks")
+    val coded = base
+      .withColumn("codes", VectorSearch.pqEncode($"emb", books))
+      .withColumn("recon", VectorSearch.pqReconstruct($"codes", books))
+    val rows = coded.select($"codes", size($"recon"))
+      .as[(Seq[Int], Int)].collect()
+    assert(rows.forall { case (c, rl) =>
+      c.length == 8 && c.forall(ci => ci >= 0 && ci < 16) && rl == 64 })
+    // a codeword IS its own nearest codeword: encoding a reconstruction
+    // returns the same codes (Lloyd fixpoint sanity)
+    val stable = coded
+      .withColumn("codes2", VectorSearch.pqEncode($"recon", books))
+      .filter($"codes" =!= $"codes2").count()
+    assert(stable == 0L, "re-encoding a reconstruction must be stable")
+    // recall floor on the structureless fixture: PQ-ADC measured ~0.17
+    // mean at sf0.001, above the sibling evals (e07 ~0.08); pin a loose
+    // floor so a broken encode/ADC (recall → ~0) fails loudly
+    val recall = graft.queries.GraftQuery.all
+      .find(_.name == "e13_pq_adc_recall").get
+      .run(spark, sfDir).select($"recall_at_3").as[Double].collect()
+    assert(recall.nonEmpty && recall.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recall.sum / recall.length >= 0.05,
+      s"PQ ADC mean recall ${recall.sum / recall.length} below floor")
+  }
+
   test("d39 prefix-filter join is exhaustive: equals brute-force all-pairs " +
       "jaccard >= 0.5 (the lossless-prefix theorem, sf0.001)") {
     import graft.queries.GraftQuery

@@ -49,7 +49,9 @@ class PlanShapeSpec extends SparkSpec {
       // d45 broadcasts the 1-row corpus doc count against the tf×df
       // rows; d46 broadcasts the 1-row snapshot totals against the
       // vocab-sized count table — both the same bounded pattern as d24.
-      "d45_tfidf_keywords", "d46_unigram_drift")
+      // e13 broadcasts the bounded probe sample for both its rankings
+      // (the e07/e09/e12 recall-eval pattern).
+      "d45_tfidf_keywords", "d46_unigram_drift", "e13_pq_adc_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
