@@ -47,7 +47,50 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen dot product over two array<double> columns — the same
+  * fused-loop upgrade as [[CosineSim]] for the folds that DON'T normalize
+  * (PQ's ADC score is the hot caller: probes × corpus interpreted
+  * `aggregate(zip_with(...))` folds dominated e13's scan). Accumulation is
+  * strictly left-to-right in element order, so values are bit-identical to
+  * the `aggregate`/`zip_with` formulation and to DuckDB's
+  * `list_sum(list_transform(list_zip(...)))`. Null semantics match the
+  * fold form: null array, length mismatch, or any null element → null. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_r = graft.functions.VectorOps.dot($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
+  /** One-pass dot; see [[DotProduct]] for the exact-parity contract. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      d += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
   /** One-pass cosine; see [[CosineSim]] for the exact-parity contract.
     * Returns a boxed Double or null. */
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
@@ -74,4 +117,9 @@ object VectorExprs {
   def cosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Dot product of two array<double> columns (native expression). */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -15,9 +15,12 @@ object VectorFunctions {
   /** Widen a float array to double (float→double is exact). */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Left-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two equal-length double arrays — the native one-pass
+    * expression (VectorExprs.DotProduct); bit-identical to the fold form
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (strict left-to-right
+    * accumulation) but fused into one codegen'd loop — the interpreted
+    * fold dominated e13's ADC scan (probes × corpus dots). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
