@@ -188,6 +188,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: histogram percentiles equal the sorted-multiset rank " +
+      "definition on random grouped data (ties, singletons, skew)") {
+    import graft.operators.RobustStats
+    // random multisets with heavy ties (small value domain) across a few
+    // keys — the regime where cumulative-rank bucket arithmetic has its
+    // edge cases (bucket spans covering several target ranks, n = 1)
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 9L)
+    } yield (k, v)
+    val rows = samples(Gen.listOfN(40, rowGen), 8).flatten ++
+      Seq(("solo", 5L)) // n = 1: every percentile is the single element
+    val hist = RobustStats.valueHistogram(rows.toDF("k", "v"), "k", "v")
+    val ranked = RobustStats.rankedHistogram(hist, "k", "v", "c")
+    def pick(p: Int) = {
+      val tgt = call_function("div", col("n") * p + 99, lit(100L))
+      min(when(col("cum") >= tgt && (col("cum") - col("c")) < tgt, col("v")))
+    }
+    val got = ranked.groupBy(col("k"))
+      .agg(pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (k, kvs) =>
+      val sorted = kvs.map(_._2).sorted
+      def want(p: Int): Long = {
+        val n = sorted.length.toLong
+        sorted(((n * p + 99) / 100 - 1).toInt) // 1-based rank ⌈p·n/100⌉
+      }
+      assert(got(k) == ((want(50), want(90), want(99))),
+        s"key $k: got ${got(k)}, want (${want(50)}, ${want(90)}, ${want(99)})")
+    }
+  }
+
   test("property: native minMd5Shingle matches the " +
       "array_min(transform(md5)) formulation on random token lists") {
     import graft.functions.MinHashExprs
