@@ -1854,6 +1854,79 @@ object TextQueries {
             AND alpha_word_ratio >= 0.8 AND rep_ratio <= 0.2 AS BIGINT)
             AS f_pass
         FROM m""")),
+
+    // ---- DSIR importance weights (target-domain resampling) --------------
+    // Data Selection via Importance Resampling (Xie et al.): score each
+    // RAW-pool doc (snap 1) by how much more likely its tokens are under
+    // the TARGET domain's unigram LM (snap 0) than under the raw pool's
+    // own — weight = mean per-token log ratio, add-1 smoothed over the
+    // shared vocab. High-weight docs are the ones to upsample when
+    // steering a mixture toward the target domain. Output: top-50 raw
+    // docs by weight (ties doc_id asc) with token count and weight.
+    //
+    // Scale shape: the snap tag rides ONE corpus explode into the same
+    // conditional-sum term agg as d46 (never per-snapshot aggs + a
+    // self-join); vocab size and totals are a 1-row broadcast; the
+    // per-term log-ratio table is vocab-sized (broadcasts under the
+    // 64 MB threshold, else hash-joins on term exactly as the term agg
+    // left it); the scoring pass explodes raw docs once, folds a
+    // decimal-exact per-doc sum (the d32 rule: each term's double rounds
+    // to 6 decimals THEN sums as DECIMAL(18,6) — order-free), and the
+    // top-50 cut is TakeOrderedAndProject.
+    GraftQuery(
+      "d49_dsir_weights",
+      (s, d) => {
+        val tagged = Tables.documents(s, d)
+          .withColumn("snap", snapOf % 2)
+          .filter(col("snap").isNotNull)
+        val terms = tagged
+          .select(col("snap"), col("doc_id"),
+            explode(tokens(col("text"))).as("term"))
+        val counts = terms.groupBy(col("term"))
+          .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("ct"),
+            sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cr"))
+        val totals = broadcast(counts.agg(
+          sum(col("ct")).as("tot_t"), sum(col("cr")).as("tot_r"),
+          count(lit(1)).as("v")))
+        val ratio = counts.crossJoin(totals)
+          .select(col("term"),
+            round(
+              log((col("ct") + 1).cast("double") /
+                (col("tot_t") + col("v")).cast("double")) -
+              log((col("cr") + 1).cast("double") /
+                (col("tot_r") + col("v")).cast("double")), 6)
+              .cast("decimal(18,6)").as("lr"))
+        terms.filter(col("snap") === 1)
+          .join(ratio, Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum(col("lr")).cast("double") / count(lit(1)).cast("double"))
+              .as("weight"))
+          .orderBy(col("weight").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      Some(s"""WITH t AS (SELECT $sqlSnap % 2 AS snap, doc_id,
+            unnest($sqlToks) AS term
+          FROM documents WHERE $sqlSnap IS NOT NULL),
+        c AS (SELECT term,
+            CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+            CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+          FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot_t,
+            CAST(SUM(cr) AS BIGINT) AS tot_r,
+            CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        r AS (SELECT term,
+            CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE))
+              - ln(CAST(cr + 1 AS DOUBLE) / CAST(tot_r + v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lr
+          FROM c, tot)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(r.lr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM t JOIN r USING (term)
+        WHERE t.snap = 1
+        GROUP BY t.doc_id
+        ORDER BY weight DESC, t.doc_id ASC
+        LIMIT 50""")),
   )
 
   /** d27's oracle: DuckDB recursive CTE computes the transitive closure

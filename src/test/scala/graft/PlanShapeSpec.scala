@@ -50,8 +50,10 @@ class PlanShapeSpec extends SparkSpec {
       // rows; d46 broadcasts the 1-row snapshot totals against the
       // vocab-sized count table — both the same bounded pattern as d24.
       // e13 broadcasts the bounded probe sample for both its rankings
-      // (the e07/e09/e12 recall-eval pattern).
-      "d45_tfidf_keywords", "d46_unigram_drift", "e13_pq_adc_recall")
+      // (the e07/e09/e12 recall-eval pattern). d49 broadcasts the 1-row
+      // vocab/totals aggregate against the vocab-sized count table.
+      "d45_tfidf_keywords", "d46_unigram_drift", "e13_pq_adc_recall",
+      "d49_dsir_weights")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -345,5 +347,12 @@ class PlanShapeSpec extends SparkSpec {
     val d48 = plan("d48_gopher_flags")
     assert(shuffles(d48) == 0 && !d48.contains("Join"),
       s"d48 must stay a narrow zero-exchange scan pass:\n$d48")
+    // d49 DSIR: the top-50 cut must be TakeOrderedAndProject (bounded
+    // driver bytes) and the vocab must never SortMergeJoin against the
+    // scoring explode at fixture scale (ratio table broadcasts)
+    val d49 = plan("d49_dsir_weights")
+    assert(d49.contains("TakeOrderedAndProject") &&
+      !d49.contains("CartesianProduct"),
+      s"d49 must take its top-50 with TakeOrderedAndProject:\n$d49")
   }
 }
