@@ -823,5 +823,41 @@ object StarQueries {
           CAST(MIN(CASE WHEN cum >= (n*99+99)//100 AND cum - c < (n*99+99)//100
             THEN v END) AS DOUBLE) AS p99
         FROM r GROUP BY 1""")),
+
+    // ---- exact grouped mode (argmax family) ------------------------------
+    // The max_by/arg_max shape done DETERMINISTICALLY: the most frequent
+    // event value per type, ties to the SMALLER value — engines'
+    // max_by/arg_max leave tie order unspecified, so the mode folds as
+    // max(struct(count, -value)) instead: lexicographic struct max is
+    // (count desc, value asc), one exact rule both engines share. Same
+    // histogram substrate as q29/q30 — groupBy(key, value) collapses the
+    // fact table under map-side partial agg, then ONE more tiny agg on
+    // the key; never a per-key sort of raw rows. The negated-decimal
+    // carrier is exact (decimal negation is lossless).
+    GraftQuery(
+      "q31_value_mode",
+      (s, d) => {
+        import graft.operators.RobustStats
+        val hist = RobustStats.valueHistogram(
+          Tables.events(s, d).filter(col("value").isNotNull)
+            .select(col("event_type"), col("value").cast("decimal(18,6)").as("v")),
+          "event_type", "v")
+        hist
+          .groupBy(col("event_type"))
+          .agg(max(struct(col("c"), (-col("v")).as("nv"))).as("m"),
+            sum(col("c")).as("n_values"))
+          .select(col("event_type"),
+            (-col("m.nv")).cast("double").as("mode_value"),
+            col("m.c").as("mode_count"), col("n_values"))
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+          FROM events WHERE value IS NOT NULL),
+        h AS (SELECT event_type, v, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        m AS (SELECT event_type, max({'c': c, 'nv': -v}) AS s,
+            CAST(SUM(c) AS BIGINT) AS n_values
+          FROM h GROUP BY 1)
+        SELECT event_type, CAST(-(m.s).nv AS DOUBLE) AS mode_value,
+          (m.s).c AS mode_count, n_values
+        FROM m""")),
   )
 }

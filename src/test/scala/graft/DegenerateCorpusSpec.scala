@@ -60,7 +60,7 @@ class DegenerateCorpusSpec extends SparkSpec {
       (5L, 1700003700000000000L, 8L, "buy", -1.0, """{"j": 9}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val eventQueries = Set("q30_value_percentiles",
+    val eventQueries = Set("q30_value_percentiles", "q31_value_mode",
       "q15_events_hourly", "q16_events_json_props",
       "q17_events_approx_users", "q18_events_sessions",
       "q19_asof_attribution", "q20_range_click_counts")

@@ -354,5 +354,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(d49.contains("TakeOrderedAndProject") &&
       !d49.contains("CartesianProduct"),
       s"d49 must take its top-50 with TakeOrderedAndProject:\n$d49")
+    // q31 mode: histogram + key agg only — two exchanges, no window, no
+    // join (the struct-max folds map-side)
+    val q31 = plan("q31_value_mode")
+    assert(shuffles(q31) == 2 && !q31.contains("Join") &&
+      !q31.contains("Window"),
+      s"q31 must fold the mode from the histogram in two exchanges:\n$q31")
   }
 }
