@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, CountWordsIn, JaccardSorted, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64, WinnowFingerprints}
+import graft.functions.{CosineSim, CountWordsIn, DotProduct, JaccardSorted, MinHashSigs, MinMd5Shingle, ScrubWords, ShingleHashes, SimHash64, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: exposes graft's native Catalyst
   * expressions as SQL functions and installs the algebraic simplification
@@ -23,6 +23,7 @@ import graft.functions.{CosineSim, CountWordsIn, JaccardSorted, MinHashSigs, Min
   *   count_words_in(s, 'w1,w2,…')   → int hit count
   *   simhash64(s)                   → 64-bit SimHash of the tokens
   *   cosine_sim(a, b)               → cosine of two array<double>
+  *   dot_product(a, b)              → dot product of two array<double>
   *   shingle_hashes(toks)           → sorted distinct hashed 3-gram shingles
   *   minhash_sigs(toks, T)          → T banded minhash values
   *   min_md5_shingle(toks)          → min md5 hex over 3-gram shingles
@@ -67,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two array<double>") {
       case Seq(a, b) => CosineSim(a, b)
+    })
+    ext.injectFunction(fn("dot_product",
+      "dot_product(a, b) - dot product of two array<double>") {
+      case Seq(a, b) => DotProduct(a, b)
     })
     ext.injectFunction(fn("shingle_hashes",
       "shingle_hashes(toks) - sorted distinct hashed word-3-gram shingles") {

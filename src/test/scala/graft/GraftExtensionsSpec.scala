@@ -32,6 +32,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) == 4)
   }
 
+  test("SQL function: dot_product matches the fold form; null on length " +
+      "mismatch") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |  dot_product(array(1.0d), array(1.0d, 2.0d)) AS mism,
+        |  aggregate(zip_with(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d),
+        |    (x, y) -> x * y), 0.0d, (a, x) -> a + x) AS fold""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 32.0 && r.getDouble(0) == r.getDouble(2))
+    assert(r.isNullAt(1))
+  }
+
   test("SQL function: min_md5_shingle matches md5 of the single shingle") {
     val r = spark.sql(
       """SELECT min_md5_shingle(array('a','b','c')) AS m, md5('a b c') AS ref,
