@@ -60,6 +60,12 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
     }
+    // Per-query wall-clock budget (SPARK_GRAFT_BENCH_TIMEOUT seconds,
+    // default 300): a hung query reports one null-with-reason entry
+    // instead of eating the round's whole bench window (QueryBudget
+    // cancels its job group on expiry).
+    val timeoutSec = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(300)
     val results = selected.map { case (name, fn) =>
       // Collect the previous query's garbage OUTSIDE the timed window —
       // otherwise a heap full of e.g. cross-join pairs from query N lands
@@ -67,13 +73,10 @@ object Bench {
       // q13 7.6 s mid-suite vs 1.8 s isolated).
       System.gc()
       val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
-        }
+      val err = QueryBudget.run(spark, name, timeoutSec) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      err.foreach(m => System.err.println(s"[bench] $name failed: $m"))
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // failed queries report null (not their time-to-failure) so the driver

@@ -19,15 +19,26 @@ object Verify {
     // the artifact the driver's CORRECTNESS file silently OMITS it and
     // breakage looks like a missing entry instead of a loud red (round-14
     // verdict: six analysis errors were invisible from artifacts alone).
+    //
+    // Each query runs under a per-query TIMEOUT (SPARK_GRAFT_VERIFY_TIMEOUT
+    // seconds, default 300): one hung/runaway query must cost one entry,
+    // not the whole round's correctness gate. On timeout the query's job
+    // group is cancelled (interruptOnCancel frees its executor threads)
+    // and the failure lands in errors.json like any other.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_VERIFY_TIMEOUT")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(300)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+      QueryBudget.run(spark, name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case None => ()
+        case Some(msg) =>
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
