@@ -859,5 +859,54 @@ object StarQueries {
         SELECT event_type, CAST(-(m.s).nv AS DOUBLE) AS mode_value,
           (m.s).c AS mode_count, n_values
         FROM m""")),
+
+    // ---- exact grouped correlation (corr/covar family) -------------------
+    // Pearson correlation of quantity vs extended price per return flag —
+    // the corr/covar aggregate family done cross-engine-exact: the five
+    // MOMENTS (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL products
+    // (exact, order-free, map-side combinable — the engines' native
+    // corr() uses streaming double accumulation whose value depends on
+    // partitioning), and only the final closed-form
+    // (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    // runs in doubles — identical expression tree on identical exact
+    // inputs in both engines. One map-side-combinable exchange; 100 TB
+    // cost = one fact-table aggregation, the same envelope as q01.
+    GraftQuery(
+      "q32_price_qty_corr",
+      (s, d) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val moments = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sx2"),
+            sum(y * y).as("sy2"))
+        val nD = col("n").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        moments.select(col("l_returnflag"), col("n"),
+          round((nD * dd("sxy") - dd("sx") * dd("sy")) /
+            (sqrt(nD * dd("sx2") - dd("sx") * dd("sx")) *
+              sqrt(nD * dd("sy2") - dd("sy") * dd("sy"))), 6).as("corr_qty_price"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sy2
+        FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            AS corr_qty_price
+        FROM m""")),
   )
 }
