@@ -112,23 +112,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val failures = results.count(_._3.nonEmpty)
-    def line(key: String => String) =
-      s"""{"metric":"total","queries":${qsJson(key)},"unit":"sec","errors":${errsJson(key)},"failures":$failures,"value":${ms(total)},"sf":"$sfDir"}"""
+    // "keys" declares which key form the map uses, so a future prefix
+    // collision (which silently flips the stdout map back to full names)
+    // is visible to the consumer instead of a surprise format change.
+    def line(key: String => String, keyForm: String) =
+      s"""{"metric":"total","keys":"$keyForm","queries":${qsJson(key)},"unit":"sec","errors":${errsJson(key)},"failures":$failures,"value":${ms(total)},"sf":"$sfDir"}"""
     // STDOUT gets the short-key form (q01, d45, …): the driver captures
     // only the last ~2000 chars of stdout, and at 97 queries the
     // full-name map alone exceeds that, truncating the captured JSON
-    // mid-map. Short prefixes are unique by construction and cut the
-    // line to ~1.3k chars so the whole object survives the tail. The
-    // full-name form goes to bench_full.json (cwd, or
-    // SPARK_GRAFT_BENCH_OUT) — the diagnosable-from-artifacts copy.
+    // mid-map. Short prefixes are unique by construction (BenchKeySpec
+    // pins that at build time) and cut the line to ~1.3k chars so the
+    // whole object survives the tail. The full-name form goes to
+    // bench_full.json (cwd, or SPARK_GRAFT_BENCH_OUT) — the
+    // diagnosable-from-artifacts copy.
+    val shortOk = results.map(_._1.split("_").head).distinct.size == results.size
     val shortKey: String => String =
-      if (results.map(_._1.split("_").head).distinct.size == results.size)
-        _.split("_").head
+      if (shortOk) _.split("_").head
       else identity // prefix collision: full names beat a silently-merged map
-    println(line(shortKey))
+    println(line(shortKey, if (shortOk) "short" else "full"))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), line(identity) + "\n")
+      java.nio.file.Paths.get(outFile), line(identity, "full") + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -40,7 +40,13 @@ object QueryBudget {
       case Some(r) => r
       case None =>
         spark.sparkContext.cancelJobGroup(name)
-        Some(s"TIMEOUT after ${timeoutSec}s (job group cancelled)")
+        // Also interrupt the worker: cancelJobGroup only stops Spark jobs,
+        // not driver-side loops (e.g. a local quantizer-training loop), and
+        // a still-running body would contaminate the next query's timing
+        // and share mutable session state with it.
+        worker.interrupt()
+        val alive = if (worker.isAlive) "; worker thread still alive" else ""
+        Some(s"TIMEOUT after ${timeoutSec}s (job group cancelled, worker interrupted$alive)")
     }
   }
 }

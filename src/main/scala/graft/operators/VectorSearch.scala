@@ -195,6 +195,11 @@ object VectorSearch {
       .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
     if (rows.isEmpty) return Seq.fill(m)(Seq.empty)
     val dim = rows.head.length
+    // A non-divisible split would silently drop the trailing dims and make
+    // pqReconstruct emit m*(dim/m)-length arrays, so every downstream ADC
+    // dot() would null out (length mismatch) and the ranking would quietly
+    // degenerate to the id tie-break. Fail loudly instead.
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     (0 until m).map { j =>
       val xs = rows.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
