@@ -774,5 +774,53 @@ object SimQueries {
               .as("recall_at_3"))
       },
       None),
+
+    // ---- IVF probe/cell geometry, ORACLE-CHECKABLE variant of e05 --------
+    // e05 is rows-only because its centroids come out of Lloyd iterations
+    // (a custom Aggregator DuckDB can't replay). This variant runs the
+    // SAME production code path (VectorSearch.ivfIndex → cellOf →
+    // ivfTopK) with the training degenerated to pure SQL: centroids = the
+    // k=8 lowest-id vectors verbatim, 0 Lloyd steps — so the parts that
+    // MATTER for correctness at scale (argmax-cosine cell assignment with
+    // ties to the lower cell, nprobe=2 nearest-cell probe selection,
+    // in-cell exact cosine top-10 with id tie-break, probe self-exclusion)
+    // are pinned by DuckDB hash-match, exactly as d47/d38 pinned d12's
+    // banded-LSH semantics. All cosines are the strict left-to-right fold
+    // (bit-identical across engines per the module contract); the
+    // centroid literals are exact float→double casts of fixture rows, so
+    // both engines score identical doubles. e05 (√n cells, Lloyd-refined)
+    // stays the production path.
+    GraftQuery(
+      "e14_ivf_pinned",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val emb = Tables.validEmbeddings(s, d)
+        val (centroids, assigned) =
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 0)
+        VectorSearch.ivfTopK(assigned, centroids, "vec_id",
+          probeId = 0L, k = 10, nprobe = 2)
+          .withColumn("cell", col("cell").cast("bigint"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM v ORDER BY vec_id ASC LIMIT 8),
+        ac AS (SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqlCos("v.e", "c.ce")} DESC, c.cell ASC) AS rn
+            FROM v, c) t WHERE rn = 1),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        pc AS (SELECT cell FROM (
+            SELECT c.cell, row_number() OVER (
+                ORDER BY ${sqlCos("c.ce", "qe")} DESC, c.cell ASC) AS rn
+            FROM c, q) t WHERE rn <= 2)
+        SELECT a.vec_id, ${sqlCos("a.e", "qe")} AS cos_sim,
+          CAST(a.cell AS BIGINT) AS cell
+        FROM ac a, pc, q
+        WHERE a.cell = pc.cell AND a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""")),
   )
 }

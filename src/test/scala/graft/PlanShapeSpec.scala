@@ -361,4 +361,45 @@ class PlanShapeSpec extends SparkSpec {
       !q31.contains("Window"),
       s"q31 must fold the mode from the histogram in two exchanges:\n$q31")
   }
+
+  test("round-16 queries hold their scale shapes (d47/d50/d51/d52/e14)") {
+    // d47 rework: buckets carry ONLY doc ids — the verify joins the
+    // hashed shingle sets back onto the bounded pair table; never a
+    // cartesian, and exactly two shuffle exchanges (banded bucket
+    // groupBy + pair distinct; the join-backs broadcast or AQE-plan from
+    // the pair side)
+    val d47 = plan("d47_banded_lsh_md5")
+    assert(!d47.contains("CartesianProduct") && shuffles(d47) <= 4,
+      s"d47 must stay at bounded exchanges with no cartesian:\n$d47")
+    assert(!d47.contains("collect_list(struct(doc_id"),
+      s"d47's bucket agg must not carry shingle payloads (ids only):\n$d47")
+    // d50 signatures: one narrow scan pass — zero exchanges, zero joins
+    // (the d10 contract, md5-keyed)
+    val d50 = plan("d50_simhash_md5")
+    assert(shuffles(d50) == 0 && !d50.contains("Join"),
+      s"d50 must stay a narrow zero-exchange scan pass:\n$d50")
+    // d51 banded pairs: bucket groupBy + final pair distinct — two
+    // exchanges, NO join (band words ride the bucket, no join-back), and
+    // the Hamming verify must be the native bit_count form, not a
+    // per-character lambda
+    val d51 = plan("d51_simhash_md5_pairs")
+    assert(shuffles(d51) == 2 && !d51.contains("Join") &&
+      !d51.contains("CartesianProduct"),
+      s"d51 must stay at two exchanges (bucket agg + distinct), no join:\n$d51")
+    assert(d51.contains("bit_count"),
+      s"d51's Hamming verify must be native bit_count(xor):\n$d51")
+    // d52 capstone: the gated corpus must be consumed through the
+    // checkpoint barrier (Scan ExistingRDD), not re-derived per branch —
+    // the 93 s -> 7 s lesson; and never a cartesian
+    val d52 = plan("d52_neardup_capstone")
+    assert(d52.contains("Scan ExistingRDD") && !d52.contains("CartesianProduct"),
+      s"d52 must read the gated corpus from its checkpoint barrier:\n$d52")
+    // e14 pinned IVF: centroids and probe cells are literals — the probe
+    // is a narrow scan + TakeOrderedAndProject, zero exchanges, zero
+    // joins (the e05 probe-path contract, made oracle-checkable)
+    val e14 = plan("e14_ivf_pinned")
+    assert(e14.contains("TakeOrderedAndProject") && shuffles(e14) == 0 &&
+      !e14.contains("Join"),
+      s"e14 must probe with a narrow TakeOrderedAndProject pass:\n$e14")
+  }
 }

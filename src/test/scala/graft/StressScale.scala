@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent harness (round-16 advice #6): measures the top-5 most
+  * expensive bench queries at 1× and 8×-replicated sf0.1 so super-linear
+  * blowups are caught by MEASUREMENT, not argument (StressDup covers the
+  * dup-pair family; this covers the rest). Each query's driving table is
+  * replicated with distinct ids; untouched tables are symlink-copied
+  * as-is. Prints wall-time pairs; the observed exponent is
+  * log8(t8/t1) — record both in SCALING.md.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  *       sbt "Test/runMain graft.StressScale [query ...]"`.
+  * Lives in test sources — a measurement tool, never shipped.
+  */
+object StressScale {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Which table a query's 8× replication must grow, and how to grow it
+    * with ids kept distinct. */
+  private def replicate(spark: SparkSession, sfDir: String,
+      table: String, idCol: String): String = {
+    val base = spark.read.parquet(s"$sfDir/$table.parquet")
+    val n = base.count()
+    val shift = math.pow(10, math.ceil(math.log10(n.toDouble + 1))).toLong
+    val rep = base.crossJoin(
+        spark.range(8).select(col("id").as("_rep")).hint("broadcast"))
+      .withColumn(idCol, col(idCol) + col("_rep") * shift)
+      .drop("_rep")
+    val dir = java.nio.file.Files.createTempDirectory(s"stress-$table").toString
+    rep.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    // the other tables ride along unreplicated
+    graft.sources.Tables.names.filter(_ != table).foreach { t =>
+      val src = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$dir/$t.parquet"), src)
+    }
+    dir
+  }
+
+  private val driving: Map[String, (String, String)] = Map(
+    "d39_prefix_jaccard_join" -> ("documents" -> "doc_id"),
+    "d44_dup_span_merge" -> ("documents" -> "doc_id"),
+    "d35_containment_pairs" -> ("documents" -> "doc_id"),
+    "d52_neardup_capstone" -> ("documents" -> "doc_id"),
+    "q29_robust_outliers" -> ("orders" -> "o_orderkey"),
+    "e13_pq_adc_recall" -> ("embeddings" -> "vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      sys.error("set SPARK_GRAFT_SF_DIR to a testdata scale dir"))
+    val names = if (args.nonEmpty) args.toSeq else driving.keys.toSeq.sorted
+    val spark = GraftSession.getOrCreate("graft-stress-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- names) {
+      val q = graft.queries.GraftQuery.all.find(_.name == name)
+        .getOrElse(sys.error(s"unknown query $name"))
+      val (table, idCol) = driving.getOrElse(name,
+        sys.error(s"no driving-table mapping for $name"))
+      // warm codegen/readers on the 1x corpus (untimed)
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val (_, t1) = timed {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      val dir8 = replicate(spark, sfDir, table, idCol)
+      val (_, t8) = timed {
+        q.run(spark, dir8).write.format("noop").mode("overwrite").save()
+      }
+      val exp = math.log(t8 / t1) / math.log(8.0)
+      println(f"[scale] $name%-24s 1x ${t1}%7.2f s   8x ${t8}%7.2f s   exponent ${exp}%5.2f")
+    }
+    spark.stop()
+  }
+}
