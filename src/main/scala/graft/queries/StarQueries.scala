@@ -824,6 +824,34 @@ object StarQueries {
             THEN v END) AS DOUBLE) AS p99
         FROM r GROUP BY 1""")),
 
+    // ---- SKETCH percentiles: the continuous-domain flip side of q30 ------
+    // q30's exact histogram is bounded by (event_type × distinct values) —
+    // the right plan while the value domain is discrete-ish, and the only
+    // oracle-hashable one. On a genuinely CONTINUOUS domain the histogram
+    // degenerates to one bucket per row and the exchange carries the
+    // whole fact table; this variant is the documented flip: Spark's
+    // approx_percentile (Greenwald-Khanna sketch, rank error ≤ n/accuracy)
+    // folds all three quantiles in ONE mergeable per-group sketch —
+    // map-side partials stay bounded by the sketch size (O(accuracy·log n)
+    // per group), independent of distinct-value count. No DuckDB
+    // equivalent sketch → rows-only; anchored by RobustStatsSpec's
+    // rank-error test against q30's exact values, and benched
+    // side-by-side with q30 (SCALING.md records the crossover).
+    GraftQuery(
+      "q33_percentiles_sketch",
+      (s, d) =>
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value").cast("double").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_values"),
+            expr("approx_percentile(v, array(0.5, 0.9, 0.99), 10000)")
+              .as("ps"))
+          .select(col("event_type"), col("n_values"),
+            element_at(col("ps"), 1).as("p50"),
+            element_at(col("ps"), 2).as("p90"),
+            element_at(col("ps"), 3).as("p99")),
+      None),
+
     // ---- exact grouped mode (argmax family) ------------------------------
     // The max_by/arg_max shape done DETERMINISTICALLY: the most frequent
     // event value per type, ties to the SMALLER value — engines'

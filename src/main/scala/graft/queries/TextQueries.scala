@@ -2120,6 +2120,52 @@ object TextQueries {
         LEFT JOIN gated g ON g.doc_id = d.doc_id
         LEFT JOIN comp c ON c.doc_id = d.doc_id
         GROUP BY d.source""")),
+
+    // ---- LSH cluster representatives, ORACLE-CHECKABLE variant of d15 ----
+    // d15 (NearDup.minhashLshRepresentatives) is the 100 TB dedup SHAPE —
+    // linear cluster output (doc → min id sharing any band bucket, self
+    // if nothing collides) instead of quadratic pairs — but its xxhash64
+    // signatures verify rows-only. This analog runs the same one-pass
+    // pipeline (bucket window-min, per-doc min over T tables, UNCAPPED:
+    // linear output is the point — a giant dup group is g rows here) over
+    // d47's md5-keyed band signatures, which DuckDB replays exactly —
+    // pinning the representative semantics (min-id election, multi-table
+    // fold, short-doc self-representation) under the hash-match gate.
+    // Production dedup stays on d15's native path.
+    GraftQuery(
+      "d53_cluster_reps_md5",
+      (s, d) => {
+        val T = 4
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), expr(sparkGrams).as("sh"))
+        val banded = sh.select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, ${T - 1}), t -> struct(t AS t,
+               CASE WHEN size(sh) > 0 THEN
+                 array_min(transform(sh, x -> md5(concat(t, ':', x))))
+               END AS mh))""")).as("bk"))
+          .filter(col("bk.mh").isNotNull)
+        val bucketMin = banded.withColumn("bucket_rep",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bk.t"), col("bk.mh"))))
+        val reps = bucketMin.groupBy(col("doc_id"))
+          .agg(min(col("bucket_rep")).as("rep_id"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
+        b AS (SELECT doc_id, t,
+            list_min(list_transform(sh, x -> md5(t || ':' || x))) AS mh
+          FROM g, (SELECT unnest(range(0, 4)) AS t) tt
+          WHERE len(sh) > 0),
+        bm AS (SELECT t, mh, MIN(doc_id) AS mn FROM b GROUP BY 1, 2),
+        r AS (SELECT b.doc_id, MIN(bm.mn) AS rep
+          FROM b JOIN bm USING (t, mh) GROUP BY 1)
+        SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN r USING (doc_id)""")),
   )
 
   /** Spark SQL expression for the md5-derived SimHash bit string of a

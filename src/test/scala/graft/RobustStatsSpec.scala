@@ -42,4 +42,41 @@ class RobustStatsSpec extends SparkSpec {
     assert(medians(rows) == medians(rows.reverse))
     assert(medians(rows) == Map("k" -> 5L))
   }
+
+  test("q33 sketch percentiles honor the GK rank-error bound against the " +
+      "real value multiset (the q30-exact anchor)") {
+    // The rows-only anchor for q33: for every group and percentile p, the
+    // sketch's answer must be an actual data value whose rank in the
+    // sorted multiset is within n/accuracy (+1 for boundary definitions)
+    // of the target rank — the Greenwald-Khanna contract. At fixture
+    // scale n << accuracy, so this effectively pins the sketch to the
+    // exact order statistics q30 computes.
+    import org.apache.spark.sql.functions._
+    val q33 = graft.queries.GraftQuery.all
+      .find(_.name == "q33_percentiles_sketch").get
+    val out = q33.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val vals = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    out.foreach { r =>
+      val k = r.getString(0)
+      val sorted = vals(k)
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong, s"$k: n_values mismatch")
+      Seq(2 -> 0.5, 3 -> 0.9, 4 -> 0.99).foreach { case (i, p) =>
+        val got = r.getDouble(i)
+        assert(sorted.contains(got), s"$k p$p: $got is not a data value")
+        // rank range of `got` in the sorted multiset (1-based, ties span)
+        val lo = sorted.indexWhere(_ == got) + 1
+        val hi = sorted.lastIndexWhere(_ == got) + 1
+        val target = p * n
+        val tol = n / 10000.0 + 1.0
+        assert(lo - tol <= target && target <= hi + tol,
+          s"$k p$p: value $got rank [$lo,$hi] vs target $target (n=$n)")
+      }
+    }
+  }
 }
