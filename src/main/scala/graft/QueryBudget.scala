@@ -30,8 +30,12 @@ object QueryBudget {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}") }
         finally spark.sparkContext.clearJobGroup()
-      // offer, not put: nobody is left waiting if the caller timed out
-      outcome.offer(r, 60, TimeUnit.SECONDS)
+      // offer, not put: nobody is left waiting if the caller timed out.
+      // The caller's post-timeout interrupt() can land HERE (body already
+      // done, outcome abandoned) — swallow it rather than dying with an
+      // uncaught-exception stack trace on the stderr tail.
+      try outcome.offer(r, 60, TimeUnit.SECONDS)
+      catch { case _: InterruptedException => () }
       ()
     }, s"graft-query-$name")
     worker.setDaemon(true)
@@ -43,8 +47,12 @@ object QueryBudget {
         // Also interrupt the worker: cancelJobGroup only stops Spark jobs,
         // not driver-side loops (e.g. a local quantizer-training loop), and
         // a still-running body would contaminate the next query's timing
-        // and share mutable session state with it.
+        // and share mutable session state with it. Grace-join before the
+        // liveness probe — interrupt() is async, so an immediate isAlive
+        // is true for every prompt exit too and the flag would carry no
+        // information about the swallowed-interrupt case it exists for.
         worker.interrupt()
+        try worker.join(2000L) catch { case _: InterruptedException => () }
         val alive = if (worker.isAlive) "; worker thread still alive" else ""
         Some(s"TIMEOUT after ${timeoutSec}s (job group cancelled, worker interrupted$alive)")
     }

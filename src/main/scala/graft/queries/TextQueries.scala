@@ -94,6 +94,31 @@ object TextQueries {
     * QUALIFY count(*) OVER (PARTITION BY minhash). */
   private val lshMaxBucket = 64
 
+  /** Band-table count of the md5-keyed LSH family (d47/d52/d53). */
+  private val md5BandTables = 4
+
+  /** Spark generator operand for the md5-keyed band signatures of a `sh`
+    * gram column: table t's signature = min over shingles of
+    * md5('t:' || shingle), null (no bucket row) when the doc has no
+    * shingles. ONE definition for d47 (pairs), d52 (capstone edges), and
+    * d53 (representatives) — a drifted copy of the salt separator, table
+    * count, or empty-guard would silently break the pinned equivalence
+    * between the three. */
+  private lazy val sparkMd5Bands: String =
+    s"""transform(sequence(0, ${md5BandTables - 1}), t -> struct(t AS t,
+         CASE WHEN size(sh) > 0 THEN
+           array_min(transform(sh, x -> md5(concat(t, ':', x))))
+         END AS mh))"""
+
+  /** The same banding in DuckDB SQL, as the body of a `b` CTE over a
+    * relation exposing (doc_id, sh). `extraCols` carries payload columns
+    * (e.g. " sh," when the verify step needs the gram sets). */
+  private def sqlMd5Bands(from: String, extraCols: String = ""): String =
+    s"""SELECT doc_id,$extraCols t,
+        list_min(list_transform(sh, x -> md5(t || ':' || x))) AS mh
+      FROM $from, (SELECT unnest(range(0, $md5BandTables)) AS t) tt
+      WHERE len(sh) > 0"""
+
   /** Token budget per training pack (d28) — a typical 2k-context window. */
   private val packBudget = 2048
 
@@ -1750,15 +1775,10 @@ object TextQueries {
       (s, d) => {
         import graft.operators.NearDup
         import graft.functions.MinHashExprs
-        val T = 4
         val base = Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
         val sh = base.select(col("doc_id"), expr(sparkGrams).as("sh"))
-        val banded = sh.select(col("doc_id"), explode(expr(
-          s"""transform(sequence(0, ${T - 1}), t -> struct(t AS t,
-               CASE WHEN size(sh) > 0 THEN
-                 array_min(transform(sh, x -> md5(concat(t, ':', x))))
-               END AS mh))""")).as("bk"))
+        val banded = sh.select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
           .filter(col("bk.mh").isNotNull)
         val grouped = banded
           .groupBy(col("bk.t").as("t"), col("bk.mh").as("mh"))
@@ -1780,10 +1800,7 @@ object TextQueries {
       },
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
-        b AS (SELECT doc_id, sh, t,
-            list_min(list_transform(sh, x -> md5(t || ':' || x))) AS mh
-          FROM g, (SELECT unnest(range(0, 4)) AS t) tt
-          WHERE len(sh) > 0),
+        b AS (${sqlMd5Bands("g", " sh,")}),
         bc AS (SELECT * FROM b
           QUALIFY COUNT(*) OVER (PARTITION BY t, mh) <= $lshMaxBucket)
         SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
@@ -1941,7 +1958,10 @@ object TextQueries {
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         hs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs
           FROM toks)
-        SELECT doc_id, $sqlSimhashMd5Bits AS sim_bits FROM hs""")),
+        SELECT doc_id,
+          CASE WHEN hs IS NULL THEN NULL ELSE $sqlSimhashMd5Bits END
+            AS sim_bits
+        FROM hs""")),
 
     // ---- md5-keyed SimHash banded pairs, ORACLE-CHECKABLE variant of d11 -
     // d11's pipeline shape exactly (band the 64-bit signature into four
@@ -1994,7 +2014,10 @@ object TextQueries {
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         hs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs
           FROM toks),
-        sig AS (SELECT doc_id, $sqlSimhashMd5Bits AS bits FROM hs),
+        sig AS (SELECT doc_id,
+            CASE WHEN hs IS NULL THEN NULL ELSE $sqlSimhashMd5Bits END
+              AS bits
+          FROM hs),
         b AS (SELECT doc_id, bits, t,
             substr(bits, CAST(t*16 + 1 AS INT), 16) AS v
           FROM sig, (SELECT unnest(range(0, 4)) AS t) tt),
@@ -2040,7 +2063,6 @@ object TextQueries {
       (s, d) => {
         import graft.operators.{ConnectedComponents, NearDup}
         import graft.functions.MinHashExprs
-        val T = 4
         val docs = Tables.documents(s, d)
         val gated = gopherMetrics(docs.withColumn("toks", tokens(col("text"))))
           .filter(gopherAdmit)
@@ -2048,11 +2070,7 @@ object TextQueries {
           .localCheckpoint()
         val banded = gated
           .select(col("doc_id"), expr(sparkGrams).as("sh"))
-          .select(col("doc_id"), explode(expr(
-            s"""transform(sequence(0, ${T - 1}), t -> struct(t AS t,
-                 CASE WHEN size(sh) > 0 THEN
-                   array_min(transform(sh, x -> md5(concat(t, ':', x))))
-                 END AS mh))""")).as("bk"))
+          .select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
           .filter(col("bk.mh").isNotNull)
         val grouped = banded
           .groupBy(col("bk.t").as("t"), col("bk.mh").as("mh"))
@@ -2089,10 +2107,7 @@ object TextQueries {
       Some(s"""WITH RECURSIVE $sqlGopherCtes,
         gated AS (SELECT doc_id, source, toks, grams AS sh FROM m
           WHERE $sqlGopherAdmit),
-        b AS (SELECT doc_id, sh, t,
-            list_min(list_transform(sh, x -> md5(t || ':' || x))) AS mh
-          FROM gated, (SELECT unnest(range(0, 4)) AS t) tt
-          WHERE len(sh) > 0),
+        b AS (${sqlMd5Bands("gated", " sh,")}),
         bc AS (SELECT * FROM b
           QUALIFY COUNT(*) OVER (PARTITION BY t, mh) <= $lshMaxBucket),
         e AS (SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
@@ -2135,15 +2150,10 @@ object TextQueries {
     GraftQuery(
       "d53_cluster_reps_md5",
       (s, d) => {
-        val T = 4
         val sh = Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
           .select(col("doc_id"), expr(sparkGrams).as("sh"))
-        val banded = sh.select(col("doc_id"), explode(expr(
-          s"""transform(sequence(0, ${T - 1}), t -> struct(t AS t,
-               CASE WHEN size(sh) > 0 THEN
-                 array_min(transform(sh, x -> md5(concat(t, ':', x))))
-               END AS mh))""")).as("bk"))
+        val banded = sh.select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
           .filter(col("bk.mh").isNotNull)
         val bucketMin = banded.withColumn("bucket_rep",
           min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
@@ -2157,10 +2167,7 @@ object TextQueries {
       },
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
-        b AS (SELECT doc_id, t,
-            list_min(list_transform(sh, x -> md5(t || ':' || x))) AS mh
-          FROM g, (SELECT unnest(range(0, 4)) AS t) tt
-          WHERE len(sh) > 0),
+        b AS (${sqlMd5Bands("g")}),
         bm AS (SELECT t, mh, MIN(doc_id) AS mn FROM b GROUP BY 1, 2),
         r AS (SELECT b.doc_id, MIN(bm.mn) AS rep
           FROM b JOIN bm USING (t, mh) GROUP BY 1)
@@ -2214,8 +2221,10 @@ object TextQueries {
     * `toks` (and any passthrough columns) — THE single definition shared
     * by d48 (emits the flags) and d52 (filters on the conjunction), so
     * the gate the capstone applies can never drift from the flags the
-    * rule query reports. Adds `grams`, `n_tokens`, `mean_word_len`,
-    * `alpha_word_ratio`, `rep_ratio`. */
+    * rule query reports. Adds `n_tokens`, `mean_word_len`,
+    * `alpha_word_ratio`, `rep_ratio` (distinct grams counted natively —
+    * no grams column; the oracle-side `m` CTE still exposes one for its
+    * own string-gram rep_ratio formulation). */
   private def gopherMetrics(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.withColumn("n_tokens", size(col("toks")).cast("bigint"))
       .withColumn("mean_word_len",
