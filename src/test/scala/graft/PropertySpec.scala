@@ -238,4 +238,54 @@ class PropertySpec extends SparkSpec {
       .as[(String, String)].collect()
     rows.foreach { case (n, s) => assert(n == s, s"native=$n sql=$s") }
   }
+
+  /** Writes a documents corpus usable as a GraftQuery sfDir (the
+    * text-family queries read only the documents table). */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prop-docs").toString
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("property: md5-SimHash signature (d50) is a token-MULTISET " +
+      "function — order-invariant, multiplicity-sensitive") {
+    // SimHash sums per-token votes, so any permutation of the tokens must
+    // produce the identical 64-bit signature (the invariance that makes
+    // it a bag-of-words near-dup key, unlike sequence-sensitive shingles)
+    val texts = samples(textGen, 12).map(_.trim).filter(_.nonEmpty).distinct
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val shuffled = new scala.util.Random(i).shuffle(toks).mkString(" ")
+      Seq((i.toLong * 2, t), (i.toLong * 2 + 1, shuffled))
+    }
+    val q = graft.queries.GraftQuery.all.find(_.name == "d50_simhash_md5").get
+    val sigs = q.run(spark, docsDir(rows)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.indices.foreach { i =>
+      assert(sigs(i.toLong * 2) == sigs(i.toLong * 2 + 1),
+        s"text $i: signature changed under token permutation")
+    }
+  }
+
+  test("property: identical docs always survive d51's banded LSH as a " +
+      "hamming-0 pair (recall floor of the uncapped band family)") {
+    // identical text → identical signature → same bucket in EVERY band →
+    // the pair must appear with hamming 0 (d51 has no bucket cap, so
+    // nothing can drop it)
+    val texts = samples(textGen, 10).map(_.trim)
+      .filter(_.split("\\s+").count(_.nonEmpty) >= 1).distinct
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t), (i.toLong + 1000L, t))
+    }
+    val q = graft.queries.GraftQuery.all
+      .find(_.name == "d51_simhash_md5_pairs").get
+    val pairs = q.run(spark, docsDir(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    texts.indices.foreach { i =>
+      assert(pairs.contains((i.toLong, i.toLong + 1000L, 0L)),
+        s"text $i: identical-doc pair missing or nonzero hamming")
+    }
+  }
 }
