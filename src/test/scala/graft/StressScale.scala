@@ -69,10 +69,15 @@ object StressScale {
         sys.error(s"no driving-table mapping for $name"))
       // warm codegen/readers on the 1x corpus (untimed)
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // collect the previous query's garbage OUTSIDE the timed window
+      // (the Bench rule — a prior query's heap landing as a GC pause
+      // inside this timing skews the exponent)
+      System.gc()
       val (_, t1) = timed {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       val dir8 = replicate(spark, sfDir, table, idCol)
+      System.gc()
       val (_, t8) = timed {
         q.run(spark, dir8).write.format("noop").mode("overwrite").save()
       }
