@@ -63,6 +63,34 @@ object MinHashExprs {
     * oracle; production candidate generation keeps the xxhash64 form). */
   def kMinMd5Sigs(toks: Column, k: Int): Column =
     GraftSqlBridge.column(KMinMd5Sigs(GraftSqlBridge.expression(toks), k))
+
+  /** md5-derived SimHash bit string of a token array (64 chars of
+    * '0'/'1') — value-identical to the SQL fold
+    * `aggregate(transform(toks, t -> struct(conv(substr(md5(t),1,8),16,10),
+    * conv(substr(md5(t),9,8),16,10))), zeros, zip_with ±1 votes)` +
+    * sign-join (parity pinned by PropertySpec), but one codegen'd pass:
+    * one digest per token, integer shifts for the 64 votes, no hex-string
+    * or lambda dispatch. The DuckDB-mirrorable analog of
+    * [[graft.functions.TextExprs]]' SimHash64 (d50/d51; production
+    * SimHash stays on the xxhash64 expression). Null input → null;
+    * empty → all-'0' (the fold's zero accumulator). */
+  def simhashMd5Bits(toks: Column): Column =
+    GraftSqlBridge.column(SimHashMd5Bits(GraftSqlBridge.expression(toks)))
+}
+
+case class SimHashMd5Bits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_md5_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.simhashMd5Bits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashOps.simhashMd5Bits($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Bits =
+    copy(child = newChild)
 }
 
 case class ShingleHashes(child: Expression) extends UnaryExpression {
@@ -236,6 +264,43 @@ object MinHashOps {
       i += 1
     }
     UTF8String.fromBytes(hex)
+  }
+
+  /** md5-derived SimHash bit string (d50/d51): per token, w1/w2 = the
+    * digest's first/second 4 bytes as big-endian unsigned 32-bit words
+    * (== `conv(substr(md5_hex, 1|9, 8), 16, 10)` — hex is big-endian in
+    * the digest bytes with the high nibble first); bit j of the vote
+    * vector is bit (j % 32) of w1 for j < 32 else of w2; the 64 counters
+    * sum ±1 votes over the token MULTISET; output char j is '1' iff
+    * counter j ends positive (ties to '0'). Empty input → all-'0'. */
+  def simhashMd5Bits(toks: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val counters = new Array[Int](64)
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      val w1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val w2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var j = 0
+      while (j < 32) {
+        counters(j) += (((w1 >> j) & 1L) * 2L - 1L).toInt
+        counters(32 + j) += (((w2 >> j) & 1L) * 2L - 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var j = 0
+    while (j < 64) {
+      out(j) = if (counters(j) > 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(out)
   }
 
   /** Chained 3-gram shingle hashes of a token array; length max(n-2, 0). */

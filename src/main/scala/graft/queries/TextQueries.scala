@@ -1954,7 +1954,9 @@ object TextQueries {
       (s, d) =>
         Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
-          .select(col("doc_id"), expr(sparkSimhashMd5Bits).as("sim_bits")),
+          .select(col("doc_id"),
+            graft.functions.MinHashExprs.simhashMd5Bits(col("toks"))
+              .as("sim_bits")),
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         hs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs
           FROM toks)
@@ -1969,14 +1971,14 @@ object TextQueries {
     // Hamming ≤ 8 verify, a_id < b_id) over d50's md5-derived signatures.
     // The four band WORDS (w0..w3, the integer values of d50's 16-bit
     // bit-string slices, MSB first — a bijection, so the bucketing is
-    // identical) are derived straight from the counter fold as FOUR
-    // separate columns: four references keep CollapseProject from
-    // inlining the fold into any single consumer (one reference would
-    // re-run the 64-lane fold per band iteration), and the banded payload
-    // is id + 4 longs — bounded like d11's 8-byte signature, so the
-    // Hamming verify needs no join-back and runs as NATIVE
+    // identical) are derived from the native signature as FOUR separate
+    // conv(_, 2, 10) columns (multi-reference keeps CollapseProject from
+    // inlining the signature into any single consumer), and the banded
+    // payload is id + 4 longs — bounded like d11's 8-byte signature, so
+    // the Hamming verify needs no join-back and runs as NATIVE
     // bit_count(xor) per pair (the 64-char substr-compare loop this
-    // replaces was the dominant d51 cost: 14.8 → ~6 s at sf0.1). Pair
+    // replaced was the dominant d51 cost: 14.8 → 4.0 s at sf0.1, then
+    // the native signature expression cut the remaining fold cost). Pair
     // dedup across bands is a distinct over the bounded pair table — the
     // oracle replays it as SELECT DISTINCT; production d11 keeps its
     // shuffle-free first-collision filter.
@@ -1984,12 +1986,17 @@ object TextQueries {
       "d51_simhash_md5_pairs",
       (s, d) => {
         import graft.operators.NearDup
-        val counters = Tables.documents(s, d)
+        val sig = Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
-          .select(col("doc_id"), expr(sparkSimhashMd5Counters).as("cs"))
-        val words = counters.select(
+          .select(col("doc_id"),
+            graft.functions.MinHashExprs.simhashMd5Bits(col("toks"))
+              .as("bits"))
+        // four references to `bits` keep CollapseProject from inlining
+        // the signature into any single consumer; conv(_, 2, 10) of a
+        // 16-char MSB-first slice is exactly the band WORD
+        val words = sig.select(
           col("doc_id") +: (0 until 4).map(b => expr(
-            s"aggregate(sequence(0, 15), 0L, (w, k) -> w * 2 + IF(cs[${b * 16} + k] > 0, 1L, 0L))")
+            s"cast(conv(substr(bits, ${b * 16 + 1}, 16), 2, 10) as bigint)")
             .as(s"w$b")): _*)
         val banded = words.select(col("doc_id"),
           col("w0"), col("w1"), col("w2"), col("w3"),
@@ -2175,31 +2182,13 @@ object TextQueries {
         FROM documents d LEFT JOIN r USING (doc_id)""")),
   )
 
-  /** Spark SQL expression for the md5-derived SimHash bit string of a
-    * `toks` column (d50/d51). Bit j of a token's vote vector is bit
-    * (j % 32) of w1 = int(md5[1..8]) for j < 32, of w2 = int(md5[9..16])
-    * for j ≥ 32. ONE token pass: the words are parsed in the fold's INPUT
-    * array (two conv calls per token — binding them as an alias column
-    * instead would be re-inlined into all 64 lanes by projection
-    * collapse), the accumulator is the 64 counters, and zip_with pairs
-    * counter k with its bit index k via sequence(0, 63) — so the
-    * 64-wide inner loop is pure integer shifts, no string ops (the
-    * per-lane substr/instr nibble form this replaces benched 2.5× slower
-    * at sf0.1). */
-  private lazy val sparkSimhashMd5Counters: String =
-    """aggregate(transform(toks, t -> struct(
-         cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint) AS w1,
-         cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint) AS w2)),
-       array_repeat(0, 64),
-       (acc, h) -> zip_with(acc, sequence(0, 63), (a, j) ->
-         a + 2 * cast(
-           shiftright(IF(j < 32, h.w1, h.w2), j % 32) % 2 as int) - 1))"""
-
-  private lazy val sparkSimhashMd5Bits: String =
-    s"""array_join(transform($sparkSimhashMd5Counters,
-         c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')"""
-
-  /** The same bit string in DuckDB SQL over an `hs` (md5 list) column.
+  /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5
+    * list) column — the oracle mirror of the NATIVE
+    * MinHashExprs.simhashMd5Bits expression (bit j of a token's vote
+    * vector = bit (j % 32) of int(md5_hex[1..8]) for j < 32, of
+    * int(md5_hex[9..16]) for j ≥ 32; 64 counters of ±1 votes; char j =
+    * '1' iff counter j > 0). The SQL-fold Spark formulation the native
+    * expression replaced lives on in PropertySpec's parity pin.
     * Formulated per-bit over hex NIBBLES (64 list_sum passes; bit j %
     * 32 of the big-endian 8-digit word = bit (j % 4) of the hex digit at
     * position 8 - j//4, resp. 16 - (j-32)//4) instead of Spark's one

@@ -249,6 +249,31 @@ class PropertySpec extends SparkSpec {
     dir
   }
 
+  test("property: native simhashMd5Bits is value-identical to the SQL " +
+      "word-fold formulation on random token lists") {
+    // The d50/d51 signature is a native expression; this pins it to the
+    // pure-SQL fold it replaced (the definition the DuckDB oracle
+    // mirrors): per token w1/w2 = conv of the two md5 hex words, 64 ±1
+    // votes folded with zip_with, sign-joined to a bit string.
+    import graft.functions.MinHashExprs
+    val texts = samples(textGen, 120)
+    val rows = texts.toDF("t")
+      .withColumn("toks", TextFunctions.tokens($"t"))
+      .select(
+        MinHashExprs.simhashMd5Bits($"toks").as("native"),
+        expr("""array_join(transform(
+            aggregate(transform(toks, t -> struct(
+                cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint) AS w1,
+                cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint) AS w2)),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63), (a, j) ->
+                a + 2 * cast(
+                  shiftright(IF(j < 32, h.w1, h.w2), j % 32) % 2 as int) - 1)),
+            c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')""").as("sql"))
+      .as[(String, String)].collect()
+    rows.foreach { case (n, s) => assert(n == s, s"native=$n sql=$s") }
+  }
+
   test("property: md5-SimHash signature (d50) is a token-MULTISET " +
       "function — order-invariant, multiplicity-sensitive") {
     // SimHash sums per-token votes, so any permutation of the tokens must
