@@ -822,5 +822,82 @@ object SimQueries {
         FROM ac a, pc, q
         WHERE a.cell = pc.cell AND a.vec_id <> 0
         ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""")),
+
+    // ---- PQ encode/ADC geometry, ORACLE-CHECKABLE variant of e13 ---------
+    // e13 is rows-only because its codebooks come out of driver-side Lloyd
+    // steps. Same degenerate-training move as e14: codebooks = the m=8
+    // subvectors of the 16 lowest-id NORMALIZED vectors verbatim
+    // (pqTrain with sample=16, iters=0 — seeds are the sample, zero
+    // refinement), so the parts that matter at scale — the expanded-form
+    // L2 argmin assignment ‖c‖²−2·x·c with ties to the lower codeword,
+    // the literal-lookup reconstruction, and the ADC ranking q·recon(code)
+    // as ONE strict 64-wide fold — run through the PRODUCTION code path
+    // (pqEncode/pqReconstruct/native dot) and are pinned by DuckDB
+    // hash-match. The oracle rebuilds the same codebooks in SQL (16
+    // lowest ids, 8-element slices), assigns by the same expanded form
+    // (list_sum folds are bit-identical to the Scala/codegen folds per
+    // the module contract), reconstructs via flatten(list ORDER BY j),
+    // and scores with the zip-fold dot. Codes emit as a CSV string —
+    // engine-neutral, and it pins every per-subspace index, not just the
+    // ranking. e13 (Lloyd-trained, recall-evaled) stays the production
+    // path.
+    GraftQuery(
+      "e15_pq_pinned",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val raw = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val base = raw
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+            .otherwise(transform(col("e"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("emb"))
+        val books = VectorSearch.pqTrain(base, "vec_id", "emb",
+          m = 8, k = 16, sample = 16, iters = 0)
+        val probe = base.filter(col("vec_id") === 0)
+          .select(col("emb").as("a_emb"))
+        base
+          .withColumn("codes", VectorSearch.pqEncode(col("emb"), books))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id").as("b_id"),
+            array_join(col("codes"), ",").as("codes_str"),
+            dot(col("a_emb"),
+              VectorSearch.pqReconstruct(col("codes"), books))
+              .as("adc_score"))
+          .orderBy(col("adc_score").desc, col("b_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        b AS (SELECT vec_id, CASE WHEN ${sqlNorm("e")} = 0 THEN e
+            ELSE list_transform(e, x -> x / ${sqlNorm("e")}) END AS e
+          FROM v),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS ci,
+            e AS ce
+          FROM b ORDER BY vec_id ASC LIMIT 16),
+        sub AS (SELECT ci, j,
+            ce[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS c
+          FROM cb, (SELECT unnest(range(0, 8)) AS j) jj),
+        enc AS (SELECT vec_id, j, ci FROM (
+            SELECT w.vec_id, s.j, s.ci,
+              row_number() OVER (PARTITION BY w.vec_id, s.j ORDER BY
+                (list_sum(list_transform(s.c, x -> x * x))
+                  - 2.0e0 * list_sum(list_transform(list_zip(
+                      w.e[CAST(s.j*8+1 AS INT):CAST(s.j*8+8 AS INT)], s.c),
+                    p -> p[1] * p[2]))) ASC,
+                s.ci ASC) AS rn
+            FROM b w, sub s) t WHERE rn = 1),
+        recon AS (SELECT e.vec_id,
+            flatten(list(s.c ORDER BY e.j)) AS r,
+            array_to_string(list(e.ci ORDER BY e.j), ',') AS codes_str
+          FROM enc e JOIN sub s ON e.j = s.j AND e.ci = s.ci
+          GROUP BY 1),
+        q AS (SELECT e AS qe FROM b WHERE vec_id = 0)
+        SELECT r.vec_id AS b_id, r.codes_str,
+          ${sqlDot("qe", "r.r")} AS adc_score
+        FROM recon r, q WHERE r.vec_id <> 0
+        ORDER BY adc_score DESC, b_id ASC LIMIT 10""")),
   )
 }

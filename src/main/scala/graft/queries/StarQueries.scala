@@ -936,5 +936,141 @@ object StarQueries {
                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
             AS corr_qty_price
         FROM m""")),
+
+    // ---- md5-keyed HLL registers, ORACLE-CHECKABLE variant of q17 --------
+    // q17's approx_count_distinct is rows-only: Spark's HLL++ sketch
+    // hashes with xxhash64 and applies bias correction DuckDB can't
+    // replay. This analog pins the HLL SUBSTRATE — the register build —
+    // under the hash-match gate, exactly as d47/d50 pinned the LSH/SimHash
+    // families: h = md5(user_id); bucket = the first byte (p=8, m=256
+    // registers); rank = leading zeros of the next 32 hash bits + 1
+    // (∈ 1..33, the ρ(w) of the HLL paper); register = max rank per
+    // (event_type, bucket). Both engines derive the integers from the
+    // same md5 hex chars ('0x'-cast / conv(16,10)) and bit length via
+    // bin() — no doubles anywhere.
+    //
+    // Scale shape: IDENTICAL to production HLL — one narrow scan, then a
+    // groupBy whose key domain is bounded by #event_types × 256, with
+    // map-side max partials doing the per-partition sketch build and the
+    // exchange carrying only collapsed registers. This is the mergeable-
+    // sketch property stated as a query plan.
+    GraftQuery(
+      "q34_hll_registers_md5",
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            expr("""cast(conv(substr(md5(cast(user_id as string)), 1, 2),
+              16, 10) as bigint)""").as("bucket"),
+            expr("""cast(conv(substr(md5(cast(user_id as string)), 3, 8),
+              16, 10) as bigint)""").as("w"))
+          .withColumn("rank", when(col("w") === 0, lit(33L))
+            .otherwise(lit(33L) - length(bin(col("w"))).cast("bigint")))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("rank")).as("max_rank")),
+      Some("""WITH e AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        r AS (SELECT event_type,
+            CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+            CAST('0x' || substr(h, 3, 8) AS BIGINT) AS w
+          FROM e)
+        SELECT event_type, bucket,
+          CAST(MAX(CASE WHEN w = 0 THEN 33
+            ELSE 33 - length(bin(w)) END) AS BIGINT) AS max_rank
+        FROM r GROUP BY 1, 2""")),
+
+    // ---- md5-keyed HLL estimate + error accounting (q34's rollup) --------
+    // The second half of the q17 pin: fold q34's registers into the raw
+    // HLL estimate Ê = α_m·m²/Σ 2^(−M_j) and compare against the exact
+    // COUNT(DISTINCT). The harmonic sum is kept EXACT by scaling to
+    // integers: Σ 2^(33−M_j) over present registers plus 2³³ per absent
+    // one (M=0) ≤ 256·2³³ = 2⁴¹ — exact in int64 AND in a double's 53-bit
+    // significand, so the single α_m·m²·2³³/S division is the only
+    // floating-point op and both engines evaluate the identical IEEE
+    // expression tree (all literals written in e0 scientific form so both
+    // parsers type them DOUBLE, never DECIMAL). The small-range branch is
+    // the REAL algorithm's linear-counting correction: when Ê ≤ 2.5·m and
+    // zero registers remain, est = m·ln(m/zeros) — without it the raw
+    // harmonic estimator plateaus near α·m (≈184 for m=256) however few
+    // users exist (measured 11.8× over at sf0.001). ln() is the one
+    // libm-dependent op; round(…,6) absorbs the ≤1-ulp Java-vs-DuckDB
+    // divergence (verified hash-equal on both fixture scales).
+    //
+    // Scale: registers are bounded (types × 256) so everything past q34's
+    // scan is constant-size. exact_users is the expensive COUNT(DISTINCT)
+    // ground truth the sketch replaces — present here because this is an
+    // ERROR EVAL (the e07/e13 recall-eval pattern), not the production
+    // path; q17 never pays it.
+    GraftQuery(
+      "q35_hll_estimate_md5",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val regs = ev
+          .select(col("event_type"),
+            expr("""cast(conv(substr(md5(cast(user_id as string)), 1, 2),
+              16, 10) as bigint)""").as("bucket"),
+            expr("""cast(conv(substr(md5(cast(user_id as string)), 3, 8),
+              16, 10) as bigint)""").as("w"))
+          .withColumn("rank", when(col("w") === 0, lit(33L))
+            .otherwise(lit(33L) - length(bin(col("w"))).cast("bigint")))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("rank")).as("mr"))
+        val roll = regs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("present"),
+            (lit(256L) - count(lit(1))).as("zeros"),
+            (sum(expr("shiftleft(cast(1 as bigint), cast(33 - mr as int))")) +
+              (lit(256L) - count(lit(1))) * lit(8589934592L)).as("s_scaled"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        roll.join(exact, Seq("event_type"))
+          .withColumn("est_raw", expr(
+            """0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+              * 8589934592.0e0 / cast(s_scaled as double)"""))
+          .withColumn("est", expr(
+            """CASE WHEN est_raw <= 640.0e0 AND zeros > 0
+               THEN 256.0e0 * ln(256.0e0 / cast(zeros as double))
+               ELSE est_raw END"""))
+          .select(col("event_type"), col("present"), col("zeros"),
+            col("s_scaled"), round(col("est_raw"), 6).as("est_raw"),
+            round(col("est"), 6).as("est_users"),
+            col("exact_users"),
+            round((col("est") - col("exact_users").cast("double")) /
+              col("exact_users").cast("double"), 6).as("rel_err"))
+      },
+      Some("""WITH e AS (SELECT event_type, user_id,
+            md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        r AS (SELECT event_type,
+            CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+            CAST('0x' || substr(h, 3, 8) AS BIGINT) AS w
+          FROM e),
+        reg AS (SELECT event_type, bucket,
+            MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS mr
+          FROM r GROUP BY 1, 2),
+        roll AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS present,
+            CAST(256 - COUNT(*) AS BIGINT) AS zeros,
+            CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mr AS INT))
+                AS BIGINT)
+              + (256 - COUNT(*)) * 8589934592 AS BIGINT) AS s_scaled
+          FROM reg GROUP BY 1),
+        ex AS (SELECT event_type,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM e GROUP BY 1),
+        j AS (SELECT roll.event_type, present, zeros, s_scaled,
+            0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+              * 8589934592.0e0 / CAST(s_scaled AS DOUBLE) AS est_raw,
+            exact_users
+          FROM roll JOIN ex ON roll.event_type = ex.event_type),
+        k AS (SELECT *, CASE WHEN est_raw <= 640.0e0 AND zeros > 0
+              THEN 256.0e0 * ln(256.0e0 / CAST(zeros AS DOUBLE))
+              ELSE est_raw END AS est
+          FROM j)
+        SELECT event_type, present, zeros, s_scaled,
+          round(est_raw, 6) AS est_raw,
+          round(est, 6) AS est_users, exact_users,
+          round((est - CAST(exact_users AS DOUBLE))
+            / CAST(exact_users AS DOUBLE), 6) AS rel_err
+        FROM k""")),
   )
 }

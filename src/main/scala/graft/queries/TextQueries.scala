@@ -2180,6 +2180,72 @@ object TextQueries {
           FROM b JOIN bm USING (t, mh) GROUP BY 1)
         SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep_id
         FROM documents d LEFT JOIN r USING (doc_id)""")),
+
+    // ---- count-min sketch heavy hitters (md5-keyed, integer-exact) -------
+    // The frequency-sketch sibling of the HLL pin (q34/q35): a depth-3 ×
+    // width-64 count-min sketch over the corpus token stream, hash row j
+    // keyed by md5('j:' || term) (first 4 hex chars → int, mod width) —
+    // every quantity is an INTEGER (cell counts, minima), so unlike most
+    // sketches the whole estimator is oracle-hashable directly: no analog
+    // needed, the production math IS the pinned math. Output: the exact
+    // top-20 terms with their true counts, the CMS estimate min_j
+    // cms[j][h_j(term)], and the overcount — CMS guarantees est ≥ exact
+    // (pure collision inflation), which PropertySpec asserts corpus-wide.
+    //
+    // Scale shape — the reason CMS exists: the sketch build is one token
+    // explode folded onto a FIXED 3×64-cell key domain with map-side
+    // partial sums, i.e. per-partition sketches merged cell-wise by the
+    // exchange — constant state per executor, constant shuffle, no
+    // per-term key explosion anywhere in the sketch path (the exact top-20
+    // here is eval-side ground truth, same pattern as q35's
+    // COUNT(DISTINCT)). The width is deliberately tiny so fixture-scale
+    // collisions are visible in overcount; production would size
+    // width = ⌈e/ε⌉ for an ε·N error bound — the plan shape is identical
+    // at any width.
+    GraftQuery(
+      "d54_cms_heavy_hitters",
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+        val cmsBuckets =
+          """transform(sequence(0, 2), j -> struct(j AS j,
+               cast(conv(substr(md5(concat(j, ':', term)), 1, 4), 16, 10)
+                 as bigint) % 64 AS b))"""
+        val cells = tk
+          .select(explode(expr(cmsBuckets)).as("c"))
+          .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = tk.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact_c"))
+          .orderBy(col("exact_c").desc, col("term").asc)
+          .limit(20)
+        top
+          .select(col("term"), col("exact_c"),
+            explode(expr(cmsBuckets)).as("c"))
+          .join(broadcast(cells),
+            col("c.j") === cells("j") && col("c.b") === cells("b"))
+          .groupBy(col("term"), col("exact_c"))
+          .agg(min(col("cnt")).as("est_c"))
+          .select(col("term"), col("exact_c"), col("est_c"),
+            (col("est_c") - col("exact_c")).as("overcount"))
+      },
+      Some(s"""WITH tk AS (SELECT unnest($sqlToks) AS term FROM documents),
+        cells AS (SELECT jj.j,
+            CAST('0x' || substr(md5(jj.j || ':' || term), 1, 4) AS BIGINT)
+              % 64 AS b,
+            COUNT(*) AS cnt
+          FROM tk, (SELECT unnest(range(0, 3)) AS j) jj
+          GROUP BY 1, 2),
+        top AS (SELECT term, COUNT(*) AS exact_c FROM tk GROUP BY 1
+          ORDER BY exact_c DESC, term ASC LIMIT 20),
+        h AS (SELECT t.term, t.exact_c, jj.j,
+            CAST('0x' || substr(md5(jj.j || ':' || t.term), 1, 4) AS BIGINT)
+              % 64 AS b
+          FROM top t, (SELECT unnest(range(0, 3)) AS j) jj)
+        SELECT h.term, h.exact_c, CAST(MIN(c.cnt) AS BIGINT) AS est_c,
+          CAST(MIN(c.cnt) - h.exact_c AS BIGINT) AS overcount
+        FROM h JOIN cells c ON c.j = h.j AND c.b = h.b
+        GROUP BY 1, 2""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

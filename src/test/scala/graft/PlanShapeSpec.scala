@@ -53,7 +53,10 @@ class PlanShapeSpec extends SparkSpec {
       // (the e07/e09/e12 recall-eval pattern). d49 broadcasts the 1-row
       // vocab/totals aggregate against the vocab-sized count table.
       "d45_tfidf_keywords", "d46_unigram_drift", "e13_pq_adc_recall",
-      "d49_dsir_weights")
+      "d49_dsir_weights",
+      // e15 broadcasts the single-row probe vector against the encoded
+      // corpus (e01's single-probe pattern).
+      "e15_pq_pinned")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

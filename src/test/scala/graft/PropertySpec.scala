@@ -313,4 +313,91 @@ class PropertySpec extends SparkSpec {
         s"text $i: identical-doc pair missing or nonzero hamming")
     }
   }
+
+  test("property: CMS (d54) never undercounts, and is LINEAR under " +
+      "corpus duplication (the mergeable-sketch law)") {
+    // Count-min's two defining properties: est ≥ exact always (collisions
+    // only ADD), and cell-wise linearity — duplicating the corpus doubles
+    // every cell, hence every min_j, hence every estimate. Linearity is
+    // exactly what makes the sketch mergeable across partitions/executors
+    // (map-side partial sums ARE sketch merges).
+    val texts = samples(textGen, 20).map(_.trim).filter(_.nonEmpty)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val q = graft.queries.GraftQuery.all
+      .find(_.name == "d54_cms_heavy_hitters").get
+    val one = q.run(spark, docsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(one.nonEmpty)
+    one.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"'$t': CMS undercounted ($est < $exact)") }
+    val dup = rows ++ rows.map { case (i, t) => (i + 10000L, t) }
+    val two = q.run(spark, docsDir(dup)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    one.foreach { case (t, exact, est) =>
+      assert(two(t) == (2 * exact, 2 * est),
+        s"'$t': doubling the corpus did not double (exact, est) — " +
+          s"got ${two(t)}, want (${2 * exact}, ${2 * est})")
+    }
+  }
+
+  test("q34/q35 HLL pins: register domain, rollup consistency, and the " +
+      "m=256 error envelope on the fixture") {
+    val q34 = graft.queries.GraftQuery.all
+      .find(_.name == "q34_hll_registers_md5").get
+    val regs = q34.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(regs.nonEmpty)
+    regs.foreach { case (_, b, mr) =>
+      assert(b >= 0 && b <= 255, s"bucket $b out of the p=8 domain")
+      assert(mr >= 1 && mr <= 33, s"rank $mr outside ρ(w) ∈ [1,33]")
+    }
+    // q35's rollup must be EXACTLY the fold of q34's registers — the two
+    // queries share a substrate, and drift between them would silently
+    // decouple the estimate from the registers the oracle pins.
+    val sByType = regs.groupBy(_._1).map { case (et, rs) =>
+      val present = rs.length
+      et -> (rs.map(r => 1L << (33 - r._3).toInt).sum +
+        (256L - present) * 8589934592L)
+    }
+    val q35 = graft.queries.GraftQuery.all
+      .find(_.name == "q35_hll_estimate_md5").get
+    val roll = q35.run(spark, sfDir).collect()
+    assert(roll.nonEmpty)
+    roll.foreach { r =>
+      val et = r.getString(0)
+      assert(r.getLong(3) == sByType(et),
+        s"$et: q35 s_scaled ${r.getLong(3)} != register fold ${sByType(et)}")
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0 /
+        r.getLong(3).toDouble
+      assert(math.abs(r.getDouble(4) - raw) / raw < 1e-6,
+        s"$et: est_raw ${r.getDouble(4)} drifted from the formula $raw")
+      // corrected estimator: linear counting below 2.5·m, harmonic above
+      val zeros = r.getLong(2)
+      val est = if (raw <= 640.0 && zeros > 0)
+        256.0 * math.log(256.0 / zeros.toDouble) else raw
+      assert(math.abs(r.getDouble(5) - est) / est < 1e-6,
+        s"$et: est_users ${r.getDouble(5)} drifted from the corrected $est")
+      // HLL at m=256 has σ ≈ 1.04/√256 = 6.5% (linear counting is tighter
+      // still at small n); the fixture sits well inside ±4σ
+      assert(math.abs(r.getDouble(7)) < 0.26,
+        s"$et: |rel_err| ${r.getDouble(7)} outside the m=256 envelope")
+    }
+  }
+
+  test("e15 PQ pin: codes are m=8 nibble indices and the ADC ranking is " +
+      "well-formed on the fixture") {
+    val q = graft.queries.GraftQuery.all.find(_.name == "e15_pq_pinned").get
+    val rows = q.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (id, codes, _) =>
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.length == 8, s"vec $id: ${cs.length} codes, want m=8")
+      cs.foreach(c => assert(c >= 0 && c < 16,
+        s"vec $id: code $c outside k=16"))
+    }
+    val scores = rows.map(_._3)
+    assert(scores.sameElements(scores.sortBy(-_)),
+      "ADC top-10 not in descending score order")
+  }
 }
