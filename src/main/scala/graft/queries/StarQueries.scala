@@ -1072,5 +1072,256 @@ object StarQueries {
           round((est - CAST(exact_users AS DOUBLE))
             / CAST(exact_users AS DOUBLE), 6) AS rel_err
         FROM k""")),
+
+    // ---- KMV (k-minimum-values) distinct sketch, md5-keyed ---------------
+    // The third sketch family after HLL (q34/q35) and CMS (d54): keep the
+    // k=64 smallest md5(user_id) hashes per event_type; the k-th smallest
+    // of D uniform hashes sits at ≈ k/D of the hash space, so
+    // D̂ = (k−1)/frac(h_k) (the unbiased KMV estimator). frac uses the
+    // first 13 hex chars = 52 bits — inside a double's significand, so
+    // int(hex)/2⁵² is EXACT and the one division is the only rounding
+    // point (identical IEEE tree in both engines). Sketches smaller than
+    // k hold the whole distinct set → the estimate is exact by rule.
+    //
+    // Scale shape: the distinct() is one dedup exchange on (type, hash) —
+    // uniform by construction, no skew; the per-type top-k runs as
+    // row_number ≤ k, which Spark turns into a map-side WindowGroupLimit
+    // (≤ k rows per partition survive BEFORE the exchange — the
+    // distributed KMV merge, pinned by PlanShapeSpec). Everything past
+    // that is (types × 64) rows. exact_users is eval-side ground truth
+    // (the q35 pattern).
+    GraftQuery(
+      "q36_kmv_distinct",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type").as("t"),
+            expr("md5(cast(user_id as string))").as("h"))
+          .distinct()
+        val w = Window.partitionBy(col("t")).orderBy(col("h").asc)
+        val sk = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 64)
+        val agg = sk.groupBy(col("t"))
+          .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"))
+        val exact = ev.groupBy(col("t"))
+          .agg(count(lit(1)).as("exact_users"))
+        agg.join(exact, Seq("t"))
+          .withColumn("est", expr(
+            """CASE WHEN n_k < 64 THEN cast(n_k as double)
+               ELSE 63.0e0 / (cast(conv(substr(kth_hash, 1, 13), 16, 10)
+                 as bigint) / 4503599627370496.0e0) END"""))
+          .select(col("t").as("event_type"), col("n_k"), col("kth_hash"),
+            round(col("est"), 6).as("est_kmv"), col("exact_users"),
+            round((col("est") - col("exact_users").cast("double")) /
+              col("exact_users").cast("double"), 6).as("rel_err"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT event_type AS t,
+            md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        sk AS (SELECT t, h FROM (SELECT t, h,
+            row_number() OVER (PARTITION BY t ORDER BY h ASC) AS rn
+          FROM e) x WHERE rn <= 64),
+        a AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_k, MAX(h) AS kth_hash
+          FROM sk GROUP BY 1),
+        ex AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_users
+          FROM e GROUP BY 1),
+        j AS (SELECT a.t, n_k, kth_hash,
+            CASE WHEN n_k < 64 THEN CAST(n_k AS DOUBLE)
+              ELSE 63.0e0 / (CAST('0x' || substr(kth_hash, 1, 13) AS BIGINT)
+                / 4503599627370496.0e0) END AS est,
+            exact_users
+          FROM a JOIN ex ON a.t = ex.t)
+        SELECT t AS event_type, n_k, kth_hash, round(est, 6) AS est_kmv,
+          exact_users,
+          round((est - CAST(exact_users AS DOUBLE))
+            / CAST(exact_users AS DOUBLE), 6) AS rel_err
+        FROM j""")),
+
+    // ---- KMV set-operation estimates: distinct-user overlap per type pair
+    // The capability that justifies KMV over HLL: sketches COMPOSE under
+    // set operations. For each event-type pair (A,B): the union sketch is
+    // the k smallest of S_A ∪ S_B (mergeable — union-then-truncate is
+    // associative), D̂_∪ comes from its k-th value (q36's estimator), and
+    // the Jaccard-style ratio ρ = |{h ∈ union sketch : h ∈ S_A ∧ h ∈ S_B}|/k
+    // scales it to D̂_∩ = ρ·D̂_∪ (the KMV intersection estimator). When the
+    // union sketch is under-full it holds ALL of A∪B and both estimates
+    // collapse to exact counts by construction. Exact union/intersection
+    // ride along as eval ground truth.
+    //
+    // Scale: the pair math runs over (pairs × 64) rows — broadcast-sized
+    // whatever the corpus; the only corpus-scale work is q36's sketch
+    // build (dedup exchange + map-side WindowGroupLimit) and the
+    // eval-only exact self-join (equi on the uniform hash — no skew).
+    // The Spark side reaches the union sketch through TWO equi-joins
+    // (pair→A-side, pair→B-side) + union, not an OR-join — an OR
+    // predicate would plan a nested-loop join; the oracle keeps the OR
+    // form DuckDB-side where plans don't matter.
+    GraftQuery(
+      "q37_kmv_intersect",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type").as("t"),
+            expr("md5(cast(user_id as string))").as("h"))
+          .distinct()
+        val w = Window.partitionBy(col("t")).orderBy(col("h").asc)
+        val sk = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 64).select(col("t"), col("h"))
+        val types = sk.select(col("t")).distinct()
+        // broadcast makes the (tiny × tiny) pair enumeration a
+        // BroadcastNestedLoopJoin, never a CartesianProduct
+        val pairs = types.select(col("t").as("ta"))
+          .crossJoin(broadcast(types.select(col("t").as("tb"))))
+          .filter(col("ta") < col("tb"))
+        val memA = pairs.join(sk, col("ta") === col("t"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(1).as("ia"), lit(0).as("ib"))
+        val memB = pairs.join(sk, col("tb") === col("t"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(0).as("ia"), lit(1).as("ib"))
+        val un = memA.union(memB)
+          .groupBy(col("ta"), col("tb"), col("h"))
+          .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+        val w2 = Window.partitionBy(col("ta"), col("tb"))
+          .orderBy(col("h").asc)
+        val g = un.withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <= 64)
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_k"), max(col("h")).as("hk"),
+            sum(when(col("ia") === 1 && col("ib") === 1, 1L)
+              .otherwise(0L)).as("both_k"))
+        val cnt = ev.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        val xi = ev.select(col("t").as("xa"), col("h"))
+          .join(ev.select(col("t").as("xb"), col("h")), Seq("h"))
+          .filter(col("xa") < col("xb"))
+          .groupBy(col("xa"), col("xb"))
+          .agg(count(lit(1)).as("exact_int"))
+        g.join(cnt.select(col("t").as("ta"), col("n").as("na")), Seq("ta"))
+          .join(cnt.select(col("t").as("tb"), col("n").as("nb")), Seq("tb"))
+          .join(xi, col("ta") === col("xa") && col("tb") === col("xb"),
+            "left")
+          .withColumn("exact_i", coalesce(col("exact_int"), lit(0L)))
+          .withColumn("est_u", expr(
+            """CASE WHEN n_k < 64 THEN cast(n_k as double)
+               ELSE 63.0e0 / (cast(conv(substr(hk, 1, 13), 16, 10)
+                 as bigint) / 4503599627370496.0e0) END"""))
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+            col("n_k"), col("both_k"),
+            round(col("est_u"), 6).as("est_union"),
+            (col("na") + col("nb") - col("exact_i")).as("exact_union"),
+            round(col("both_k").cast("double") / col("n_k").cast("double")
+              * col("est_u"), 6).as("est_intersect"),
+            col("exact_i").as("exact_intersect"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT event_type AS t,
+            md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        sk AS (SELECT t, h FROM (SELECT t, h,
+            row_number() OVER (PARTITION BY t ORDER BY h ASC) AS rn
+          FROM e) x WHERE rn <= 64),
+        ty AS (SELECT DISTINCT t FROM sk),
+        p AS (SELECT a.t AS ta, b.t AS tb FROM ty a, ty b WHERE a.t < b.t),
+        m AS (SELECT p.ta, p.tb, s.h,
+            MAX(CASE WHEN s.t = p.ta THEN 1 ELSE 0 END) AS ia,
+            MAX(CASE WHEN s.t = p.tb THEN 1 ELSE 0 END) AS ib
+          FROM p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+          GROUP BY 1, 2, 3),
+        c AS (SELECT ta, tb, h, ia, ib,
+            row_number() OVER (PARTITION BY ta, tb ORDER BY h ASC) AS rn
+          FROM m),
+        g AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_k, MAX(h) AS hk,
+            CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS both_k
+          FROM c WHERE rn <= 64 GROUP BY 1, 2),
+        cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        xi AS (SELECT x.t AS ta, y.t AS tb,
+            CAST(COUNT(*) AS BIGINT) AS exact_int
+          FROM e x JOIN e y ON x.h = y.h AND x.t < y.t
+          GROUP BY 1, 2),
+        j AS (SELECT g.ta, g.tb, g.n_k, g.both_k,
+            CASE WHEN g.n_k < 64 THEN CAST(g.n_k AS DOUBLE)
+              ELSE 63.0e0 / (CAST('0x' || substr(g.hk, 1, 13) AS BIGINT)
+                / 4503599627370496.0e0) END AS est_u,
+            ca.n AS na, cb.n AS nb,
+            COALESCE(xi.exact_int, 0) AS exact_i
+          FROM g JOIN cnt ca ON g.ta = ca.t JOIN cnt cb ON g.tb = cb.t
+            LEFT JOIN xi ON g.ta = xi.ta AND g.tb = xi.tb)
+        SELECT ta AS type_a, tb AS type_b, n_k, both_k,
+          round(est_u, 6) AS est_union,
+          CAST(na + nb - exact_i AS BIGINT) AS exact_union,
+          round(CAST(both_k AS DOUBLE) / CAST(n_k AS DOUBLE) * est_u, 6)
+            AS est_intersect,
+          exact_i AS exact_intersect
+        FROM j""")),
+
+    // ---- grouped OLS regression (slope/intercept/R²) ---------------------
+    // q32's exact-moment substrate carried to the full least-squares fit:
+    // price = α + β·quantity per return flag. The five moments accumulate
+    // as DECIMAL (exact, order-free, map-side combinable); the closed
+    // forms β = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), α = (Σy−β·Σx)/n and
+    // R² = (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) run in doubles over
+    // identical expression trees in both engines (α references the
+    // UNROUNDED β). One map-side-combinable exchange — the q01 envelope —
+    // at any scale; this is the per-segment trend-fit a feature pipeline
+    // computes without ever sorting or collecting a group.
+    GraftQuery(
+      "q38_price_qty_ols",
+      (s, d) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val m = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sx2"),
+            sum(y * y).as("sy2"))
+        val k = m.select(col("l_returnflag"), col("n"),
+          expr("""(cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            / (cast(n as double) * cast(sx2 as double)
+              - cast(sx as double) * cast(sx as double))""").as("beta"),
+          expr("cast(sx as double)").as("sxd"),
+          expr("cast(sy as double)").as("syd"),
+          expr("""(cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            * (cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            / ((cast(n as double) * cast(sx2 as double)
+              - cast(sx as double) * cast(sx as double))
+              * (cast(n as double) * cast(sy2 as double)
+                - cast(sy as double) * cast(sy as double)))""").as("r2"))
+        k.select(col("l_returnflag"), col("n"),
+          round(col("beta"), 6).as("slope"),
+          round((col("syd") - col("beta") * col("sxd")) /
+            col("n").cast("double"), 6).as("intercept"),
+          round(col("r2"), 6).as("r_squared"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sy2
+        FROM lineitem GROUP BY 1),
+        k AS (SELECT l_returnflag, n,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+          FROM m)
+        SELECT l_returnflag, n, round(beta, 6) AS slope,
+          round((syd - beta * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+          round(r2, 6) AS r_squared
+        FROM k""")),
   )
 }

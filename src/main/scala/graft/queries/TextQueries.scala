@@ -2246,6 +2246,42 @@ object TextQueries {
           CAST(MIN(c.cnt) - h.exact_c AS BIGINT) AS overcount
         FROM h JOIN cells c ON c.j = h.j AND c.b = h.b
         GROUP BY 1, 2""")),
+
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis) -----
+    // The corpus-subselection primitive a mixture pipeline needs between
+    // d19's uniform Bernoulli and d49's DSIR weights: draw a fixed-size
+    // sample where P(doc ∈ sample) scales with a weight (here n_chars —
+    // longer docs carry more training signal). ES A-Res: key = u^(1/w)
+    // with u ~ U(0,1), take the top-k keys — exactly a weighted draw
+    // WITHOUT replacement, and embarrassingly parallel (keys are per-row;
+    // top-k is one TakeOrdered). Determinized for the oracle: u comes
+    // from md5(doc_id)'s first 52 bits ((v+0.5)/2⁵², strictly inside
+    // (0,1)), the monotone ln(u)/w replaces the pow (same argmax,
+    // libm-stabler), and the RANKING key is the value ROUNDED to 6
+    // decimals with doc_id as tie-break — the d45 rule: never rank on a
+    // raw libm double across engines.
+    //
+    // Scale: one narrow scan (no tokenize — the weight is the stored
+    // n_chars), top-100 via global TakeOrderedAndProject (per-partition
+    // heads only; no full sort, no window). The 100 TB shape of "sample
+    // k docs by weight" with zero coordination beyond one reduce.
+    GraftQuery(
+      "d55_weighted_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars").as("weight"),
+            expr("""round(ln((cast(conv(substr(md5(cast(doc_id as string)),
+                1, 13), 16, 10) as bigint) + 0.5e0) / 4503599627370496.0e0)
+              / cast(n_chars as double), 6)""").as("es_key"))
+          .orderBy(col("es_key").desc, col("doc_id").asc)
+          .limit(100),
+      Some("""SELECT doc_id, n_chars AS weight,
+          round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+              AS BIGINT) + 0.5e0) / 4503599627370496.0e0)
+            / CAST(n_chars AS DOUBLE), 6) AS es_key
+        FROM documents WHERE n_chars > 0
+        ORDER BY es_key DESC, doc_id ASC LIMIT 100""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

@@ -55,8 +55,9 @@ class PlanShapeSpec extends SparkSpec {
       "d45_tfidf_keywords", "d46_unigram_drift", "e13_pq_adc_recall",
       "d49_dsir_weights",
       // e15 broadcasts the single-row probe vector against the encoded
-      // corpus (e01's single-probe pattern).
-      "e15_pq_pinned")
+      // corpus (e01's single-probe pattern); q37 broadcasts the tiny
+      // event-type list against itself to enumerate type pairs.
+      "e15_pq_pinned", "q37_kmv_intersect")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -68,6 +69,17 @@ class PlanShapeSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"${q.name}: unintended nested-loop join")
     }
+  }
+
+  test("q36 KMV sketch build: per-type top-k is a map-side " +
+      "WindowGroupLimit, never a full per-type sort of the distinct set") {
+    // The distributed-KMV merge property: row_number ≤ k must plan as
+    // WindowGroupLimit (≤ k rows survive per partition BEFORE the final
+    // exchange). Without it every distinct hash of a type funnels through
+    // one reducer — the classic sketch-build scale killer.
+    val p = plan("q36_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "q36: per-type top-k lost its map-side group limit")
   }
 
   test("d21 decontamination: benchmark gram set broadcasts; corpus side " +

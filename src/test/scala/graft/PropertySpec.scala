@@ -384,6 +384,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q36/q37 KMV pins: sketch bounds, exact-under-fill collapse, and " +
+      "set-estimate consistency on the fixture") {
+    val q36 = graft.queries.GraftQuery.all
+      .find(_.name == "q36_kmv_distinct").get
+    val rows = q36.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nk, hk, est, exact, rel) = (r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))
+      assert(nk >= 1 && nk <= 64, s"sketch size $nk outside (0, k]")
+      assert(hk.matches("[0-9a-f]{32}"), s"kth hash '$hk' not md5 hex")
+      if (nk < 64) {
+        // under-full sketch holds the whole distinct set → exact by rule
+        assert(est == exact.toDouble && rel == 0.0,
+          s"${r.getString(0)}: under-full sketch not exact ($est vs $exact)")
+      } else assert(math.abs(rel) < 0.5,
+        s"${r.getString(0)}: |rel_err| $rel outside the k=64 envelope")
+    }
+    val q37 = graft.queries.GraftQuery.all
+      .find(_.name == "q37_kmv_intersect").get
+    val prs = q37.run(spark, sfDir).collect()
+    assert(prs.nonEmpty)
+    prs.foreach { r =>
+      val (nk, both) = (r.getLong(2), r.getLong(3))
+      val (estU, exU) = (r.getDouble(4), r.getLong(5))
+      val (estI, exI) = (r.getDouble(6), r.getLong(7))
+      assert(both <= nk, "intersection markers exceed the union sketch")
+      assert(exI <= exU, "exact intersection exceeds exact union")
+      assert(estI <= estU * (1 + 1e-9), "est intersection exceeds est union")
+      if (nk < 64) {
+        // under-full union sketch holds all of A∪B → both estimates
+        // collapse to the exact counts by construction
+        assert(estU == exU.toDouble && estI == exI.toDouble,
+          s"${r.getString(0)}×${r.getString(1)}: under-full pair not exact")
+      }
+    }
+  }
+
   test("e15 PQ pin: codes are m=8 nibble indices and the ADC ranking is " +
       "well-formed on the fixture") {
     val q = graft.queries.GraftQuery.all.find(_.name == "e15_pq_pinned").get
