@@ -54,7 +54,17 @@ object StressScale {
     "d35_containment_pairs" -> ("documents" -> "doc_id"),
     "d52_neardup_capstone" -> ("documents" -> "doc_id"),
     "q29_robust_outliers" -> ("orders" -> "o_orderkey"),
-    "e13_pq_adc_recall" -> ("embeddings" -> "vec_id"))
+    "e13_pq_adc_recall" -> ("embeddings" -> "vec_id"),
+    // Sketch family (round 16): replication shifts event_id/doc_id but
+    // keeps user_id/token content — rows grow 8×, the TRUE distinct/term
+    // domain doesn't, so a constant-state sketch must scale ~linear in
+    // scan cost with unchanged sketch size (exponent ≲ 1; a blowup here
+    // means the sketch state leaked into the exchange).
+    "q34_hll_registers_md5" -> ("events" -> "event_id"),
+    "q36_kmv_distinct" -> ("events" -> "event_id"),
+    "q37_kmv_intersect" -> ("events" -> "event_id"),
+    "d54_cms_heavy_hitters" -> ("documents" -> "doc_id"),
+    "d55_weighted_sample" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
