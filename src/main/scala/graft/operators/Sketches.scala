@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared sketch substrates. ONE definition per sketch derivation — the
+  * batch queries (q34/q35), their DuckDB oracles, and the streaming
+  * maintenance path must all agree bit-for-bit, and a drifted copy of the
+  * bucket/rank derivation would silently decouple them.
+  */
+object Sketches {
+
+  /** Number of HLL registers (p = 8 ⇒ m = 256). */
+  val HllRegisters = 256
+
+  /** md5-keyed HLL register frame over (keyCol, idCol): bucket = first
+    * hash byte, rank = leading zeros of the next 32 hash bits + 1
+    * (∈ 1..33), register = grouped max rank. Output columns:
+    * (keyCol, bucket, max_rank).
+    *
+    * Works identically over BATCH and STREAMING inputs: it is a pure
+    * groupBy-max, so Structured Streaming maintains it incrementally in
+    * update/complete mode with state bounded at |keys| × 256 rows
+    * REGARDLESS of stream length — the streaming-safe distinct counter
+    * (an exact streaming COUNT(DISTINCT) would hold every id in state).
+    * The same max-merge is what batch map-side partial aggregation runs
+    * per partition; mergeability is the one property doing the work in
+    * both topologies. Null ids are dropped (they carry no identity).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    df.filter(col(idCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"""cast(conv(substr(md5(cast($idCol as string)), 1, 2),
+          16, 10) as bigint)""").as("bucket"),
+        expr(s"""cast(conv(substr(md5(cast($idCol as string)), 3, 8),
+          16, 10) as bigint)""").as("w"))
+      .withColumn("rank", when(col("w") === 0, lit(33L))
+        .otherwise(lit(33L) - length(bin(col("w"))).cast("bigint")))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+}

@@ -953,21 +953,14 @@ object StarQueries {
     // groupBy whose key domain is bounded by #event_types × 256, with
     // map-side max partials doing the per-partition sketch build and the
     // exchange carrying only collapsed registers. This is the mergeable-
-    // sketch property stated as a query plan.
+    // sketch property stated as a query plan. The substrate is
+    // operators/Sketches.hllRegisters — the SAME frame StatefulOpsSpec
+    // maintains as a streaming aggregation with bounded state (max-merge
+    // is the one property doing the work in both topologies).
     GraftQuery(
       "q34_hll_registers_md5",
-      (s, d) =>
-        Tables.events(s, d)
-          .filter(col("user_id").isNotNull)
-          .select(col("event_type"),
-            expr("""cast(conv(substr(md5(cast(user_id as string)), 1, 2),
-              16, 10) as bigint)""").as("bucket"),
-            expr("""cast(conv(substr(md5(cast(user_id as string)), 3, 8),
-              16, 10) as bigint)""").as("w"))
-          .withColumn("rank", when(col("w") === 0, lit(33L))
-            .otherwise(lit(33L) - length(bin(col("w"))).cast("bigint")))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg(max(col("rank")).as("max_rank")),
+      (s, d) => graft.operators.Sketches.hllRegisters(
+        Tables.events(s, d), "event_type", "user_id"),
       Some("""WITH e AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
           FROM events WHERE user_id IS NOT NULL),
         r AS (SELECT event_type,
@@ -1005,16 +998,9 @@ object StarQueries {
       "q35_hll_estimate_md5",
       (s, d) => {
         val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
-        val regs = ev
-          .select(col("event_type"),
-            expr("""cast(conv(substr(md5(cast(user_id as string)), 1, 2),
-              16, 10) as bigint)""").as("bucket"),
-            expr("""cast(conv(substr(md5(cast(user_id as string)), 3, 8),
-              16, 10) as bigint)""").as("w"))
-          .withColumn("rank", when(col("w") === 0, lit(33L))
-            .otherwise(lit(33L) - length(bin(col("w"))).cast("bigint")))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg(max(col("rank")).as("mr"))
+        val regs = graft.operators.Sketches
+          .hllRegisters(ev, "event_type", "user_id")
+          .withColumnRenamed("max_rank", "mr")
         val roll = regs.groupBy(col("event_type"))
           .agg(count(lit(1)).as("present"),
             (lit(256L) - count(lit(1))).as("zeros"),

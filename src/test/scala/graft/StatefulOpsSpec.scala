@@ -131,4 +131,36 @@ class StatefulOpsSpec extends SparkSpec {
         ("u1", "2024-01-01 10:12:00", "2024-01-01 10:15:00")))
     } finally q.stop()
   }
+
+  test("streaming HLL registers: sketch maintenance equals the batch " +
+      "build, state bounded, duplicate ids across batches absorbed") {
+    // q34's substrate (Sketches.hllRegisters) run as a streaming
+    // aggregation: a pure groupBy-max, so state is the register table
+    // itself — ≤ |keys| × 256 rows however long the stream runs. An exact
+    // streaming COUNT(DISTINCT) would instead hold every id in state;
+    // this is the streaming-safe distinct counter.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val regs = graft.operators.Sketches.hllRegisters(
+      in.toDF().toDF("k", "uid"), "k", "uid")
+    val q = regs.writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 1L), ("b", 7L))
+      q.processAllAvailable()
+      // second batch re-sends id 2 (must be absorbed — registers are a
+      // DISTINCT sketch) and adds new ids
+      in.addData(("a", 2L), ("a", 3L), ("b", 9L))
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.hllRegisters(
+        Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 7L),
+          ("a", 3L), ("b", 9L)).toDF("k", "uid"), "k", "uid")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed registers diverge from the batch-built sketch")
+      assert(streamed.size <= 2 * graft.operators.Sketches.HllRegisters)
+    } finally q.stop()
+  }
 }
