@@ -64,6 +64,36 @@ object SimQueries {
     * a prefix-trained embedding would serve. */
   private[queries] val TruncDims = 16
 
+  /** e16's projected dimensionality (64 → 16, the same 4× cut e09/e12
+    * evaluate, so the three reductions are recall-comparable). */
+  private[queries] val ProjDims = 16
+
+  /** e16's deterministic ±1 JL sign matrix: s(k,j) = +1 iff the high bit
+    * of md5("rp:k:j") is 0 (Java MD5 ≡ both engines' md5; the derivation
+    * is the spec — it runs ONCE, driver-side, and the resulting constants
+    * inline into both plans as literals, so neither engine hashes
+    * anything per row). */
+  private lazy val rpSigns: IndexedSeq[Seq[Double]] =
+    (0 until ProjDims).map { k =>
+      (0 until Tables.EmbeddingDim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$k:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }.toSeq
+    }
+
+  /** DuckDB mirror of e16's projection of a double-list column: a 16-list
+    * of sign-weighted dot products, each the SAME strict left fold as the
+    * native dot (list_sum over list_zip — the documented bit-identical
+    * pair). Sign literals use e-notation so DuckDB types them DOUBLE, not
+    * DECIMAL. */
+  private def sqlRpProj(e: String): String =
+    rpSigns.map { row =>
+      graft.functions.VectorFunctions.sqlDot(
+        e, row.map(v => if (v > 0) "1.0e0" else "-1.0e0")
+          .mkString("[", ", ", "]"))
+    }.mkString("[", ",\n          ", "]")
+
   /** bits = clamp(ceil(log2(ceil(n / TargetBucket))), MinBits, MaxBits),
     * computed with exact integer arithmetic. The DuckDB oracle mirrors it
     * in float log2 ([[sqlBitsCte]]) — the two agree everywhere because
@@ -899,5 +929,81 @@ object SimQueries {
           ${sqlDot("qe", "r.r")} AS adc_score
         FROM recon r, q WHERE r.vec_id <> 0
         ORDER BY adc_score DESC, b_id ASC LIMIT 10""")),
+
+    // ---- dense random-projection (JL) recall eval ------------------------
+    // Completes the dimensionality-reduction family: e09 keeps a PREFIX
+    // (Matryoshka), e12 keeps the top-variance COORDINATES (data-
+    // dependent), e16 MIXES all 64 dims into 16 via a dense ±1 projection
+    // (Achlioptas' database-friendly JL construction — sign matrices have
+    // the same distortion bound as Gaussian ones and cost only adds).
+    // Unlike e09/e12 it has no preferred-axis assumption: it preserves
+    // pairwise geometry for ANY embedding basis, which is why JL is the
+    // standard pre-reduction before an index build when the embedding's
+    // coordinate system is untrusted. Recall@3 vs the exact-cosine truth
+    // is the tuning output, same harness as e09.
+    //
+    // Determinism/scale: the 16×64 sign matrix is DATA-INDEPENDENT —
+    // derived once, driver-side, from md5("rp:k:j") high bits (the seed
+    // procedure is the spec; no per-row hashing) and inlined as literal
+    // arrays into BOTH plans, so the projection is a narrow codegen'd map
+    // of 16 native dot products per row (the e13 ADC pattern: literals
+    // beat a broadcast matrix join for a kilobyte of constants). The
+    // 1/√16 JL scale factor is dropped: cosine is scale-invariant.
+    // One scoring pass, both ranks over one a_id exchange (e09's
+    // two-sorts-one-shuffle shape). Projected cosines are the SAME
+    // strict-fold arithmetic in both engines (dot ≡ list_sum-of-zip).
+    GraftQuery(
+      "e16_randproj_recall",
+      (s, d) => {
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        def project(e: Column): Column =
+          array(rpSigns.map(row => dot(e, typedLit(row))): _*)
+        val probes = emb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+            project(col("emb")).as("a_pe"))
+        val scored = emb
+          .select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+            project(col("emb")).as("b_pe"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_full", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("cos_pr", cosine(col("a_pe"), col("b_pe")))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        val hits = scored
+          .withColumn("rn_full", row_number().over(rankW(col("cos_full"))))
+          .withColumn("rn_pr", row_number().over(rankW(col("cos_pr"))))
+          .filter(col("rn_full") <= 3 && col("rn_pr") <= 3)
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+        probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        pb AS (SELECT vec_id, e, ${sqlRpProj("e")} AS pe FROM b),
+        probes AS (SELECT vec_id AS a_id, e AS ae, pe AS ape FROM pb
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        truth AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN pb c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        pr AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ape", "c.pe")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN pb c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        hits AS (SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t JOIN pr a ON t.a_id = a.a_id AND t.b_id = a.b_id
+          GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
   )
 }

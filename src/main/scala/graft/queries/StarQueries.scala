@@ -1309,5 +1309,107 @@ object StarQueries {
           round((syd - beta * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
           round(r2, 6) AS r_squared
         FROM k""")),
+
+    // ---- grouped skewness / excess kurtosis (3rd/4th-moment family) ------
+    // Completes the one-pass moment family (q32 corr, q38 OLS) with the
+    // distribution-SHAPE statistics a data-quality dashboard tracks:
+    // per-group population skewness m3/m2^1.5 and excess kurtosis
+    // m4/m2² − 3, from raw power sums. l_quantity is integer-valued by
+    // TPC-H construction (1..50; pinned by the oracle hash itself), so the
+    // power sums are EXACT int64 — x⁴ ≤ 6.25e6 keeps Σx⁴ < 2⁶³ up to
+    // ~1.5e12 rows (≈ sf250k) — and the only doubles are the closed-form
+    // combine, written as the SAME expression tree in both engines
+    // (multiplies + sqrt only — sqrt is IEEE correctly-rounded, pow is
+    // NOT guaranteed identical across libms and never appears), rounded
+    // at 6 decimals (the d45/d55 rule).
+    //
+    // Scale shape: identical to q32/q38 — ONE map-side-combinable exchange
+    // carrying 5 int64s per group, no second pass, no window, no join.
+    // The mean-centered two-pass formulation would be numerically nicer
+    // for |mu| ≫ σ but costs a second fact scan; with exact integer raw
+    // moments there is no cancellation error to fix at this value range.
+    GraftQuery(
+      "q39_qty_shape_stats",
+      (s, d) => {
+        val x = col("l_quantity").cast("bigint")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+            sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+            sum(x * x * x * x).as("s4"))
+          .selectExpr("l_returnflag", "n",
+            "round(cast(s1 as double) / cast(n as double), 6) as mean_qty",
+            """round((cast(s3 as double) / cast(n as double)
+                - 3.0e0 * (cast(s1 as double) / cast(n as double))
+                  * (cast(s2 as double) / cast(n as double))
+                + 2.0e0 * (cast(s1 as double) / cast(n as double))
+                  * (cast(s1 as double) / cast(n as double))
+                  * (cast(s1 as double) / cast(n as double)))
+              / ((cast(s2 as double) / cast(n as double)
+                  - (cast(s1 as double) / cast(n as double))
+                    * (cast(s1 as double) / cast(n as double)))
+                * sqrt(cast(s2 as double) / cast(n as double)
+                  - (cast(s1 as double) / cast(n as double))
+                    * (cast(s1 as double) / cast(n as double)))), 6)
+              as skewness""",
+            """round((cast(s4 as double) / cast(n as double)
+                - 4.0e0 * (cast(s1 as double) / cast(n as double))
+                  * (cast(s3 as double) / cast(n as double))
+                + 6.0e0 * (cast(s1 as double) / cast(n as double))
+                  * (cast(s1 as double) / cast(n as double))
+                  * (cast(s2 as double) / cast(n as double))
+                - 3.0e0 * (cast(s1 as double) / cast(n as double))
+                  * (cast(s1 as double) / cast(n as double))
+                  * (cast(s1 as double) / cast(n as double))
+                  * (cast(s1 as double) / cast(n as double)))
+              / ((cast(s2 as double) / cast(n as double)
+                  - (cast(s1 as double) / cast(n as double))
+                    * (cast(s1 as double) / cast(n as double)))
+                * (cast(s2 as double) / cast(n as double)
+                  - (cast(s1 as double) / cast(n as double))
+                    * (cast(s1 as double) / cast(n as double))))
+              - 3.0e0, 6) as excess_kurtosis""")
+      },
+      Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS BIGINT)) AS s1,
+          SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+          SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+            * CAST(l_quantity AS BIGINT)) AS s3,
+          SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+            * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+        FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+          round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+            / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+            AS skewness,
+          round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 4.0e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 6.0e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              - 3.0e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+            / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+            - 3.0e0, 6) AS excess_kurtosis
+        FROM m""")),
   )
 }

@@ -2282,6 +2282,77 @@ object TextQueries {
             / CAST(n_chars AS DOUBLE), 6) AS es_key
         FROM documents WHERE n_chars > 0
         ORDER BY es_key DESC, doc_id ASC LIMIT 100""")),
+
+    // ---- Bloom-filter cross-snapshot pre-pass (d23's promised rewrite) ---
+    // d23's scaladoc ends "at 100 TB a bloom-filter pre-pass on the
+    // fingerprint would cut the shuffled new-crawl bytes" — this is that
+    // pre-pass, realized and EVALUATED. Build: the prior dump's
+    // fingerprints set k=3 bit positions (disjoint 16-bit slices of the
+    // md5 fingerprint ITSELF — it is already a uniform hash, no second
+    // hash needed) in an m=2^16 filter; the filter materializes as a
+    // ≤65536-row distinct-position table. Probe: each new-crawl doc
+    // passes iff all 3 of its positions are set. Eval: bloom admission
+    // vs exact membership — no false negatives BY CONSTRUCTION (a real
+    // dup's positions were all inserted), so every disagreement is a
+    // false positive, and the fp columns measure the filter's actual FP
+    // rate at this fill factor.
+    //
+    // Scale shape — the entire point: the prior dump (any size) COLLAPSES
+    // to ≤m distinct positions via map-side-partial distinct, then
+    // BROADCASTS; the probe side never shuffles (narrow scan → 3-row
+    // explode → broadcast join → per-doc re-agg on the pre-shuffle
+    // partition). d23's anti-join shuffles BOTH snapshots on the 32-byte
+    // fp; this plan ships ~0.5 MB of filter to every executor and scans.
+    // At a real 100 TB refresh, m scales with the prior dump's cardinality
+    // (m ≈ 1.44·n·log2(1/ε) bits) and the bit table becomes spark's
+    // BloomFilter aggregate / a bitmap — fixed m=2^16 here keeps both
+    // engines' math identical for the oracle. The exact-membership join
+    // exists only for the eval columns; the production pre-pass is just
+    // bits-build + probe.
+    GraftQuery(
+      "d56_bloom_probe",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+            (snapOf % 2).as("snap"))
+        val pos = expr(
+          """transform(sequence(0, 2),
+               j -> cast(conv(substr(fp, j*4 + 1, 4), 16, 10) as bigint))""")
+        val bits = f.filter(col("snap") === 0)
+          .select(explode(pos).as("pos")).distinct()
+          .withColumn("hit", lit(1))
+        val probed = f.filter(col("snap") === 1)
+          .select(col("doc_id"), col("fp"), explode(pos).as("pos"))
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy(col("doc_id"), col("fp"))
+          .agg(when(sum(coalesce(col("hit"), lit(0))) === 3, lit(1))
+            .otherwise(lit(0)).as("bloom_pass"))
+        val prior = f.filter(col("snap") === 0)
+          .select(col("fp")).distinct().withColumn("seen", lit(1))
+        probed.join(prior, Seq("fp"), "left")
+          .select(col("doc_id"), col("bloom_pass").cast("int").as("bloom_pass"),
+            coalesce(col("seen"), lit(0)).cast("int").as("exact_dup"),
+            when(col("bloom_pass") === 1 && col("seen").isNull, lit(1))
+              .otherwise(lit(0)).cast("int").as("false_pos"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, $sqlFingerprint AS fp,
+            $sqlSnap % 2 AS snap FROM documents),
+        pp AS (SELECT doc_id, fp, snap,
+            CAST('0x' || substr(fp, jj.j*4 + 1, 4) AS BIGINT) AS pos
+          FROM f, (SELECT unnest(range(0, 3)) AS j) jj),
+        bits AS (SELECT DISTINCT pos FROM pp WHERE snap = 0),
+        probed AS (SELECT pp.doc_id, pp.fp,
+            CASE WHEN SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
+              THEN 1 ELSE 0 END AS bloom_pass
+          FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+          WHERE pp.snap = 1 GROUP BY 1, 2),
+        prior AS (SELECT DISTINCT fp FROM f WHERE snap = 0)
+        SELECT h.doc_id, CAST(h.bloom_pass AS INT) AS bloom_pass,
+          CAST(CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END AS INT)
+            AS exact_dup,
+          CAST(CASE WHEN h.bloom_pass = 1 AND p.fp IS NULL THEN 1 ELSE 0 END
+            AS INT) AS false_pos
+        FROM probed h LEFT JOIN prior p ON h.fp = p.fp""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

@@ -57,7 +57,10 @@ class PlanShapeSpec extends SparkSpec {
       // e15 broadcasts the single-row probe vector against the encoded
       // corpus (e01's single-probe pattern); q37 broadcasts the tiny
       // event-type list against itself to enumerate type pairs.
-      "e15_pq_pinned", "q37_kmv_intersect")
+      "e15_pq_pinned", "q37_kmv_intersect",
+      // e16 broadcasts the bounded probe sample for both its rankings
+      // (the e09/e12/e13 recall-eval pattern, with a JL projection).
+      "e16_randproj_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -416,5 +419,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(e14.contains("TakeOrderedAndProject") && shuffles(e14) == 0 &&
       !e14.contains("Join"),
       s"e14 must probe with a narrow TakeOrderedAndProject pass:\n$e14")
+  }
+
+  test("round-16 additions hold their scale shapes (d56/q39/e16)") {
+    // d56 bloom probe: the ≤2^16-row bit table must BROADCAST onto the
+    // probe side's position explode — a shuffle join there would move the
+    // whole new crawl for a 0.5 MB filter, the exact cost the pre-pass
+    // exists to avoid. The eval-only exact-membership join may shuffle
+    // (it isn't part of the production pre-pass); the cartesian ban is
+    // global. Exchange budget: bits distinct + probe (doc,fp) re-agg +
+    // prior distinct + the eval join's repartitions.
+    val d56 = plan("d56_bloom_probe")
+    assert(d56.contains("BroadcastHashJoin"),
+      s"d56's bit-table probe join must broadcast:\n$d56")
+    assert(shuffles(d56) <= 6,
+      s"d56 must stay at bounded exchanges:\n$d56")
+    // q39 shape stats: the q32/q38 contract — ONE map-side-combinable
+    // exchange carrying five int64 power sums per group, then a pure
+    // projection; a window, join, or second exchange means a multi-pass
+    // formulation crept in
+    val q39 = plan("q39_qty_shape_stats")
+    assert(shuffles(q39) == 1 && !q39.contains("Join") &&
+      !q39.contains("Window"),
+      s"q39 must fold all four moments in one exchange:\n$q39")
+    // e16 JL recall: the sign matrix must be plan literals (narrow
+    // projection — no join against a matrix table), the probe sample
+    // broadcasts, and both rankings share ONE a_id exchange (e09's
+    // two-sorts-one-shuffle shape; the second exchange is the bounded
+    // probe-id side of the final recall left join)
+    val e16 = plan("e16_randproj_recall")
+    assert(shuffles(e16) <= 2,
+      s"e16 must rank both cosines over one shared a_id exchange:\n$e16")
+    // (the final recall join on the bounded probe ids may SMJ in the
+    // initial plan — AQE broadcasts it at runtime; what must NOT appear
+    // is a join in the SCORING subtree, which the exchange budget above
+    // already excludes, or a cartesian)
+    assert(!e16.contains("CartesianProduct"),
+      s"e16's projection must be literal-inlined, never a matrix join:\n$e16")
   }
 }
