@@ -64,7 +64,16 @@ object StressScale {
     "q36_kmv_distinct" -> ("events" -> "event_id"),
     "q37_kmv_intersect" -> ("events" -> "event_id"),
     "d54_cms_heavy_hitters" -> ("documents" -> "doc_id"),
-    "d55_weighted_sample" -> ("documents" -> "doc_id"))
+    "d55_weighted_sample" -> ("documents" -> "doc_id"),
+    // Round-16 additions: d56's replicas duplicate text, so the bit
+    // table and prior-fp set stay FIXED while probe rows grow 8× — the
+    // broadcast pre-pass must scale linear in the probe scan alone.
+    // e16's probe count is corpus-derived (~n/mod stays ~100), so work
+    // is probes × corpus — linear in corpus at fixed probe count. q39 is
+    // one map-side-combinable exchange — pure scan linearity.
+    "d56_bloom_probe" -> ("documents" -> "doc_id"),
+    "q39_qty_shape_stats" -> ("lineitem" -> "l_orderkey"),
+    "e16_randproj_recall" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
