@@ -1411,5 +1411,46 @@ object StarQueries {
                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
             - 3.0e0, 6) AS excess_kurtosis
         FROM m""")),
+
+    // ---- per-user event-type Markov transition matrix --------------------
+    // The sequence-mining primitive behind funnel design and
+    // next-event prediction features: P(cur | prev) over consecutive
+    // events per user (q18's lag ordering: ts then event_id). Output is
+    // the |types|² transition matrix with counts and row-normalized
+    // probabilities.
+    //
+    // Scale shape: ONE shuffle on user_id feeds the lag window (the q18
+    // key — per-user sequences, no hot key by construction); the
+    // (prev, cur) count agg collapses map-side onto a ≤|types|² domain
+    // (25 rows here), and the row-normalizing window runs on that tiny
+    // aggregate, never on the fact table. Probabilities are exact-int /
+    // exact-int in identical double trees, rounded at 6 (the d45 rule).
+    GraftQuery(
+      "q40_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val nw = Window.partitionBy(col("prev_type"))
+        Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total", sum(col("n")).over(nw))
+          .select(col("prev_type"), col("event_type").as("cur_type"),
+            col("n"),
+            round(col("n").cast("double") / col("row_total").cast("double"), 6)
+              .as("p"))
+      },
+      Some("""WITH w AS (SELECT user_id, event_type,
+          lag(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_type
+        FROM events),
+        c AS (SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+          FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, cur_type, n,
+          round(CAST(n AS DOUBLE)
+            / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        FROM c""")),
   )
 }

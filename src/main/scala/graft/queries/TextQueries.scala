@@ -2353,6 +2353,61 @@ object TextQueries {
           CAST(CASE WHEN h.bloom_pass = 1 AND p.fp IS NULL THEN 1 ELSE 0 END
             AS INT) AS false_pos
         FROM probed h LEFT JOIN prior p ON h.fp = p.fp""")),
+
+    // ---- cross-source boilerplate provenance (source-pair overlap) -------
+    // The mixture-design audit d22/d33 imply but don't answer: WHICH
+    // source pairs share boilerplate? Per 10-token chunk (d22's exact
+    // chunk convention), the distinct set of sources containing it; every
+    // source pair sharing a chunk scores one count. The output is the
+    // ≤(20 choose 2)-row overlap matrix a curator reads before weighting
+    // sources (two mirrors of the same crawl look independent in d19's
+    // per-source stats but light up here).
+    //
+    // Scale shape: chunk explode → distinct (source, chunk) groupBy (the
+    // d22 partial-agg collapse; a chunk repeated millions of times within
+    // one source costs ONE row past the map side) → per-chunk sorted
+    // source-set agg (collect_set bounded by the SOURCE DOMAIN, ~20 — the
+    // d47 bounded-set rule, never a per-doc list) → narrow
+    // nested-transform pair expansion (≤190 pairs/chunk worst case) →
+    // tiny-domain count agg. No self-join: the (source,chunk) frame would
+    // recompute the whole tokenize→chunk scan once per join side (the
+    // d22 recompute trap); the set-expansion form scans once.
+    GraftQuery(
+      "d57_source_overlap",
+      (s, d) => {
+        val chunks = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("chunks",
+            when(size(col("toks")) >= 10,
+              expr("transform(sequence(0, size(toks) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("source"), explode(col("chunks")).as("c"))
+          .select(col("source"), md5(col("c")).as("ch"))
+          .groupBy(col("ch"), col("source")).agg(count(lit(1)).as("_n"))
+        chunks
+          .groupBy(col("ch"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> struct(a AS src_a, b AS src_b))))""")).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_chunks"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $sqlToks AS toks
+          FROM documents),
+        ck AS (SELECT doc_id, source,
+            CASE WHEN len(toks) >= 10 THEN
+              list_transform(range(0, len(toks) // 10),
+                i -> array_to_string(toks[i*10 + 1 : i*10 + 10], ' '))
+            ELSE CAST([] AS VARCHAR[]) END AS chunks
+          FROM toks),
+        e AS (SELECT DISTINCT source, md5(unnest(chunks)) AS ch FROM ck)
+        SELECT a.source AS src_a, b.source AS src_b,
+          COUNT(*) AS n_shared_chunks
+        FROM e a JOIN e b ON a.ch = b.ch AND a.source < b.source
+        GROUP BY 1, 2""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

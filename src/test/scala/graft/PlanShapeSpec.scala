@@ -456,5 +456,17 @@ class PlanShapeSpec extends SparkSpec {
     // already excludes, or a cartesian)
     assert(!e16.contains("CartesianProduct"),
       s"e16's projection must be literal-inlined, never a matrix join:\n$e16")
+    // d57 source overlap: the (source,chunk) partial-agg collapse + the
+    // per-chunk set agg + the tiny pair count — three exchanges, and NO
+    // join anywhere (a self-join formulation would rescan the
+    // tokenize→chunk pipeline per side, the d22 recompute trap)
+    val d57 = plan("d57_source_overlap")
+    assert(shuffles(d57) <= 3 && !d57.contains("Join"),
+      s"d57 must expand pairs from per-chunk source sets, never a self-join:\n$d57")
+    // q40 transitions: ONE fact exchange (the user_id window); the
+    // (prev,cur) agg and row-normalizing window ride the tiny domain
+    val q40 = plan("q40_event_transitions")
+    assert(shuffles(q40) <= 3 && !q40.contains("Join"),
+      s"q40 must shuffle the fact table once (user_id window only):\n$q40")
   }
 }
