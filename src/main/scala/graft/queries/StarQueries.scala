@@ -1452,5 +1452,102 @@ object StarQueries {
           round(CAST(n AS DOUBLE)
             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
         FROM c""")),
+
+    // ---- HLL sketch MERGE rollup (union-of-sketches ≡ sketch-of-union) ---
+    // The property that makes HLL work at 100 TB is not the estimate —
+    // it's MERGEABILITY: per-partition/per-group sketches combine by
+    // register-wise max into exactly the sketch of the union stream, so a
+    // rollup (type → global) reuses the per-type registers instead of
+    // re-scanning the facts. q34/q35 pin the register build and the
+    // estimator; this pins the MERGE as data: the per-type registers
+    // (q34's frame) max-merged across types, compared register-by-register
+    // against a direct global build over the same events —
+    // n_register_mismatch MUST be 0 in both engines (it is a theorem of
+    // max-composition, here witnessed cross-engine), and the merged
+    // estimate goes through q35's exact-int harmonic form against exact
+    // ground truth.
+    //
+    // Scale shape: the production path is per-type registers (bounded
+    // |types|×256) → merged 256-row rollup — constant-size all the way,
+    // NO second fact scan. The direct global build and the exact
+    // count_distinct exist only as the equality/accuracy witnesses; the
+    // single-row frames cross-join by broadcast (the d24 tiny-broadcast
+    // pattern).
+    GraftQuery(
+      "q41_hll_merge_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val perType = graft.operators.Sketches
+          .hllRegisters(ev, "event_type", "user_id")
+          .withColumnRenamed("max_rank", "mr")
+        val merged = perType.groupBy(col("bucket"))
+          .agg(max(col("mr")).as("mr"))
+        val direct = graft.operators.Sketches
+          .hllRegisters(ev.withColumn("g", lit("all")), "g", "user_id")
+          .select(col("bucket"), col("max_rank").as("dmr"))
+        val mism = merged.join(direct, Seq("bucket"), "full_outer")
+          .agg(sum(when(col("mr").isNull || col("dmr").isNull ||
+            col("mr") =!= col("dmr"), 1L).otherwise(0L))
+            .as("n_register_mismatch"))
+        val roll = merged.agg(count(lit(1)).as("present"),
+          (lit(256L) - count(lit(1))).as("zeros"),
+          (sum(expr("shiftleft(cast(1 as bigint), cast(33 - mr as int))")) +
+            (lit(256L) - count(lit(1))) * lit(8589934592L)).as("s_scaled"))
+        val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+        roll.crossJoin(broadcast(exact)).crossJoin(broadcast(mism))
+          .withColumn("est_raw", expr(
+            """0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+              * 8589934592.0e0 / cast(s_scaled as double)"""))
+          .withColumn("est", expr(
+            """CASE WHEN est_raw <= 640.0e0 AND zeros > 0
+               THEN 256.0e0 * ln(256.0e0 / cast(zeros as double))
+               ELSE est_raw END"""))
+          .select(col("present"), col("zeros"), col("s_scaled"),
+            round(col("est"), 6).as("est_users"), col("exact_users"),
+            round((col("est") - col("exact_users").cast("double")) /
+              col("exact_users").cast("double"), 6).as("rel_err"),
+            col("n_register_mismatch"))
+      },
+      Some("""WITH e AS (SELECT event_type, user_id,
+            md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        r AS (SELECT event_type,
+            CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+            CAST('0x' || substr(h, 3, 8) AS BIGINT) AS w
+          FROM e),
+        reg AS (SELECT event_type, bucket,
+            MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS mr
+          FROM r GROUP BY 1, 2),
+        merged AS (SELECT bucket, MAX(mr) AS mr FROM reg GROUP BY 1),
+        direct AS (SELECT bucket,
+            MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS dmr
+          FROM r GROUP BY 1),
+        mism AS (SELECT CAST(SUM(CASE WHEN m.mr IS NULL OR d.dmr IS NULL
+              OR m.mr <> d.dmr THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_register_mismatch
+          FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket),
+        roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS present,
+            CAST(256 - COUNT(*) AS BIGINT) AS zeros,
+            CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mr AS INT))
+                AS BIGINT)
+              + (256 - COUNT(*)) * 8589934592 AS BIGINT) AS s_scaled
+          FROM merged),
+        ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            AS exact_users FROM e),
+        j AS (SELECT present, zeros, s_scaled,
+            0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+              * 8589934592.0e0 / CAST(s_scaled AS DOUBLE) AS est_raw,
+            exact_users, n_register_mismatch
+          FROM roll, ex, mism),
+        k AS (SELECT *, CASE WHEN est_raw <= 640.0e0 AND zeros > 0
+              THEN 256.0e0 * ln(256.0e0 / CAST(zeros AS DOUBLE))
+              ELSE est_raw END AS est
+          FROM j)
+        SELECT present, zeros, s_scaled, round(est, 6) AS est_users,
+          exact_users,
+          round((est - CAST(exact_users AS DOUBLE))
+            / CAST(exact_users AS DOUBLE), 6) AS rel_err,
+          n_register_mismatch
+        FROM k""")),
   )
 }

@@ -60,7 +60,10 @@ class PlanShapeSpec extends SparkSpec {
       "e15_pq_pinned", "q37_kmv_intersect",
       // e16 broadcasts the bounded probe sample for both its rankings
       // (the e09/e12/e13 recall-eval pattern, with a JL projection).
-      "e16_randproj_recall")
+      "e16_randproj_recall",
+      // q41 cross-joins three single-row witness aggregates (estimate,
+      // exact truth, mismatch count) — the d24 tiny-broadcast pattern.
+      "q41_hll_merge_rollup")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -468,5 +471,17 @@ class PlanShapeSpec extends SparkSpec {
     val q40 = plan("q40_event_transitions")
     assert(shuffles(q40) <= 3 && !q40.contains("Join"),
       s"q40 must shuffle the fact table once (user_id window only):\n$q40")
+    // q41 merge rollup: every exchange past the register build carries
+    // ≤256-row register frames or 1-row witnesses; no cartesian, and the
+    // register-domain groupBys must keep map-side partials (the
+    // mergeable-sketch property AS the plan)
+    // 10 exchanges at fixture scale, every one carrying ≤256-row register
+    // frames or 1-row witnesses (register build ×2 paths, bucket rollup,
+    // full-outer mismatch join sides, three scalar aggs) — the budget
+    // guards against a FACT-side exchange creeping in, not the count of
+    // tiny ones
+    val q41 = plan("q41_hll_merge_rollup")
+    assert(!q41.contains("CartesianProduct") && shuffles(q41) <= 10,
+      s"q41 must stay on constant-size register exchanges:\n$q41")
   }
 }

@@ -73,7 +73,14 @@ object StressScale {
     // one map-side-combinable exchange — pure scan linearity.
     "d56_bloom_probe" -> ("documents" -> "doc_id"),
     "q39_qty_shape_stats" -> ("lineitem" -> "l_orderkey"),
-    "e16_randproj_recall" -> ("embeddings" -> "vec_id"))
+    "e16_randproj_recall" -> ("embeddings" -> "vec_id"),
+    // d57's replicas duplicate text: the chunk/source domain is fixed, so
+    // growth is the explode scan + the fixed-domain aggs. q40/q41 grow
+    // event rows 8× on fixed type/user domains — the window (q40) and
+    // register (q41) exchanges must stay domain-sized.
+    "d57_source_overlap" -> ("documents" -> "doc_id"),
+    "q40_event_transitions" -> ("events" -> "event_id"),
+    "q41_hll_merge_rollup" -> ("events" -> "event_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
