@@ -39,4 +39,30 @@ object Sketches {
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rank")).as("max_rank"))
   }
+
+  /** CMS depth (rows of independent hash functions) and width (counters
+    * per row): a fixed 3 × 64 = 192-cell sketch. */
+  val CmsDepth = 3
+  val CmsWidth = 64
+
+  /** The (j, b) bucket list expression for a term column — bucket b of
+    * row j is 16 md5 bits of "j:term" mod width. One definition shared by
+    * the cell BUILD and every PROBE (d54's estimator and the streaming
+    * maintenance path): a drifted copy would silently probe cells the
+    * build never incremented. */
+  def cmsBuckets(termCol: String): String =
+    s"""transform(sequence(0, ${CmsDepth - 1}), j -> struct(j AS j,
+         cast(conv(substr(md5(concat(j, ':', $termCol)), 1, 4), 16, 10)
+           as bigint) % $CmsWidth AS b))"""
+
+  /** md5-keyed count-min cell counts over `termCol`: the 192-cell sketch
+    * as a DataFrame. Like [[hllRegisters]] this is topology-agnostic —
+    * a pure groupBy-sum onto a FIXED key domain, so batch map-side
+    * partials and Structured Streaming state both hold ≤ depth × width
+    * rows regardless of stream length (the mergeable-sketch property:
+    * cell-wise sum IS the merge). */
+  def cmsCells(df: DataFrame, termCol: String): DataFrame =
+    df.select(explode(expr(cmsBuckets(termCol))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -2207,14 +2207,10 @@ object TextQueries {
       (s, d) => {
         val tk = Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("term"))
-        val cmsBuckets =
-          """transform(sequence(0, 2), j -> struct(j AS j,
-               cast(conv(substr(md5(concat(j, ':', term)), 1, 4), 16, 10)
-                 as bigint) % 64 AS b))"""
-        val cells = tk
-          .select(explode(expr(cmsBuckets)).as("c"))
-          .groupBy(col("c.j").as("j"), col("c.b").as("b"))
-          .agg(count(lit(1)).as("cnt"))
+        // shared substrate (operators/Sketches): the SAME frame
+        // StatefulOpsSpec maintains as a streaming aggregation
+        val cmsBuckets = graft.operators.Sketches.cmsBuckets("term")
+        val cells = graft.operators.Sketches.cmsCells(tk, "term")
         val top = tk.groupBy(col("term"))
           .agg(count(lit(1)).as("exact_c"))
           .orderBy(col("exact_c").desc, col("term").asc)
@@ -2408,6 +2404,93 @@ object TextQueries {
           COUNT(*) AS n_shared_chunks
         FROM e a JOIN e b ON a.ch = b.ch AND a.source < b.source
         GROUP BY 1, 2""")),
+
+    // ---- Gopher gate ablation (per-rule marginal kill analysis) ----------
+    // The tuning readout for d48's rule battery: per rule, how many docs
+    // it fails (n_fail) and how many it fails ALONE (n_fail_alone — the
+    // docs that would re-enter the corpus if just this rule were dropped;
+    // the marginal a curator actually weighs when loosening a gate).
+    // Rules with big n_fail but near-zero n_fail_alone are redundant with
+    // the rest of the battery; rules where the two are close carry
+    // independent signal. n_docs/n_pass ride along for rates.
+    //
+    // Scale shape: the d48 narrow metric pass (native shingle hasher, no
+    // exchange), then ONE constant-width aggregate (9 conditional sums —
+    // map-side combinable, 1 output row), then a literal 4-struct explode
+    // — nothing past the scan is corpus-sized. The ablation of a 100 TB
+    // gate costs exactly one gate pass.
+    GraftQuery(
+      "d58_gate_ablation",
+      (s, d) => {
+        val f = gopherMetrics(
+          Tables.documents(s, d).withColumn("toks", tokens(col("text"))))
+          .select(
+            (col("n_tokens") >= 50 && col("n_tokens") <= 100000)
+              .cast("bigint").as("fw"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+              .cast("bigint").as("fm"),
+            (col("alpha_word_ratio") >= 0.8).cast("bigint").as("fa"),
+            (col("rep_ratio") <= 0.2).cast("bigint").as("fr"))
+        def fails(flag: String, others: Seq[String]) = sum(
+          when(col(flag) === 0 && others.map(col(_) === 1).reduce(_ && _),
+            1L).otherwise(0L))
+        val a = f.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("fw") === 0, 1L).otherwise(0L)).as("wc_f"),
+          fails("fw", Seq("fm", "fa", "fr")).as("wc_a"),
+          sum(when(col("fm") === 0, 1L).otherwise(0L)).as("mw_f"),
+          fails("fm", Seq("fw", "fa", "fr")).as("mw_a"),
+          sum(when(col("fa") === 0, 1L).otherwise(0L)).as("aw_f"),
+          fails("fa", Seq("fw", "fm", "fr")).as("aw_a"),
+          sum(when(col("fr") === 0, 1L).otherwise(0L)).as("rp_f"),
+          fails("fr", Seq("fw", "fm", "fa")).as("rp_a"),
+          sum(when(col("fw") === 1 && col("fm") === 1 && col("fa") === 1 &&
+            col("fr") === 1, 1L).otherwise(0L)).as("n_pass"))
+        a.select(expr("""explode(array(
+            struct('word_count' AS rule, wc_f AS n_fail, wc_a AS n_fail_alone),
+            struct('mean_word_len' AS rule, mw_f AS n_fail, mw_a AS n_fail_alone),
+            struct('alpha_words' AS rule, aw_f AS n_fail, aw_a AS n_fail_alone),
+            struct('repetition' AS rule, rp_f AS n_fail, rp_a AS n_fail_alone)))""")
+            .as("r"), col("n_docs"), col("n_pass"))
+          .select(col("r.rule").as("rule"), col("r.n_fail").as("n_fail"),
+            col("r.n_fail_alone").as("n_fail_alone"),
+            col("n_docs"), col("n_pass"),
+            round(col("r.n_fail").cast("double") /
+              col("n_docs").cast("double"), 6).as("fail_rate"))
+      },
+      Some(s"""WITH $sqlGopherCtes,
+        fl AS (SELECT
+            CAST(n_tokens >= 50 AND n_tokens <= 100000 AS BIGINT) AS fw,
+            CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT)
+              AS fm,
+            CAST(alpha_word_ratio >= 0.8 AS BIGINT) AS fa,
+            CAST(rep_ratio <= 0.2 AS BIGINT) AS fr
+          FROM m),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN fw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wc_f,
+            CAST(SUM(CASE WHEN fw = 0 AND fm = 1 AND fa = 1 AND fr = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS wc_a,
+            CAST(SUM(CASE WHEN fm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS mw_f,
+            CAST(SUM(CASE WHEN fm = 0 AND fw = 1 AND fa = 1 AND fr = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS mw_a,
+            CAST(SUM(CASE WHEN fa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aw_f,
+            CAST(SUM(CASE WHEN fa = 0 AND fw = 1 AND fm = 1 AND fr = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS aw_a,
+            CAST(SUM(CASE WHEN fr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rp_f,
+            CAST(SUM(CASE WHEN fr = 0 AND fw = 1 AND fm = 1 AND fa = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS rp_a,
+            CAST(SUM(CASE WHEN fw = 1 AND fm = 1 AND fa = 1 AND fr = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          FROM fl)
+        SELECT 'word_count' AS rule, wc_f AS n_fail, wc_a AS n_fail_alone,
+          n_docs, n_pass,
+          round(CAST(wc_f AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS fail_rate
+        FROM a
+        UNION ALL SELECT 'mean_word_len', mw_f, mw_a, n_docs, n_pass,
+          round(CAST(mw_f AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+        UNION ALL SELECT 'alpha_words', aw_f, aw_a, n_docs, n_pass,
+          round(CAST(aw_f AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+        UNION ALL SELECT 'repetition', rp_f, rp_a, n_docs, n_pass,
+          round(CAST(rp_f AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

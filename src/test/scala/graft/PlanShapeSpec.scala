@@ -483,5 +483,12 @@ class PlanShapeSpec extends SparkSpec {
     val q41 = plan("q41_hll_merge_rollup")
     assert(!q41.contains("CartesianProduct") && shuffles(q41) <= 10,
       s"q41 must stay on constant-size register exchanges:\n$q41")
+    // d58 gate ablation: the d48 narrow metric pass feeds ONE
+    // constant-width aggregate (1-row output); the 4-rule unpivot is a
+    // literal explode — one exchange total, no join, no window
+    val d58 = plan("d58_gate_ablation")
+    assert(shuffles(d58) <= 1 && !d58.contains("Join") &&
+      !d58.contains("Window"),
+      s"d58 must ablate the gate in one scan + one scalar aggregate:\n$d58")
   }
 }

@@ -163,4 +163,38 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.size <= 2 * graft.operators.Sketches.HllRegisters)
     } finally q.stop()
   }
+
+  test("streaming CMS cells: sketch maintenance equals the batch build, " +
+      "state bounded by the 192-cell domain") {
+    // d54's substrate (Sketches.cmsCells) as a streaming aggregation: a
+    // pure groupBy-sum onto the fixed depth×width domain, so state is the
+    // cell table itself — ≤192 rows however long the stream runs, and
+    // cell-wise addition IS the sketch merge (the same property batch
+    // map-side partials exploit).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val cells = graft.operators.Sketches.cmsCells(
+      in.toDF().toDF("term"), "term")
+    val q = cells.writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try {
+      in.addData("the", "cat", "sat", "the")
+      q.processAllAvailable()
+      in.addData("the", "mat", "cat")
+      q.processAllAvailable()
+      val streamed = spark.table("cmscells")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.cmsCells(
+        Seq("the", "cat", "sat", "the", "the", "mat", "cat").toDF("term"),
+        "term").as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed CMS cells diverge from the batch-built sketch")
+      assert(streamed.size <=
+        graft.operators.Sketches.CmsDepth * graft.operators.Sketches.CmsWidth)
+      // total mass check: Σcnt per row j == total tokens seen (7)
+      val perRow = spark.table("cmscells").groupBy("j").sum("cnt")
+        .as[(Long, Long)].collect().toMap
+      assert(perRow.values.forall(_ == 7L))
+    } finally q.stop()
+  }
 }
