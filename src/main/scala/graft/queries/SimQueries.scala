@@ -1005,5 +1005,114 @@ object SimQueries {
         SELECT p.a_id,
           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
+
+    // ---- IVF recall-vs-nprobe tuning sweep -------------------------------
+    // The curve an index operator reads before fixing nprobe: recall@10
+    // at nprobe ∈ {1, 2, 4} of e14's pinned IVF geometry (8 lowest-id
+    // centroids, 0 Lloyd steps — the oracle-replayable quantizer;
+    // production training is e05's). e07/e14 measure ONE operating point;
+    // the sweep shows where recall saturates, i.e. what fraction of the
+    // corpus you must touch for the recall you want.
+    //
+    // Scale shape: the probed subsets are NESTED (cell_rank ≤ 1 ⊂ ≤ 2 ⊂
+    // ≤ 4), so one narrow scan scores cosine + cell_rank for every
+    // vector, localCheckpoints (the d52 barrier — four consumers, one
+    // scan, and the checkpointed rows are 3 scalars/vector, not the
+    // embedding), and each sweep point + the exact truth is a bounded
+    // TakeOrderedAndProject off that cache — never a corpus-sized window
+    // (a global row_number rank would funnel the corpus through one
+    // reducer). The probe-to-centroid ranking is 8 driver-side cosines
+    // (cosineLocal — the production ivfTopK path, cross-engine-validated
+    // by e14's hash match).
+    GraftQuery(
+      "e17_nprobe_sweep",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val emb = Tables.validEmbeddings(s, d)
+        val (centroids, assigned) =
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 0)
+        val probeRows = assigned.filter(col("vec_id") === 0L)
+          .select(col("emb")).head(1)
+        if (centroids.isEmpty || probeRows.isEmpty) {
+          import s.implicits._
+          Seq.empty[(Int, Long, Double)]
+            .toDF("nprobe", "n_hit", "recall_at_10")
+        } else {
+          val probeVec = probeRows.head.getSeq[Double](0)
+          // cell → 1-based rank by probe-centroid cosine (ties to the
+          // lower cell, exactly ivfTopK's ordering)
+          val rankByCell: Seq[Long] = centroids.zipWithIndex
+            .map { case (c, i) => (VectorSearch.cosineLocal(probeVec, c), i) }
+            .sortBy { case (sc, i) => (-sc, i) }
+            .zipWithIndex
+            .map { case ((_, cell), r) => cell -> (r + 1).toLong }
+            .sortBy(_._1).map(_._2)
+          val scored = assigned.filter(col("vec_id") =!= 0L)
+            .select(col("vec_id"),
+              cosine(col("emb"), typedlit(probeVec)).as("cos_sim"),
+              element_at(typedlit(rankByCell), col("cell") + 1)
+                .as("cell_rank"))
+            .localCheckpoint()
+          val truth = scored
+            .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
+            .select(col("vec_id")).withColumn("in_truth", lit(1))
+          def sweepAt(n: Int) = scored.filter(col("cell_rank") <= n)
+            .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
+            .select(lit(n).as("nprobe"), col("vec_id"))
+          sweepAt(1).union(sweepAt(2)).union(sweepAt(4))
+            .join(broadcast(truth), Seq("vec_id"), "left")
+            .groupBy(col("nprobe"))
+            .agg(sum(coalesce(col("in_truth"), lit(0))).cast("bigint")
+              .as("n_hit"))
+            .select(col("nprobe"), col("n_hit"),
+              round(col("n_hit").cast("double") / lit(10.0), 6)
+                .as("recall_at_10"))
+        }
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM v ORDER BY vec_id ASC LIMIT 8),
+        ac AS (SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqlCos("v.e", "c.ce")} DESC, c.cell ASC) AS rn
+            FROM v, c) t WHERE rn = 1),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        cr AS (SELECT cell, row_number() OVER (
+              ORDER BY ${sqlCos("ce", "qe")} DESC, cell ASC) AS crank
+          FROM c, q),
+        sc AS (SELECT a.vec_id, ${sqlCos("a.e", "qe")} AS cs, cr.crank
+          FROM ac a, cr, q
+          WHERE a.cell = cr.cell AND a.vec_id <> 0),
+        truth AS (SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY cs DESC, vec_id ASC) AS rn
+            FROM sc) t WHERE rn <= 10),
+        tn AS (
+          SELECT 1 AS nprobe, vec_id FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY cs DESC, vec_id ASC) AS rn
+            FROM sc WHERE crank <= 1) t WHERE rn <= 10
+          UNION ALL
+          SELECT 2 AS nprobe, vec_id FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY cs DESC, vec_id ASC) AS rn
+            FROM sc WHERE crank <= 2) t WHERE rn <= 10
+          UNION ALL
+          SELECT 4 AS nprobe, vec_id FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY cs DESC, vec_id ASC) AS rn
+            FROM sc WHERE crank <= 4) t WHERE rn <= 10),
+        hits AS (SELECT nprobe,
+            CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM tn LEFT JOIN truth t ON tn.vec_id = t.vec_id
+          GROUP BY 1)
+        SELECT nprobe, n_hit,
+          round(CAST(n_hit AS DOUBLE) / 10.0e0, 6) AS recall_at_10
+        FROM hits""")),
   )
 }

@@ -490,5 +490,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(d58) <= 1 && !d58.contains("Join") &&
       !d58.contains("Window"),
       s"d58 must ablate the gate in one scan + one scalar aggregate:\n$d58")
+    // e17 nprobe sweep: all four consumers (truth + 3 sweep points) must
+    // read the checkpointed scored scan (Scan ExistingRDD), each cut by a
+    // bounded TakeOrderedAndProject — never a corpus-sized global
+    // row_number window (one-reducer sort), never a cartesian
+    val e17 = plan("e17_nprobe_sweep")
+    assert(e17.contains("Scan ExistingRDD") &&
+      e17.contains("TakeOrderedAndProject"),
+      s"e17 must take its sweep points off the checkpointed scan:\n$e17")
+    assert(!e17.contains("CartesianProduct") &&
+      !e17.contains("Window"),
+      s"e17 must never rank the corpus through a global window:\n$e17")
   }
 }

@@ -83,6 +83,29 @@ class Round16OpsSpec extends SparkSpec {
       s"rel_err ${r.getAs[Double]("rel_err")} outside the HLL envelope")
   }
 
+  test("d58: ablation identities — n_fail_alone <= n_fail, and the " +
+      "union of rule kills is exactly n_docs - n_pass >= any single kill") {
+    val rows = run("d58_gate_ablation").collect()
+    assert(rows.length === 4)
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    val nPass = rows.head.getAs[Long]("n_pass")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fail_alone") <= r.getAs[Long]("n_fail"))
+      assert(r.getAs[Long]("n_fail") <= nDocs - nPass,
+        s"rule ${r.getString(0)}: single kill exceeds the union of kills")
+    }
+  }
+
+  test("e17: recall is monotone non-decreasing in nprobe (probed cell " +
+      "sets are nested)") {
+    val byN = run("e17_nprobe_sweep").collect()
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall_at_10"))
+      .toMap
+    assert(byN.keySet === Set(1, 2, 4))
+    assert(byN(1) <= byN(2) && byN(2) <= byN(4),
+      s"recall not monotone: $byN")
+  }
+
   test("e16: every probe reports a recall_at_3 in [0,1] and the probe " +
       "set is non-empty") {
     val recalls = run("e16_randproj_recall").collect()
