@@ -2491,6 +2491,104 @@ object TextQueries {
           round(CAST(aw_f AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
         UNION ALL SELECT 'repetition', rp_f, rp_a, n_docs, n_pass,
           round(CAST(rp_f AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a""")),
+
+    // ---- LSH bands×rows operating-point sweep (e17's text-side twin) -----
+    // The tuning curve that fixes a banded-LSH deployment: with the SAME
+    // k=16 signature budget (d38's md5-keyed sigs), compare bands×rows ∈
+    // {8×2, 4×4, 2×8} — more bands/shorter rows catches lower-similarity
+    // pairs (S-curve threshold (1/b)^(1/r) ≈ 0.35 / 0.71 / 0.84) at the
+    // price of more candidates to verify. Output per config: candidate
+    // pair count and how many estimate as true near-dups (sig agreement
+    // ≥ 0.5), i.e. the verification bill vs the yield — what you read
+    // before paying for a 100 TB candidate-verify stage.
+    //
+    // Scale shape: the signature scan runs ONCE behind a localCheckpoint
+    // (three configs + two sig join-backs would otherwise re-tokenize the
+    // corpus five times — the d52 barrier lesson); band buckets carry
+    // ONLY doc ids (the d47 rework rule), capped at lshMaxBucket with the
+    // drop-the-whole-bucket policy every bucketed family shares; pairs
+    // dedupe per config BEFORE the est join-backs; and the est works on
+    // the 16-hash sigs alone — no shingle payload ever shuffles.
+    GraftQuery(
+      "d59_lsh_band_sweep",
+      (s, d) => {
+        import graft.functions.MinHashExprs
+        val sigs = minhashed(s, d)
+          .filter(col("minhash").isNotNull)
+          .select(col("doc_id"),
+            MinHashExprs.kMinMd5Sigs(col("toks"), 16).as("sigs"))
+          .localCheckpoint()
+        val cfgs = Seq((8, 2), (4, 4), (2, 8))
+        val bands = cfgs.map { case (b, r) =>
+          sigs.select(col("doc_id"), lit(s"${b}x$r").as("cfg"),
+            explode(expr(s"""transform(sequence(0, ${b - 1}),
+              i -> struct(i AS bi,
+                md5(array_join(slice(sigs, i*$r + 1, $r), '|')) AS bh))"""))
+              .as("bd"))
+        }.reduce(_ union _)
+        val pairs = bands
+          .groupBy(col("cfg"), col("bd.bi").as("bi"), col("bd.bh").as("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, lshMaxBucket))
+          .select(col("cfg"), explode(expr(
+            """flatten(transform(ids, (a, i) ->
+                 transform(slice(ids, i + 2, size(ids)),
+                   x -> struct(a AS a_id, x AS b_id))))""")).as("p"))
+          .select(col("cfg"), col("p.a_id").as("a_id"),
+            col("p.b_id").as("b_id"))
+          .distinct()
+        pairs
+          .join(sigs.select(col("doc_id").as("a_id"),
+            col("sigs").as("a_sigs")), Seq("a_id"))
+          .join(sigs.select(col("doc_id").as("b_id"),
+            col("sigs").as("b_sigs")), Seq("b_id"))
+          .withColumn("est", aggregate(zip_with(col("a_sigs"), col("b_sigs"),
+              (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+            lit(0L), _ + _).cast("double") / lit(16.0))
+          .groupBy(col("cfg"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_est_dup"))
+          .select(col("cfg"), col("n_candidates"), col("n_est_dup"),
+            round(col("n_est_dup").cast("double") /
+              col("n_candidates").cast("double"), 6).as("est_precision"))
+      },
+      Some(s"""$sqlMinhashCte,
+        sg AS (SELECT mh.doc_id, list_transform(range(0, 16), i ->
+            list_min(list_transform(shingle_set,
+              g -> md5(CAST(i AS VARCHAR) || '|' || g)))) AS sigs
+          FROM mh WHERE minhash IS NOT NULL),
+        bb AS (
+          SELECT doc_id, '8x2' AS cfg, ii.i AS bi,
+            md5(array_to_string(sigs[ii.i*2 + 1 : ii.i*2 + 2], '|')) AS bh
+          FROM sg, (SELECT unnest(range(0, 8)) AS i) ii
+          UNION ALL
+          SELECT doc_id, '4x4' AS cfg, ii.i AS bi,
+            md5(array_to_string(sigs[ii.i*4 + 1 : ii.i*4 + 4], '|')) AS bh
+          FROM sg, (SELECT unnest(range(0, 4)) AS i) ii
+          UNION ALL
+          SELECT doc_id, '2x8' AS cfg, ii.i AS bi,
+            md5(array_to_string(sigs[ii.i*8 + 1 : ii.i*8 + 8], '|')) AS bh
+          FROM sg, (SELECT unnest(range(0, 2)) AS i) ii),
+        cap AS (SELECT cfg, bi, bh FROM bb GROUP BY 1, 2, 3
+          HAVING COUNT(*) BETWEEN 2 AND $lshMaxBucket),
+        pr AS (SELECT DISTINCT b1.cfg, b1.doc_id AS a_id, b2.doc_id AS b_id
+          FROM bb b1
+          JOIN bb b2 ON b1.cfg = b2.cfg AND b1.bi = b2.bi AND b1.bh = b2.bh
+            AND b1.doc_id < b2.doc_id
+          JOIN cap c ON c.cfg = b1.cfg AND c.bi = b1.bi AND c.bh = b1.bh),
+        pe AS (SELECT pr.cfg,
+            CAST(list_sum(list_transform(list_zip(sa.sigs, sb.sigs),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / 16.0 AS est
+          FROM pr
+          JOIN sg sa ON sa.doc_id = pr.a_id
+          JOIN sg sb ON sb.doc_id = pr.b_id)
+        SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+          CAST(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_est_dup,
+          round(CAST(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS est_precision
+        FROM pe GROUP BY 1""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

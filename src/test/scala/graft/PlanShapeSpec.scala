@@ -501,5 +501,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!e17.contains("CartesianProduct") &&
       !e17.contains("Window"),
       s"e17 must never rank the corpus through a global window:\n$e17")
+    // d59 band sweep: all three configs and both sig join-backs must read
+    // the ONE checkpointed signature scan (Scan ExistingRDD — five
+    // re-tokenizations otherwise); buckets carry only ids (the d47 rule:
+    // no struct payloads in the bucket collect_list); never a cartesian
+    val d59 = plan("d59_lsh_band_sweep")
+    assert(d59.contains("Scan ExistingRDD") &&
+      !d59.contains("CartesianProduct"),
+      s"d59 must fan out from the checkpointed signature scan:\n$d59")
+    assert(!d59.contains("collect_list(struct"),
+      s"d59's band buckets must collect only doc ids:\n$d59")
   }
 }

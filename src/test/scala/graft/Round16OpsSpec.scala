@@ -106,6 +106,20 @@ class Round16OpsSpec extends SparkSpec {
       s"recall not monotone: $byN")
   }
 
+  test("d59: candidate sets are nested — fewer rows per band can only " +
+      "ADD candidates (8x2 ⊇ 4x4 ⊇ 2x8 on the fixtures)") {
+    // The S-curve theorem for partitioned index sets: agreement on an
+    // 8-sig band implies agreement on its 4-sig and 2-sig sub-bands, so
+    // coarser configs' collisions are a superset. (Bucket caps could in
+    // principle drop a hot bucket from one config only; the fixtures
+    // don't hit the cap, so the clean nesting must hold here.)
+    val byCfg = run("d59_lsh_band_sweep").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_candidates")).toMap
+    assert(byCfg.keySet === Set("8x2", "4x4", "2x8"))
+    assert(byCfg("2x8") <= byCfg("4x4") && byCfg("4x4") <= byCfg("8x2"),
+      s"candidate counts not nested: $byCfg")
+  }
+
   test("e16: every probe reports a recall_at_3 in [0,1] and the probe " +
       "set is non-empty") {
     val recalls = run("e16_randproj_recall").collect()

@@ -80,7 +80,15 @@ object StressScale {
     // register (q41) exchanges must stay domain-sized.
     "d57_source_overlap" -> ("documents" -> "doc_id"),
     "q40_event_transitions" -> ("events" -> "event_id"),
-    "q41_hll_merge_rollup" -> ("events" -> "event_id"))
+    "q41_hll_merge_rollup" -> ("events" -> "event_id"),
+    // Sweep family: d58 is a d48-shaped zero-exchange scan; d59/e17 fan
+    // three operating points out of ONE checkpointed scan, so growth must
+    // stay ~one scan's worth, not 3×. d59's replicas duplicate text —
+    // every band bucket gets 8 copies of each doc, so the PAIR OUTPUT
+    // grows ~64× (the StressDup rule: linear in output, not input).
+    "d58_gate_ablation" -> ("documents" -> "doc_id"),
+    "d59_lsh_band_sweep" -> ("documents" -> "doc_id"),
+    "e17_nprobe_sweep" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
