@@ -1549,5 +1549,46 @@ object StarQueries {
             / CAST(exact_users AS DOUBLE), 6) AS rel_err,
           n_register_mismatch
         FROM k""")),
+
+    // ---- day-of-week × event-type activity pivot -------------------------
+    // The reshape-to-wide primitive (RelationalGroupedDataset.pivot —
+    // the one DataFrame API surface the registry didn't yet exercise):
+    // activity counts per (day-of-week, type) as a 7×|types| matrix.
+    // Pivot VALUES are the explicit event taxonomy (q24's literals rule:
+    // an inferred value list would be a driver-side distinct scan and a
+    // nondeterministic column order); absent cells coalesce to 0 so the
+    // matrix is dense in both engines. Day index is pure integer nanos
+    // arithmetic (epoch-day mod 7 — no timezone/calendar functions, the
+    // q25 week rule).
+    //
+    // Scale shape: a pivot with explicit values plans as ONE
+    // map-side-combinable conditional-count aggregate onto the 7-row dow
+    // domain — exactly the d46 conditional-sum shape, never a
+    // per-type pass or a join.
+    GraftQuery(
+      "q42_activity_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .withColumn("dow",
+            floorDiv(col("ts"), 86400L * 1000 * 1000 * 1000) % 7)
+          .groupBy(col("dow"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("dow") +: types.map(t =>
+            coalesce(col(t), lit(0L)).cast("bigint").as(t)): _*)
+      },
+      Some("""SELECT epoch_ns(ts) // 86400000000000 % 7 AS dow,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+        FROM events GROUP BY 1""")),
   )
 }

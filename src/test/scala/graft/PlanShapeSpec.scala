@@ -511,5 +511,14 @@ class PlanShapeSpec extends SparkSpec {
       s"d59 must fan out from the checkpointed signature scan:\n$d59")
     assert(!d59.contains("collect_list(struct"),
       s"d59's band buckets must collect only doc ids:\n$d59")
+    // q42 pivot: Spark plans explicit-values pivot as a (dow, type)
+    // count agg feeding a pivotfirst agg on dow — TWO exchanges, both
+    // carrying ≤ 7×|types| rows after map-side partials (domain-bounded
+    // at any corpus scale); a join or a third exchange means the pivot
+    // degenerated into per-type passes
+    val q42 = plan("q42_activity_pivot")
+    assert(shuffles(q42) == 2 && !q42.contains("Join") &&
+      q42.contains("pivotfirst"),
+      s"q42's pivot must fold all types through two bounded aggregates:\n$q42")
   }
 }
