@@ -2589,6 +2589,79 @@ object TextQueries {
           round(CAST(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(COUNT(*) AS DOUBLE), 6) AS est_precision
         FROM pe GROUP BY 1""")),
+
+    // ---- per-source Jensen-Shannon divergence vs the corpus --------------
+    // The mixture-monitoring scalar behind d46's term-level drift: how far
+    // each source's unigram distribution sits from the corpus-wide one
+    // (JS ∈ [0, ln 2]: symmetric, finite even with disjoint vocab — the
+    // reason it beats raw KL for source scoring). A source that spikes
+    // here is the one to inspect before it skews the mixture.
+    //
+    // Vocab-absence algebra (the scale trick): terms ABSENT from a source
+    // contribute exactly 0.5·ln2·q each, so JS folds into a sum over the
+    // source's PRESENT (source, term) rows plus one closed-form absent
+    // correction from Σ_present ct — the |vocab| × |sources| dense matrix
+    // never materializes. Scale shape: ONE (source, term) count agg; the
+    // corpus term table DERIVES from it (no second scan); the term
+    // join-back is vocab-keyed; per-term contributions round to 6 then
+    // sum as DECIMAL(18,6) (the d32/d49 order-free rule); output is
+    // |sources| rows.
+    GraftQuery(
+      "d60_source_divergence",
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("cs"))
+        val ct = st.groupBy(col("term")).agg(sum(col("cs")).as("ct"))
+        val ns = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+        val nTot = broadcast(ct.agg(sum(col("ct")).as("n_total")))
+        val contrib = st
+          .join(ct, Seq("term"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(nTot)
+          .select(col("source"), col("ct"),
+            (col("cs").cast("double") / col("ns").cast("double")).as("p"),
+            (col("ct").cast("double") / col("n_total").cast("double"))
+              .as("q"))
+          .select(col("source"), col("ct"),
+            expr("""round(0.5e0 * (p * ln(2.0e0 * p / (p + q))
+                + q * ln(2.0e0 * q / (p + q))), 6)""")
+              .cast("decimal(18,6)").as("c"))
+        contrib.groupBy(col("source"))
+          .agg(sum(col("c")).as("sc"), sum(col("ct")).as("sct"))
+          .crossJoin(nTot)
+          .join(broadcast(ns), Seq("source"))
+          .select(col("source"), col("ns").as("n_tokens"),
+            expr("""round(cast(sc as double) + 0.5e0 * ln(2.0e0)
+                * (1.0e0 - cast(sct as double) / cast(n_total as double)),
+              6)""").as("js_divergence"))
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($sqlToks) AS term
+          FROM documents),
+        st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cs
+          FROM t GROUP BY 1, 2),
+        ct AS (SELECT term, CAST(SUM(cs) AS BIGINT) AS ct
+          FROM st GROUP BY 1),
+        ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+          FROM st GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_total FROM ct),
+        pq AS (SELECT st.source, ct.ct,
+            CAST(st.cs AS DOUBLE) / CAST(ns.ns AS DOUBLE) AS p,
+            CAST(ct.ct AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS q
+          FROM st, ct, ns, tot
+          WHERE st.term = ct.term AND st.source = ns.source),
+        cb AS (SELECT source, ct,
+            CAST(round(0.5e0 * (p * ln(2.0e0 * p / (p + q))
+              + q * ln(2.0e0 * q / (p + q))), 6) AS DECIMAL(18,6)) AS c
+          FROM pq),
+        agg AS (SELECT source, SUM(c) AS sc, CAST(SUM(ct) AS BIGINT) AS sct
+          FROM cb GROUP BY 1)
+        SELECT a.source, ns.ns AS n_tokens,
+          round(CAST(a.sc AS DOUBLE) + 0.5e0 * ln(2.0e0)
+            * (1.0e0 - CAST(a.sct AS DOUBLE) / CAST(tot.n_total AS DOUBLE)),
+            6) AS js_divergence
+        FROM agg a, ns, tot WHERE a.source = ns.source""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

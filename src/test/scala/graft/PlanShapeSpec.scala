@@ -62,8 +62,10 @@ class PlanShapeSpec extends SparkSpec {
       // (the e09/e12/e13 recall-eval pattern, with a JL projection).
       "e16_randproj_recall",
       // q41 cross-joins three single-row witness aggregates (estimate,
-      // exact truth, mismatch count) — the d24 tiny-broadcast pattern.
-      "q41_hll_merge_rollup")
+      // exact truth, mismatch count) — the d24 tiny-broadcast pattern;
+      // d60 cross-joins the 1-row corpus-total aggregate twice (the d32
+      // totals pattern).
+      "q41_hll_merge_rollup", "d60_source_divergence")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -520,5 +522,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(q42) == 2 && !q42.contains("Join") &&
       q42.contains("pivotfirst"),
       s"q42's pivot must fold all types through two bounded aggregates:\n$q42")
+    // d60 JS divergence: the |vocab| × |sources| dense matrix must never
+    // materialize — no cartesian; the source-keyed sides broadcast (≤20
+    // rows), so any SortMergeJoin is the vocab-keyed term join only
+    val d60 = plan("d60_source_divergence")
+    assert(!d60.contains("CartesianProduct"),
+      s"d60 must fold absent-vocab terms in closed form, never densify:\n$d60")
+    assert(d60.contains("BroadcastHashJoin"),
+      s"d60's per-source totals must broadcast:\n$d60")
   }
 }

@@ -120,6 +120,18 @@ class Round16OpsSpec extends SparkSpec {
       s"candidate counts not nested: $byCfg")
   }
 
+  test("d60: JS divergence lands in [0, ln 2] for every source") {
+    val rows = run("d60_source_divergence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      // small negative epsilon tolerated: per-term 6-decimal rounding can
+      // dip an exactly-zero divergence a hair below 0
+      assert(js >= -1e-4 && js <= math.log(2.0) + 1e-4,
+        s"source ${r.getString(0)}: js=$js outside [0, ln 2]")
+    }
+  }
+
   test("e16: every probe reports a recall_at_3 in [0,1] and the probe " +
       "set is non-empty") {
     val recalls = run("e16_randproj_recall").collect()
