@@ -88,7 +88,11 @@ object StressScale {
     // grows ~64× (the StressDup rule: linear in output, not input).
     "d58_gate_ablation" -> ("documents" -> "doc_id"),
     "d59_lsh_band_sweep" -> ("documents" -> "doc_id"),
-    "e17_nprobe_sweep" -> ("embeddings" -> "vec_id"))
+    "e17_nprobe_sweep" -> ("embeddings" -> "vec_id"),
+    // d60: replicas duplicate text, so vocab and the (source, term)
+    // domain are FIXED — growth is the explode scan into map-side
+    // partials; the term join and divergence fold stay vocab-sized.
+    "d60_source_divergence" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
