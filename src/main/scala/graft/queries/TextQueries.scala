@@ -2379,7 +2379,7 @@ object TextQueries {
               .otherwise(expr("cast(array() as array<string>)")))
           .select(col("source"), explode(col("chunks")).as("c"))
           .select(col("source"), md5(col("c")).as("ch"))
-          .groupBy(col("ch"), col("source")).agg(count(lit(1)).as("_n"))
+          .distinct()
         chunks
           .groupBy(col("ch"))
           .agg(sort_array(collect_set(col("source"))).as("srcs"))
