@@ -65,4 +65,27 @@ object Sketches {
     df.select(explode(expr(cmsBuckets(termCol))).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Bloom filter bits (m = 2^16) and hashes (k = 3). */
+  val BloomBits = 65536
+  val BloomHashes = 3
+
+  /** The k bit positions of an md5-hex fingerprint column: disjoint
+    * 16-bit slices of the fingerprint itself (it is already a uniform
+    * hash — no second hash family needed). One definition shared by the
+    * filter BUILD and the PROBE (d56 and the streaming maintenance path):
+    * a drifted copy would probe bits the build never set. */
+  def bloomPositions(fpCol: String): String =
+    s"""transform(sequence(0, ${BloomHashes - 1}),
+         j -> cast(conv(substr($fpCol, j*4 + 1, 4), 16, 10) as bigint))"""
+
+  /** The set-bit table of a Bloom filter over `fpCol`: ≤ [[BloomBits]]
+    * rows whatever the input size. Third member of the bounded-state
+    * sketch family ([[hllRegisters]] max-merge, [[cmsCells]] sum-merge):
+    * position-set UNION is the merge, expressed as a groupBy-distinct
+    * onto the fixed bit domain — batch map-side partials and streaming
+    * state both collapse to ≤ m rows. */
+  def bloomBits(df: DataFrame, fpCol: String): DataFrame =
+    df.select(explode(expr(bloomPositions(fpCol))).as("pos"))
+      .groupBy(col("pos")).agg(count(lit(1)).as("n_set"))
 }

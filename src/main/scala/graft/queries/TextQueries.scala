@@ -2311,12 +2311,13 @@ object TextQueries {
         val f = Tables.documents(s, d)
           .select(col("doc_id"), fingerprint(col("text")).as("fp"),
             (snapOf % 2).as("snap"))
-        val pos = expr(
-          """transform(sequence(0, 2),
-               j -> cast(conv(substr(fp, j*4 + 1, 4), 16, 10) as bigint))""")
-        val bits = f.filter(col("snap") === 0)
-          .select(explode(pos).as("pos")).distinct()
-          .withColumn("hit", lit(1))
+        // shared substrate (operators/Sketches): the SAME position
+        // derivation and bit table StatefulOpsSpec maintains as a
+        // streaming aggregation
+        val pos = expr(graft.operators.Sketches.bloomPositions("fp"))
+        val bits = graft.operators.Sketches
+          .bloomBits(f.filter(col("snap") === 0), "fp")
+          .select(col("pos")).withColumn("hit", lit(1))
         val probed = f.filter(col("snap") === 1)
           .select(col("doc_id"), col("fp"), explode(pos).as("pos"))
           .join(broadcast(bits), Seq("pos"), "left")

@@ -120,6 +120,17 @@ class Round16OpsSpec extends SparkSpec {
       s"candidate counts not nested: $byCfg")
   }
 
+  test("d57: overlap pairs are canonical (src_a < src_b) with positive " +
+      "shared-chunk counts") {
+    val rows = run("d57_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1),
+        s"pair not canonical: ${r.getString(0)} / ${r.getString(1)}")
+      assert(r.getAs[Long]("n_shared_chunks") > 0L)
+    }
+  }
+
   test("d60: JS divergence lands in [0, ln 2] for every source") {
     val rows = run("d60_source_divergence").collect()
     assert(rows.nonEmpty)

@@ -197,4 +197,39 @@ class StatefulOpsSpec extends SparkSpec {
       assert(perRow.values.forall(_ == 7L))
     } finally q.stop()
   }
+
+  test("streaming Bloom bit table: maintenance equals the batch build, " +
+      "state bounded at m, re-sent fingerprints absorbed") {
+    // d56's substrate (Sketches.bloomBits) as a streaming aggregation —
+    // the third bounded-state sketch next to HLL (max-merge) and CMS
+    // (sum-merge): position-set union is the merge, state ≤ 2^16 rows
+    // however long the ingest stream runs. The n_set counts make it a
+    // counting Bloom (deletion-capable); membership reads positions only.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val fps = in.toDF().toDF("raw")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("raw")).as("fp"))
+    val bits = graft.operators.Sketches.bloomBits(fps, "fp")
+    val q = bits.writeStream.format("memory").queryName("bloombits")
+      .outputMode("complete").start()
+    try {
+      in.addData("doc one", "doc two")
+      q.processAllAvailable()
+      in.addData("doc two", "doc three") // re-sent fp accumulates n_set
+      q.processAllAvailable()
+      val streamed = spark.table("bloombits")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.bloomBits(
+        Seq("doc one", "doc two", "doc two", "doc three").toDF("raw")
+          .select(org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("raw")).as("fp")), "fp")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed bloom bits diverge from the batch-built filter")
+      assert(streamed.size <= graft.operators.Sketches.BloomBits)
+      // every distinct doc sets <= k positions; 3 distinct docs here
+      assert(streamed.size <= 3 * graft.operators.Sketches.BloomHashes)
+    } finally q.stop()
+  }
 }
