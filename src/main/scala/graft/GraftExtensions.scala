@@ -49,7 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, usage: String)(
       builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft", null, name, usage, ""),
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {

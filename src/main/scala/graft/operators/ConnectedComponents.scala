@@ -200,7 +200,7 @@ object ConnectedComponents {
 
   /** Exact (overflow-proof) sum of labels — the convergence witness. */
   private def checksum(labels: DataFrame): java.math.BigDecimal = {
-    val v = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.get(0)
+    val v = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head().get(0)
     if (v == null) java.math.BigDecimal.ZERO
     else v.asInstanceOf[java.math.BigDecimal]
   }

@@ -98,7 +98,7 @@ final class ParquetTweetSink(spark: SparkSession, path: String,
     val base: Long =
       if (Files.exists(Paths.get(target)))
         spark.read.parquet(target).agg(coalesce(max(col("tweet_id")), lit(0L)))
-          .head.getLong(0)
+          .head().getLong(0)
       else 0L
     val ordered = df.columns.map(c => col(c).asc_nulls_last)
     val withId =
