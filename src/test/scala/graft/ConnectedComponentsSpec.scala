@@ -115,7 +115,7 @@ class ConnectedComponentsSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"),
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst"))
     assert(labels.count() == 6)
-    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(added.size <= 1,
       s"loop leaked ${added.size} persistent RDDs (expected only the " +
         "returned frame's blocks)")

@@ -44,10 +44,10 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(dec, every = 4)
     val perKind = frames.groupBy("kind").count().as[(String, Long)].collect().toMap
     val stills = media.filter($"kind" =!= "video").count()
-    assert(perKind.filterKeys(_ != "video").values.sum == stills)
+    assert(perKind.view.filterKeys(_ != "video").values.sum == stills)
     assert(perKind("video") >= media.filter($"kind" === "video").count())
     val maxIdx = frames.filter($"kind" === "video")
-      .agg(org.apache.spark.sql.functions.max("frame_idx")).head.getInt(0)
+      .agg(org.apache.spark.sql.functions.max("frame_idx")).head().getInt(0)
     assert(maxIdx >= 4, "some video should have a sampled non-zero frame")
   }
 
@@ -153,7 +153,7 @@ class MultimodalSpec extends SparkSpec {
       assert(out.filter(col("rep_id") > col("media_id")).count() == 0)
       // group_n is consistent: summing one row per group returns the total
       val total = out.select(col("kind"), col("phash"), col("group_n"))
-        .distinct().agg(sum("group_n")).head.getLong(0)
+        .distinct().agg(sum("group_n")).head().getLong(0)
       assert(total == media.count())
     } finally out.unpersist(blocking = true)
   }

@@ -58,7 +58,7 @@ object StressDup {
     // one 200-member identical cluster appended to the corpus: same text,
     // fresh ids — every member lands in the same minhash bucket
     val hotText = base.orderBy(col("doc_id")).select(col("text"))
-      .filter(length(col("text")) > 100).head.getString(0)
+      .filter(length(col("text")) > 100).head().getString(0)
     val hot = base.unionByName(
       spark.range(200).select((col("id") + shift).as("doc_id"),
         lit(hotText).as("text"), lit("en").as("lang"),

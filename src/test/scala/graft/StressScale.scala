@@ -30,7 +30,7 @@ object StressScale {
     val base = spark.read.parquet(s"$sfDir/$table.parquet")
     // shift from MAX id, not row count: a sparse id domain (max ≫ n)
     // would otherwise overlap replicas and corrupt the measurement
-    val maxId = base.agg(max(col(idCol))).head.getLong(0)
+    val maxId = base.agg(max(col(idCol))).head().getLong(0)
     val shift = math.pow(10, math.ceil(math.log10(maxId.toDouble + 2))).toLong
     val rep = base.crossJoin(
         spark.range(8).select(col("id").as("_rep")).hint("broadcast"))
