@@ -2663,6 +2663,62 @@ object TextQueries {
             * (1.0e0 - CAST(a.sct AS DOUBLE) / CAST(tot.n_total AS DOUBLE)),
             6) AS js_divergence
         FROM agg a, ns, tot WHERE a.source = ns.source""")),
+
+    // ---- train/val/test near-dup leakage audit (d34 × d09) ---------------
+    // The eval-integrity check every training pipeline runs before
+    // trusting a held-out score: near-duplicate pairs (d09's verified
+    // jaccard ≥ 0.5) whose members land in DIFFERENT d34 splits — a
+    // test doc with a train-side near-twin inflates eval exactly like
+    // benchmark contamination (d21), but from INSIDE the corpus. Output:
+    // the 3×3 (unordered) split-pair matrix with leak flags; off-diagonal
+    // rows are the leakage bill, and their existence is the argument for
+    // dedup-BEFORE-split (d52's capstone ordering) rather than after.
+    //
+    // Scale shape: the whole audit rides d09's bounded verified-pair
+    // table — the corpus-scale work is the already-amortized candidate
+    // generation; split labels are pure md5 arithmetic RECOMPUTED from
+    // doc_id (the d34 rule IS the contract — never a join against a
+    // materialized split table), and the final agg is a ≤6-row domain.
+    GraftQuery(
+      "d61_split_leakage",
+      (s, d) => {
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val h2 = substring(md5(c.cast("string")), 1, 2)
+          when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+        }
+        candidatePairs(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .select(splitOf(col("a_id")).as("sa"), splitOf(col("b_id")).as("sb"))
+          .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+            when(col("split_lo") =!= col("split_hi"), 1).otherwise(0)
+              .cast("int").as("is_leak"))
+      },
+      Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte,
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+              / CAST(len(list_distinct(
+                  list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE)
+              AS jaccard
+          FROM mhc a JOIN mhc b
+            ON a.minhash = b.minhash AND a.doc_id < b.doc_id),
+        sp AS (SELECT
+            CASE WHEN substring(md5(CAST(a_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substring(md5(CAST(a_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS sa,
+            CASE WHEN substring(md5(CAST(b_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substring(md5(CAST(b_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS sb
+          FROM p WHERE jaccard >= 0.5)
+        SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb) THEN 1 ELSE 0 END
+            AS INT) AS is_leak
+        FROM sp GROUP BY 1, 2""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

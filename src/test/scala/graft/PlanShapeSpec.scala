@@ -530,5 +530,11 @@ class PlanShapeSpec extends SparkSpec {
       s"d60 must fold absent-vocab terms in closed form, never densify:\n$d60")
     assert(d60.contains("BroadcastHashJoin"),
       s"d60's per-source totals must broadcast:\n$d60")
+    // d61 leakage audit: split labels are md5 arithmetic on the pair
+    // table — one bucket exchange (d09's) + the tiny split agg, and
+    // NEVER a join against a materialized split table
+    val d61 = plan("d61_split_leakage")
+    assert(shuffles(d61) <= 3 && !d61.contains("Join"),
+      s"d61 must recompute split labels, never join a split table:\n$d61")
   }
 }
