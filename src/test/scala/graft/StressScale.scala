@@ -92,7 +92,10 @@ object StressScale {
     // d60: replicas duplicate text, so vocab and the (source, term)
     // domain are FIXED — growth is the explode scan into map-side
     // partials; the term join and divergence fold stay vocab-sized.
-    "d60_source_divergence" -> ("documents" -> "doc_id"))
+    "d60_source_divergence" -> ("documents" -> "doc_id"),
+    // d61 rides d09's bucketed pair machinery: duplicated replica text
+    // grows the pair output ~8^2x within capped buckets (the d59 rule).
+    "d61_split_leakage" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
