@@ -1114,5 +1114,63 @@ object SimQueries {
         SELECT nprobe, n_hit,
           round(CAST(n_hit AS DOUBLE) / 10.0e0, 6) AS recall_at_10
         FROM hits""")),
+
+    // ---- 1-NN label purity (embedding-space health check) ----------------
+    // The standard supervised eval of an embedding space: leave-one-out
+    // nearest-neighbor label agreement over the `label` column (the one
+    // fixture column no query exercised). High purity ⟺ the geometry
+    // separates the classes; per-label purity localizes which classes
+    // smear. This is the metric you read BEFORE trusting any of the ANN
+    // structures (e02-e17) — an index over a space that can't 1-NN its
+    // own labels accelerates garbage.
+    //
+    // Scale shape: e09's broadcast-probe harness with k=1 — the rank
+    // window takes its map-side WindowGroupLimit before the single a_id
+    // exchange, the neighbor's label rides the scored row (no label
+    // join-back), and the final agg collapses onto the ≤|labels| domain.
+    GraftQuery(
+      "e18_knn_label_purity",
+      (s, d) => {
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+            col("label"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = emb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+            col("label").as("a_label"))
+        val w = Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        emb.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+            col("label").as("b_label"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("a_label").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("b_label") === col("a_label"), 1L).otherwise(0L))
+              .as("n_match"))
+          .select(col("label"), col("n_probes"), col("n_match"),
+            round(col("n_match").cast("double") /
+              col("n_probes").cast("double"), 6).as("purity"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, label AS a_label, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        nn AS (SELECT a_label, b_label FROM (
+          SELECT p.a_id, p.a_label, c.label AS b_label,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn = 1)
+        SELECT a_label AS label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+          CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_match,
+          round(CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS purity
+        FROM nn GROUP BY 1""")),
   )
 }

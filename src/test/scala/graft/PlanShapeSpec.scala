@@ -65,7 +65,9 @@ class PlanShapeSpec extends SparkSpec {
       // exact truth, mismatch count) — the d24 tiny-broadcast pattern;
       // d60 cross-joins the 1-row corpus-total aggregate twice (the d32
       // totals pattern).
-      "q41_hll_merge_rollup", "d60_source_divergence")
+      "q41_hll_merge_rollup", "d60_source_divergence",
+      // e18 broadcasts the bounded probe sample (the e09 harness, k=1).
+      "e18_knn_label_purity")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -536,5 +538,13 @@ class PlanShapeSpec extends SparkSpec {
     val d61 = plan("d61_split_leakage")
     assert(shuffles(d61) <= 3 && !d61.contains("Join"),
       s"d61 must recompute split labels, never join a split table:\n$d61")
+    // e18 1-NN purity: the rank-1 cut must group-limit map-side before
+    // the single a_id exchange, and the neighbor label rides the scored
+    // row — no label join-back (a join would re-scan the corpus)
+    val e18 = plan("e18_knn_label_purity")
+    assert(e18.contains("WindowGroupLimit") && shuffles(e18) <= 2,
+      s"e18 must cut rank-1 with a map-side WindowGroupLimit:\n$e18")
+    assert(!e18.contains("SortMergeJoin") && !e18.contains("CartesianProduct"),
+      s"e18 must carry labels on the scored rows, never join back:\n$e18")
   }
 }
