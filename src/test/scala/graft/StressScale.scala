@@ -95,7 +95,9 @@ object StressScale {
     "d60_source_divergence" -> ("documents" -> "doc_id"),
     // d61 rides d09's bucketed pair machinery: duplicated replica text
     // grows the pair output ~8^2x within capped buckets (the d59 rule).
-    "d61_split_leakage" -> ("documents" -> "doc_id"))
+    "d61_split_leakage" -> ("documents" -> "doc_id"),
+    // e18 is the e09/e16 harness at k=1: probes stay ~100, corpus 8x.
+    "e18_knn_label_purity" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
