@@ -32,6 +32,47 @@ import graft.functions.{TextExprs, TextFunctions}
   */
 object NearDup {
 
+  /** Bounded-buffer bucket collection — the ONE way every pair-emitting
+    * family builds its `docs` arrays. Groups `rows` by `keyCols` and
+    * collects `payload` into a sorted `docs` array, keeping only buckets
+    * with 2..cap members, with per-group memory bounded at `cap + 1`
+    * payload rows end to end:
+    *
+    * A `row_number() <= cap + 1` slice runs BEFORE the collect. Spark's
+    * `InferWindowGroupLimit` rewrites the filter-over-rank pattern into a
+    * `WindowGroupLimit`, inserting a PARTIAL group-limit ahead of the
+    * shuffle — an over-cap boilerplate mega-bucket (empty pages, licence
+    * headers; g can reach 10⁵–10⁷ in a web crawl) is truncated to cap + 1
+    * members per map task, so neither the exchange nor any aggregation
+    * buffer ever sees the full bucket. The old collect-then-filter form
+    * materialized all g members in ONE `collect_list` buffer first —
+    * `collect_list` buffers never spill per group, so a single hot key
+    * could OOM its task even though its output is defined to be empty.
+    *
+    * Semantics are IDENTICAL to collect-then-filter: under-cap buckets
+    * keep every member (the slice passes them through untouched, and
+    * `sort_array` canonicalizes order), while a truncated bucket carries
+    * exactly cap + 1 members and the `size <= cap` filter drops it — the
+    * same all-or-nothing over-cap drop as before, at O(cap) memory. The
+    * groupBy reuses the window's hash partitioning (same keys), so the
+    * slice costs one in-partition sort, not an extra exchange.
+    *
+    * `order` breaks ranking ties within a bucket; every caller passes its
+    * unique-per-bucket doc id. Determinism does not actually depend on
+    * it: under-cap buckets keep all rows and over-cap buckets are dropped
+    * whole, so WHICH cap + 1 rows survive truncation is unobservable. */
+  def cappedBuckets(rows: DataFrame, keyCols: Seq[String], payload: Column,
+      order: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order)
+    rows
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap + 1)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(payload)).as("docs"))
+      .filter(size(col("docs")).between(2, cap))
+  }
+
   /** doc_id + distinct word-3-gram shingle set. */
   def shingled(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
@@ -90,7 +131,11 @@ object NearDup {
     * Winnowing.sharedFingerprintPairs): a bucket larger than `maxBucket`
     * is a near-identical boilerplate cluster — g²/2 struct pairs each
     * carrying two full `hs` arrays inside one generator row would OOM the
-    * task on a dup-heavy corpus. Dropped-bucket policy: the over-cap
+    * task on a dup-heavy corpus. The cap is enforced by [[cappedBuckets]]
+    * (window-group-limit slice BEFORE the collect), so even detecting the
+    * over-cap bucket costs O(cap) memory per task, never O(g); the old
+    * collect-then-filter form buffered all g members' signature structs
+    * in one non-spilling aggregation buffer first. Dropped-bucket policy: the over-cap
     * bucket's pairs are dropped ENTIRELY, even if the same pair also
     * collides in a later table — the first-collision filter tests
     * signature equality only, so a pair whose first-colliding table is
@@ -116,12 +161,13 @@ object NearDup {
       explode(when(col("sigs").isNotNull, expr(
         s"transform(sequence(0, ${numTables - 1}), t -> struct(t AS t, sigs[t] AS mh))")))
         .as("bk"))
-    val grouped = banded
-      .groupBy(col("bk.t").as("t"), col("bk.mh"))
-      .agg(sort_array(collect_list(
-        struct(col(idCol).as("id"), col("hs"), col("sigs")))).as("docs"))
+    val grouped = cappedBuckets(
+      banded.select(col("bk.t").as("t"), col("bk.mh").as("mh"),
+        col(idCol), col("hs"), col("sigs")),
+      Seq("t", "mh"),
+      struct(col(idCol).as("id"), col("hs"), col("sigs")),
+      col(idCol), maxBucket)
     grouped
-      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
       .select(col("t"), pairExpansion.as("p"))
       // first-collision dedup (guard t = 0: sequence(0, -1) would be the
       // DESCENDING range [0, -1], not empty)
@@ -186,9 +232,11 @@ object NearDup {
     * candidate pairs, verify by Hamming distance. Returns
     * (a_id, b_id, hamming) with a_id < b_id. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 8): DataFrame =
+      textCol: String = "text", maxHamming: Int = 8,
+      maxBucket: Int = 64): DataFrame =
     simhashPairsFromSigs(
-      docs.select(col(idCol), simhashOf(textCol).as("simhash")), idCol, maxHamming)
+      docs.select(col(idCol), simhashOf(textCol).as("simhash")),
+      idCol, maxHamming, maxBucket)
 
   /** Same, from precomputed signatures: `sig` has (idCol, simhash: long).
     *
@@ -197,9 +245,14 @@ object NearDup {
     * bucket, and a candidate pair is kept only in the FIRST band where
     * the two signatures' band values agree — every later collision of
     * the same pair drops in a narrow filter instead of a second
-    * all-pairs `distinct` exchange. */
+    * all-pairs `distinct` exchange.
+    *
+    * `maxBucket` (same policy as [[minhashLshPairs]]): a 16-bit band
+    * shared by more than `maxBucket` docs is a boilerplate cluster whose
+    * g²/2 pair expansion would dominate the stage — the whole bucket is
+    * dropped, via [[cappedBuckets]] so the drop costs O(cap) memory. */
   def simhashPairsFromSigs(sig: DataFrame, idCol: String = "doc_id",
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, maxBucket: Int = 64): DataFrame = {
     val banded = sig.select(col(idCol), col("simhash"),
       explode(expr(
         // band key must be the UNSIGNED 16-bit value: arithmetic shiftright +
@@ -207,11 +260,13 @@ object NearDup {
         // with different bit-63 values would bucket apart (missed pairs).
         "transform(sequence(0, 3), b -> struct(b AS band, (shiftrightunsigned(simhash, b*16) & 65535) AS v))"))
         .as("bk"))
-    val grouped = banded
-      .groupBy(col("bk.band").as("band"), col("bk.v"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash")))).as("docs"))
+    val grouped = cappedBuckets(
+      banded.select(col("bk.band").as("band"), col("bk.v").as("v"),
+        col(idCol), col("simhash")),
+      Seq("band", "v"),
+      struct(col(idCol).as("id"), col("simhash")),
+      col(idCol), maxBucket)
     grouped
-      .filter(size(col("docs")) > 1)
       .select(col("band"), pairExpansion.as("p"))
       // first-collision dedup (guard band = 0: sequence(0, -1) would be
       // the DESCENDING range [0, -1], not empty)

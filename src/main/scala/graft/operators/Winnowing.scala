@@ -105,13 +105,15 @@ object Winnowing {
   def sharedFingerprintPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minShared: Int = 2,
       maxBucket: Int = 64): DataFrame = {
-    val grouped = fingerprints(docs, idCol, textCol)
-      .groupBy(col("fp"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id")))).as("docs"))
-      // a fingerprint shared by more than maxBucket docs is boilerplate —
-      // quadratic pair expansion on it would dominate the stage; drop it
-      // (same cap must be applied in any oracle).
-      .filter(size(col("docs")) <= maxBucket)
+    // a fingerprint shared by more than maxBucket docs is boilerplate —
+    // quadratic pair expansion on it would dominate the stage; drop it
+    // (same cap must be applied in any oracle). cappedBuckets bounds the
+    // drop itself at O(cap) memory: a ubiquitous licence-header run's
+    // fingerprint can collect millions of doc ids on a web crawl, and a
+    // collect_list buffer holding them never spills per group.
+    val grouped = NearDup.cappedBuckets(
+      fingerprints(docs, idCol, textCol),
+      Seq("fp"), struct(col(idCol).as("id")), col(idCol), maxBucket)
     NearDup.pairsWithinBuckets(grouped)
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))

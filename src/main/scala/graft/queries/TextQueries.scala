@@ -170,16 +170,18 @@ object TextQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.MinHashExprs
     import graft.operators.NearDup
-    val grouped = minhashed(s, d)
-      .select(col("doc_id"), MinHashExprs.shingleHashes(col("toks")).as("hs"),
-        coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
-          .as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("hs")))).as("docs"))
-      // over-cap buckets = boilerplate clusters; dropping them bounds
-      // the g²/2 in-bucket expansion (see lshMaxBucket)
-      .filter(size(col("docs")) <= lshMaxBucket)
+    // over-cap buckets = boilerplate clusters; dropping them bounds
+    // the g²/2 in-bucket expansion (see lshMaxBucket). cappedBuckets
+    // slices each bucket at cap+1 BEFORE the collect, so the drop itself
+    // never buffers a mega-bucket's structs.
+    val grouped = NearDup.cappedBuckets(
+      minhashed(s, d)
+        .select(col("doc_id"),
+          MinHashExprs.shingleHashes(col("toks")).as("hs"),
+          coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
+            .as("bucket")),
+      Seq("bucket"), struct(col("doc_id"), col("hs")), col("doc_id"),
+      lshMaxBucket)
     NearDup.pairsWithinBuckets(grouped)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs")).as("jaccard"))
@@ -895,11 +897,9 @@ object TextQueries {
           MinHashExprs.shingleHashes(col("toks")).as("hs"),
           coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
             .as("bucket"))
-        val grouped = mh
-          .groupBy(col("bucket"))
-          .agg(sort_array(collect_list(
-            struct(col("doc_id"), col("snap"), col("hs")))).as("docs"))
-          .filter(size(col("docs")) <= lshMaxBucket)
+        val grouped = NearDup.cappedBuckets(mh, Seq("bucket"),
+          struct(col("doc_id"), col("snap"), col("hs")), col("doc_id"),
+          lshMaxBucket)
         val matched = NearDup.pairsWithinBuckets(grouped)
           .filter(col("a.snap") =!= col("b.snap"))
           .filter(MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs")) >= 0.5)
@@ -1252,15 +1252,13 @@ object TextQueries {
         // MinMd5Shingle; parity pinned by NearDupSpec)
         val withSigs = minhashed(s, d)
           .withColumn("sigs", MinHashExprs.kMinMd5Sigs(col("toks"), 16))
-        val grouped = withSigs
-          .select(col("doc_id"),
+        val grouped = NearDup.cappedBuckets(
+          withSigs.select(col("doc_id"),
             MinHashExprs.shingleHashes(col("toks")).as("hs"), col("sigs"),
             coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
-              .as("bucket"))
-          .groupBy(col("bucket"))
-          .agg(sort_array(collect_list(
-            struct(col("doc_id"), col("hs"), col("sigs")))).as("docs"))
-          .filter(size(col("docs")) <= lshMaxBucket)
+              .as("bucket")),
+          Seq("bucket"), struct(col("doc_id"), col("hs"), col("sigs")),
+          col("doc_id"), lshMaxBucket)
         NearDup.pairsWithinBuckets(grouped)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
             MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs")).as("jaccard"),
@@ -1330,9 +1328,8 @@ object TextQueries {
           .withColumn("rn", row_number().over(wDoc))
           .filter(col("rn") <= expr("sz div 2 + 1"))
           .select(col("doc_id"), col("g"))
-        val buckets = pref.groupBy(col("g"))
-          .agg(sort_array(collect_list(struct(col("doc_id")))).as("docs"))
-          .filter(size(col("docs")) <= lshMaxBucket)
+        val buckets = NearDup.cappedBuckets(pref, Seq("g"),
+          struct(col("doc_id")), col("doc_id"), lshMaxBucket)
         val cand = NearDup.pairsWithinBuckets(buckets)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
@@ -1780,10 +1777,10 @@ object TextQueries {
         val sh = base.select(col("doc_id"), expr(sparkGrams).as("sh"))
         val banded = sh.select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
           .filter(col("bk.mh").isNotNull)
-        val grouped = banded
-          .groupBy(col("bk.t").as("t"), col("bk.mh").as("mh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")) <= lshMaxBucket)
+        val grouped = NearDup.cappedBuckets(
+          banded.select(col("bk.t").as("t"), col("bk.mh").as("mh"),
+            col("doc_id")),
+          Seq("t", "mh"), col("doc_id"), col("doc_id"), lshMaxBucket)
         val pairs = NearDup.pairsWithinBuckets(grouped)
           .select(col("a").as("a_id"), col("b").as("b_id"))
           .distinct()
@@ -2004,10 +2001,15 @@ object TextQueries {
             """transform(sequence(0, 3), b -> struct(b AS band,
                  IF(b = 0, w0, IF(b = 1, w1, IF(b = 2, w2, w3))) AS v))"""))
             .as("bk"))
-        val grouped = banded
-          .groupBy(col("bk.band").as("band"), col("bk.v").as("v"))
-          .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
-            col("w0"), col("w1"), col("w2"), col("w3")))).as("docs"))
+        // capped like NearDup.simhashPairsFromSigs (this query is d11's
+        // oracle-pinned analog — same bucket policy, bounded-buffer slice)
+        val grouped = NearDup.cappedBuckets(
+          banded.select(col("bk.band").as("band"), col("bk.v").as("v"),
+            col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3")),
+          Seq("band", "v"),
+          struct(col("doc_id").as("id"),
+            col("w0"), col("w1"), col("w2"), col("w3")),
+          col("doc_id"), lshMaxBucket)
         NearDup.pairsWithinBuckets(grouped)
           .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
             (bit_count(col("a.w0").bitwiseXOR(col("b.w0"))) +
@@ -2027,7 +2029,8 @@ object TextQueries {
           FROM hs),
         b AS (SELECT doc_id, bits, t,
             substr(bits, CAST(t*16 + 1 AS INT), 16) AS v
-          FROM sig, (SELECT unnest(range(0, 4)) AS t) tt),
+          FROM sig, (SELECT unnest(range(0, 4)) AS t) tt
+          QUALIFY COUNT(*) OVER (PARTITION BY t, v) <= $lshMaxBucket),
         p AS (SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
             a.bits AS a_bits, c.bits AS c_bits
           FROM b a JOIN b c ON a.t = c.t AND a.v = c.v
@@ -2071,18 +2074,18 @@ object TextQueries {
         import graft.operators.{ConnectedComponents, NearDup}
         import graft.functions.MinHashExprs
         val docs = Tables.documents(s, d)
-        val gated = gopherMetrics(docs.withColumn("toks", tokens(col("text"))))
-          .filter(gopherAdmit)
-          .select(col("doc_id"), col("source"), col("toks"))
-          .localCheckpoint()
+        val gated = graft.operators.Checkpoints.barrier(
+          gopherMetrics(docs.withColumn("toks", tokens(col("text"))))
+            .filter(gopherAdmit)
+            .select(col("doc_id"), col("source"), col("toks")))
         val banded = gated
           .select(col("doc_id"), expr(sparkGrams).as("sh"))
           .select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
           .filter(col("bk.mh").isNotNull)
-        val grouped = banded
-          .groupBy(col("bk.t").as("t"), col("bk.mh").as("mh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")) <= lshMaxBucket)
+        val grouped = NearDup.cappedBuckets(
+          banded.select(col("bk.t").as("t"), col("bk.mh").as("mh"),
+            col("doc_id")),
+          Seq("t", "mh"), col("doc_id"), col("doc_id"), lshMaxBucket)
         val pairs = NearDup.pairsWithinBuckets(grouped)
           .select(col("a").as("a_id"), col("b").as("b_id"))
           .distinct()
@@ -2514,11 +2517,20 @@ object TextQueries {
       "d59_lsh_band_sweep",
       (s, d) => {
         import graft.functions.MinHashExprs
-        val sigs = minhashed(s, d)
-          .filter(col("minhash").isNotNull)
-          .select(col("doc_id"),
-            MinHashExprs.kMinMd5Sigs(col("toks"), 16).as("sigs"))
-          .localCheckpoint()
+        import graft.operators.NearDup
+        // signable docs = ≥3 tokens (the precise condition under which
+        // minhash/sigs are non-null). Filtering on size(toks) keeps the
+        // pushed-down predicate a trivial split-length test; a
+        // filter(minhash.isNotNull) would substitute the whole
+        // tokenize→minhash chain into the scan-side predicate and
+        // re-evaluate it alongside kMinMd5Sigs (the candidatePairs
+        // pushdown trap — minhash itself isn't even consumed here, so
+        // this way it prunes out of the plan entirely).
+        val sigs = graft.operators.Checkpoints.barrier(
+          minhashed(s, d)
+            .filter(size(col("toks")) >= 3)
+            .select(col("doc_id"),
+              MinHashExprs.kMinMd5Sigs(col("toks"), 16).as("sigs")))
         val cfgs = Seq((8, 2), (4, 4), (2, 8))
         val bands = cfgs.map { case (b, r) =>
           sigs.select(col("doc_id"), lit(s"${b}x$r").as("cfg"),
@@ -2527,13 +2539,14 @@ object TextQueries {
                 md5(array_join(slice(sigs, i*$r + 1, $r), '|')) AS bh))"""))
               .as("bd"))
         }.reduce(_ union _)
-        val pairs = bands
-          .groupBy(col("cfg"), col("bd.bi").as("bi"), col("bd.bh").as("bh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")).between(2, lshMaxBucket))
+        val pairs = NearDup.cappedBuckets(
+          bands.select(col("cfg"), col("bd.bi").as("bi"),
+            col("bd.bh").as("bh"), col("doc_id")),
+          Seq("cfg", "bi", "bh"), col("doc_id"), col("doc_id"),
+          lshMaxBucket)
           .select(col("cfg"), explode(expr(
-            """flatten(transform(ids, (a, i) ->
-                 transform(slice(ids, i + 2, size(ids)),
+            """flatten(transform(docs, (a, i) ->
+                 transform(slice(docs, i + 2, size(docs)),
                    x -> struct(a AS a_id, x AS b_id))))""")).as("p"))
           .select(col("cfg"), col("p.a_id").as("a_id"),
             col("p.b_id").as("b_id"))
@@ -2753,7 +2766,7 @@ object TextQueries {
     * `alpha_word_ratio`, `rep_ratio` (distinct grams counted natively —
     * no grams column; the oracle-side `m` CTE still exposes one for its
     * own string-gram rep_ratio formulation). */
-  private def gopherMetrics(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def gopherMetrics(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.withColumn("n_tokens", size(col("toks")).cast("bigint"))
       .withColumn("mean_word_len",
         when(col("n_tokens") === 0, lit(0.0)).otherwise(
@@ -2778,8 +2791,12 @@ object TextQueries {
               .cast("double") /
             (col("n_tokens") - 2).cast("double")))
 
-  /** The Gopher admission conjunction over [[gopherMetrics]] columns. */
-  private val gopherAdmit: org.apache.spark.sql.Column =
+  /** The Gopher admission conjunction over [[gopherMetrics]] columns.
+    * `private[graft]` (with [[gopherMetrics]]): ONE gate definition across
+    * batch (d48/d52/d58) and streaming
+    * ([[graft.streaming.CorpusIngest.retentionStream]]) — the capstone
+    * equality test depends on the two paths sharing it verbatim. */
+  private[graft] val gopherAdmit: org.apache.spark.sql.Column =
     col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
       col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
       col("alpha_word_ratio") >= 0.8 && col("rep_ratio") <= 0.2

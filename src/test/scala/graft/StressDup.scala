@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   *             (d09: no pairs from it; d27: its docs stay singletons) and
   *             runtime must stay flat instead of paying 200²/2 pairs in
   *             one generator row
+  *   - `mega`: the corpus plus ONE `SPARK_GRAFT_STRESS_MEGA`-member
+  *             (default 100 000) identical-text cluster — the boilerplate
+  *             regime (empty pages, licence headers) a web crawl is
+  *             statistically certain to contain. The cap drops the bucket
+  *             here too, but the POINT of this case is the memory
+  *             envelope while dropping it: NearDup.cappedBuckets slices
+  *             every bucket at cap+1 members BEFORE the collect, so no
+  *             task ever buffers the 10⁵ signature structs (the old
+  *             collect-then-filter form built the full non-spilling
+  *             collect_list buffer first). The per-run peak task
+  *             execution memory is printed precisely to pin that: it must
+  *             stay in the same band as `1x`, not scale with the cluster.
   *
   * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
   *       sbt "Test/runMain graft.StressDup [query ...]"`.
@@ -63,9 +75,32 @@ object StressDup {
       spark.range(200).select((col("id") + shift).as("doc_id"),
         lit(hotText).as("text"), lit("en").as("lang"),
         lit("srcX").as("source"), lit(hotText.length.toLong).as("n_chars")))
+    val megaN = sys.env.get("SPARK_GRAFT_STRESS_MEGA")
+      .flatMap(_.toLongOption).getOrElse(100000L)
+    val mega = base.unionByName(
+      spark.range(megaN).select((col("id") + shift).as("doc_id"),
+        lit(hotText).as("text"), lit("en").as("lang"),
+        lit("srcX").as("source"), lit(hotText.length.toLong).as("n_chars")))
 
     val corpora = Seq(
-      "1x" -> sfDir, "8x" -> asSfDir(rep8), "hot" -> asSfDir(hot))
+      "1x" -> sfDir, "8x" -> asSfDir(rep8), "hot" -> asSfDir(hot),
+      "mega" -> asSfDir(mega))
+
+    // Peak task execution memory per run (max over tasks of the memory
+    // charged to aggs/sorts/joins): the observable that separates "the cap
+    // dropped the bucket" from "the cap dropped the bucket AFTER buffering
+    // all of it". Collected via listener; runs are sequential so a simple
+    // reset-read cycle per query is race-free.
+    val peak = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      })
     // warm codegen/parquet paths once so first-measured isn't charged JIT
     names.foreach { q =>
       graft.queries.GraftQuery.all.find(_.name == q).get.run(spark, sfDir)
@@ -74,11 +109,13 @@ object StressDup {
     for ((label, dir) <- corpora; name <- names) {
       val q = graft.queries.GraftQuery.all.find(_.name == name)
         .getOrElse(sys.error(s"unknown query $name"))
+      peak.set(0)
       val (_, sec) = timed {
         q.run(spark, dir).write.format("noop").mode("overwrite").save()
       }
+      val peakMb = peak.get() / (1024.0 * 1024.0)
       val rows = q.run(spark, dir).count()
-      println(f"[stress] $name%-22s $label%-4s ${sec}%8.2f s  rows=$rows")
+      println(f"[stress] $name%-22s $label%-4s ${sec}%8.2f s  rows=$rows%-8d peakTaskMem=${peakMb}%8.1f MB")
     }
     spark.stop()
   }
