@@ -167,6 +167,13 @@ object VectorSearch {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Driver-side dot for the per-query ADC table math. */
+  def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (PQ) — the code-compression tier between scalar
   // quantization (e08, 1 B/dim) and binary signs (e11, 1 bit/dim): split
@@ -276,5 +283,90 @@ object VectorSearch {
     concat(books.zipWithIndex.map { case (cws, j) =>
       element_at(typedlit(cws), element_at(codes, j + 1) + 1)
     }: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ — the COMPOSED index (faiss IndexIVFPQ; Jégou, Douze, Schmid,
+  // "Product Quantization for Nearest Neighbor Search", PAMI 2011 §V).
+  // Neither tier alone deploys at 100 TB: IVF with raw vectors still
+  // stores 256 B/vector (e05), and flat PQ still scans every code for
+  // every query (e13). Composed, the index stores cell + m code bytes
+  // per vector and a query scans only nprobe cells' codes. PQ trains on
+  // RESIDUALS (vector − cell centroid): residuals concentrate near the
+  // origin with most inter-vector variance removed, so the same k
+  // codewords quantize them far more precisely than raw vectors — the
+  // paper's measured reason IVFADC beats IVF+flat-PQ at equal bytes.
+  // ---------------------------------------------------------------------
+
+  /** Build the composed index: coarse quantizer ([[ivfIndex]]) → residual
+    * per vector (one narrow zip_with against the centroid literal — no
+    * join) → PQ codebooks trained on the `sample` lowest-id RESIDUALS
+    * (driver-side, bounded by contract like [[pqTrain]]) → per-vector
+    * codes. Returns (centroids, books, index) where index =
+    * (idCol, cell, codes) — the complete 100 TB layout: ~1+m bytes of
+    * index state per vector, raw vectors never needed again at query
+    * time. Deterministic end to end (lowest-id seeds everywhere). */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, m: Int, k: Int, iters: Int = 1, sample: Int = 256,
+      pqIters: Int = 2)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    val (centroids, assigned) = ivfIndex(emb, idCol, vecCol, kCells, iters)
+    // Empty quantizer (empty corpus): cellOf is the LITERAL -1, so an
+    // element_at(..., cell+1) would constant-fold to index 0 and throw at
+    // plan time even over zero rows — skip the (row-free) subtraction.
+    val resCol =
+      if (centroids.isEmpty) col("emb")
+      else zip_with(col("emb"),
+        element_at(typedlit(centroids), col("cell") + 1),
+        (x, c) => x - c)
+    val withRes = assigned.withColumn("res", resCol)
+    val books = pqTrain(withRes, idCol, "res", m, k, sample, pqIters)
+    val index = withRes
+      .withColumn("codes", pqEncode(col("res"), books))
+      .select(col(idCol), col("cell"), col("codes"))
+    (centroids, books, index)
+  }
+
+  /** Per-subspace table-lookup ADC score of one probe against a `codes`
+    * column — the PQ paper's actual query-time kernel: the m lookup
+    * tables T_j[c] = q_j · codebook_j[c] are computed DRIVER-SIDE once
+    * per query (m·k dots on constants) and inlined as literals, so the
+    * per-row work is m array indexings and m−1 adds — no reconstruction,
+    * no 64-wide dot, nothing decoded. Equals q·recon(code) up to
+    * summation order. */
+  def adcScore(codes: Column, books: Seq[Seq[Seq[Double]]],
+      probe: Seq[Double]): Column = {
+    if (books.isEmpty || books.exists(_.isEmpty)) return lit(0.0)
+    val sub = books.head.head.length
+    books.zipWithIndex.map { case (cws, j) =>
+      val qj = probe.slice(j * sub, (j + 1) * sub)
+      val table = cws.map(cw => dotLocal(qj, cw))
+      element_at(typedlit(table), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ ANN top-k: probe the `nprobe` cells nearest the query, score
+    * each candidate as q·centroid[cell] (a k-entry literal lookup — constant
+    * per cell, also driver-computed) plus the residual table-ADC score.
+    * The scan touches ONLY (cell, codes) — never a raw vector — and the
+    * cell filter prunes to nprobe/kCells of the index before any scoring
+    * (at scale the index is cell-partitioned, so this is partition
+    * pruning, not a filter). */
+  def ivfPqTopK(index: DataFrame, centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], probe: Seq[Double], idCol: String,
+      k: Int, nprobe: Int, excludeId: Long): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cosineLocal(probe, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+    val qDotCell =
+      if (centroids.isEmpty) lit(0.0)
+      else element_at(typedlit(centroids.map(c => dotLocal(probe, c))),
+        col("cell") + 1)
+    index
+      .filter(col("cell").isin(probeCells: _*) && col(idCol) =!= excludeId)
+      .select(col(idCol), col("cell").cast("bigint").as("cell"),
+        (qDotCell + adcScore(col("codes"), books, probe)).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol).asc)
+      .limit(k)
   }
 }

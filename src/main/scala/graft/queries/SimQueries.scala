@@ -1047,12 +1047,13 @@ object SimQueries {
             .zipWithIndex
             .map { case ((_, cell), r) => cell -> (r + 1).toLong }
             .sortBy(_._1).map(_._2)
-          val scored = assigned.filter(col("vec_id") =!= 0L)
-            .select(col("vec_id"),
-              cosine(col("emb"), typedlit(probeVec)).as("cos_sim"),
-              element_at(typedlit(rankByCell), col("cell") + 1)
-                .as("cell_rank"))
-            .localCheckpoint()
+          // shared barrier (reliable checkpoint when a dir is configured)
+          val scored = graft.operators.Checkpoints.barrier(
+            assigned.filter(col("vec_id") =!= 0L)
+              .select(col("vec_id"),
+                cosine(col("emb"), typedlit(probeVec)).as("cos_sim"),
+                element_at(typedlit(rankByCell), col("cell") + 1)
+                  .as("cell_rank")))
           val truth = scored
             .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
             .select(col("vec_id")).withColumn("in_truth", lit(1))
@@ -1172,5 +1173,156 @@ object SimQueries {
           round(CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END)
               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS purity
         FROM nn GROUP BY 1""")),
+
+    // ---- IVF-PQ composed ANN (the faiss IVFADC architecture) -------------
+    // e05 (IVF over raw vectors) and e13 (flat PQ over the whole corpus)
+    // each solve half the 100 TB problem: IVF prunes the scan but still
+    // stores 256 B/vector; PQ compresses to m bytes but still scans every
+    // code per query. This composes them the way a deployed index does
+    // (faiss IndexIVFPQ / the PQ paper's IVFADC): coarse cells + PQ codes
+    // over RESIDUALS (vector − cell centroid — residuals concentrate near
+    // the origin, so 16 codewords quantize them far better than raw
+    // vectors), query = nprobe cell prune + per-subspace table-lookup ADC
+    // (VectorSearch.adcScore: the per-query lookup tables are m·k driver
+    // dots inlined as literals; per-row cost is m indexings + adds, and
+    // the corpus is NEVER decoded). Rows-only (Lloyd centroids + Lloyd
+    // codebooks — no SQL analog): golden-pinned (GOLDEN.json), recall
+    // floor vs brute force in Round17OpsSpec, geometry oracle-pinned by
+    // e20 below.
+    GraftQuery(
+      "e19_ivfpq_topk",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val raw = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val base = raw
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+            .otherwise(transform(col("e"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("emb"))
+        val n = ivfCorpusSize(s, d)
+        val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val (centroids, books, index) = VectorSearch.ivfPqIndex(
+          base, "vec_id", "emb", kCells = cells, m = 8, k = 16)
+        val probeRows = base.filter(col("vec_id") === 0L)
+          .select(col("emb")).head(1)
+        if (probeRows.isEmpty) // probe absent (empty corpus): zero rows,
+          index                // correct schema — the ivfTopK guard
+            .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+              lit(0.0).as("adc_score"))
+            .filter(lit(false))
+        else VectorSearch.ivfPqTopK(index, centroids, books,
+          probeRows.head.getSeq[Double](0), "vec_id", k = 10,
+          nprobe = math.max(2, cells / 8), excludeId = 0L)
+      },
+      None),
+
+    // ---- IVF-PQ geometry, ORACLE-CHECKABLE variant of e19 ----------------
+    // The e14/e15 move applied to the COMPOSITION: training degenerates
+    // to pure SQL (centroids = the 8 lowest-id normalized vectors, 0
+    // Lloyd steps; codebooks = the subvectors of the 16 lowest-id
+    // RESIDUALS, 0 refinement steps) while everything that matters at
+    // scale runs the production path — ivfPqIndex end to end: argmax-
+    // cosine cell assignment, the residual zip_with against the centroid
+    // literal, expanded-form L2 code assignment on residual slices,
+    // nprobe=2 cell pruning, and the code CSV (pins every per-subspace
+    // index). The one deliberate divergence from e19's scorer: the ADC
+    // here is q·(centroid + recon) as ONE strict 64-fold over the
+    // elementwise sum (both engines pair and fold identically →
+    // bit-stable), not the per-subspace table sum, whose different
+    // summation ORDER is float-visible; e19's table kernel stays the
+    // production path, pinned by GOLDEN.json + the Round17OpsSpec
+    // identity test against this fold form.
+    GraftQuery(
+      "e20_ivfpq_pinned",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val raw = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val base = raw
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+            .otherwise(transform(col("e"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("emb"))
+        val (centroids, books, index) = VectorSearch.ivfPqIndex(
+          base, "vec_id", "emb", kCells = 8, m = 8, k = 16,
+          iters = 0, sample = 16, pqIters = 0)
+        val probeRows = base.filter(col("vec_id") === 0L)
+          .select(col("emb")).head(1)
+        if (probeRows.isEmpty)
+          index
+            .select(col("vec_id").as("b_id"),
+              col("cell").cast("bigint").as("cell"),
+              lit("").as("codes_str"), lit(0.0).as("adc_score"))
+            .filter(lit(false))
+        else {
+          val probeVec = probeRows.head.getSeq[Double](0)
+          val probeCells = centroids.zipWithIndex
+            .map { case (c, i) => (VectorSearch.cosineLocal(probeVec, c), i) }
+            .sortBy { case (sc, i) => (-sc, i) }.take(2).map(_._2)
+          index
+            .filter(col("cell").isin(probeCells: _*) &&
+              col("vec_id") =!= 0L)
+            .select(col("vec_id").as("b_id"),
+              col("cell").cast("bigint").as("cell"),
+              array_join(col("codes"), ",").as("codes_str"),
+              dot(typedlit(probeVec),
+                zip_with(element_at(typedlit(centroids), col("cell") + 1),
+                  VectorSearch.pqReconstruct(col("codes"), books),
+                  (c, r) => c + r)).as("adc_score"))
+            .orderBy(col("adc_score").desc, col("b_id").asc)
+            .limit(10)
+        }
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        b AS (SELECT vec_id, CASE WHEN ${sqlNorm("e")} = 0 THEN e
+            ELSE list_transform(e, x -> x / ${sqlNorm("e")}) END AS e
+          FROM v),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM b ORDER BY vec_id ASC LIMIT 8),
+        ac AS (SELECT vec_id, e, cell, ce FROM (
+            SELECT w.vec_id, w.e, c.cell, c.ce,
+              row_number() OVER (PARTITION BY w.vec_id
+                ORDER BY ${sqlCos("w.e", "c.ce")} DESC, c.cell ASC) AS rn
+            FROM b w, c) t WHERE rn = 1),
+        res AS (SELECT vec_id, cell, ce,
+            list_transform(list_zip(e, ce), p -> p[1] - p[2]) AS r
+          FROM ac),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS ci,
+            r AS cr
+          FROM res ORDER BY vec_id ASC LIMIT 16),
+        sub AS (SELECT ci, j,
+            cr[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS c
+          FROM cb, (SELECT unnest(range(0, 8)) AS j) jj),
+        enc AS (SELECT vec_id, j, ci FROM (
+            SELECT w.vec_id, s.j, s.ci,
+              row_number() OVER (PARTITION BY w.vec_id, s.j ORDER BY
+                (list_sum(list_transform(s.c, x -> x * x))
+                  - 2.0e0 * list_sum(list_transform(list_zip(
+                      w.r[CAST(s.j*8+1 AS INT):CAST(s.j*8+8 AS INT)], s.c),
+                    p -> p[1] * p[2]))) ASC,
+                s.ci ASC) AS rn
+            FROM res w, sub s) t WHERE rn = 1),
+        recon AS (SELECT e.vec_id,
+            flatten(list(s.c ORDER BY e.j)) AS rr,
+            array_to_string(list(e.ci ORDER BY e.j), ',') AS codes_str
+          FROM enc e JOIN sub s ON e.j = s.j AND e.ci = s.ci
+          GROUP BY 1),
+        q AS (SELECT e AS qe FROM b WHERE vec_id = 0),
+        pc AS (SELECT cell FROM (
+            SELECT c.cell, row_number() OVER (
+                ORDER BY ${sqlCos("c.ce", "qe")} DESC, c.cell ASC) AS rn
+            FROM c, q) t WHERE rn <= 2)
+        SELECT a.vec_id AS b_id, CAST(a.cell AS BIGINT) AS cell,
+          rc.codes_str,
+          ${sqlDot("qe",
+            "list_transform(list_zip(a.ce, rc.rr), p -> p[1] + p[2])")}
+            AS adc_score
+        FROM res a, recon rc, pc, q
+        WHERE rc.vec_id = a.vec_id AND pc.cell = a.cell AND a.vec_id <> 0
+        ORDER BY adc_score DESC, b_id ASC LIMIT 10""")),
   )
 }

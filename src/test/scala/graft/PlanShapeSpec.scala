@@ -547,4 +547,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!e18.contains("SortMergeJoin") && !e18.contains("CartesianProduct"),
       s"e18 must carry labels on the scored rows, never join back:\n$e18")
   }
+
+  test("round-17 shapes: bounded-buffer bucket cap (d12) and IVF-PQ (e19/e20)") {
+    // The cappedBuckets contract (round-16 advice #1): a PARTIAL
+    // WindowGroupLimit must sit below the bucket exchange, truncating a
+    // mega-bucket to cap+1 members per map task BEFORE it shuffles —
+    // two WindowGroupLimit nodes total (partial + final) around the one
+    // Exchange, and the collect_list runs on the same partitioning (no
+    // second exchange for the groupBy).
+    val d12 = plan("d12_minhash_lsh_pairs")
+    assert("WindowGroupLimit".r.findAllIn(d12).length >= 2,
+      s"d12 lost the partial+final window-group-limit slice:\n$d12")
+    assert(shuffles(d12) <= 1,
+      s"d12's groupBy must reuse the window's exchange:\n$d12")
+    // e19 IVF-PQ query: cell prune + literal lookup tables — NO join of
+    // any kind anywhere (the corpus side never meets another table), and
+    // the top-k is a TakeOrdered, not a global sort.
+    val e19 = plan("e19_ivfpq_topk")
+    assert(!e19.contains("Join") && !e19.contains("CartesianProduct"),
+      s"e19 must score via literal ADC tables, never a join:\n$e19")
+    assert(e19.contains("TakeOrderedAndProject"),
+      s"e19's top-k must be a TakeOrdered cut:\n$e19")
+    // e20 pinned variant: same no-join contract through the production
+    // ivfPqIndex path with degenerate training.
+    val e20 = plan("e20_ivfpq_pinned")
+    assert(!e20.contains("Join") && !e20.contains("CartesianProduct"),
+      s"e20 must stay join-free:\n$e20")
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorSearch
+import graft.sources.Tables
+
+/** Round-17 additions: the IVF-PQ composed index (e19/e20) and the
+  * checkpoint-dir-aware barrier seam (Checkpoints.barrier). */
+class Round17OpsSpec extends SparkSpec {
+  import graft.functions.VectorFunctions._
+
+  private def query(name: String) =
+    graft.queries.GraftQuery.all.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name"))
+
+  private def normalized = {
+    val raw = Tables.validEmbeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    raw.withColumn("nrm", norm(col("e")))
+      .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+        .otherwise(transform(col("e"), x => x / col("nrm"))))
+      .select(col("vec_id"), col("emb"))
+  }
+
+  test("e19 IVF-PQ: mean recall@10 beats the scanned-fraction chance floor") {
+    // Recall floor vs brute force, framed to survive the fixture: these
+    // embeddings are weak-structure draws (the exact top-1 cosine from
+    // probe 0 is only 0.37 and ranks 4-20 sit within ~0.01 of each
+    // other), so ABSOLUTE recall of any compressed index is noise-bound
+    // — the meaningful pin is recall relative to CHANCE. An index with
+    // broken cells or garbage codes degenerates to a random nprobe/cells
+    // sample of the corpus (recall ≈ scan fraction ≈ 0.087 here);
+    // measured mean recall over 25 probes is 0.232 ≈ 2.7× chance. Floor
+    // at 1.5× chance: a quietly-broken residual, swapped codebook axis,
+    // or dead table lookup lands at ~1.0×, while the deterministic
+    // pipeline cannot jitter at all.
+    val base = normalized
+    val n = base.count()
+    val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, cells / 8)
+    val (cents, books, index) = VectorSearch.ivfPqIndex(
+      base, "vec_id", "emb", cells, m = 8, k = 16)
+    val probeIds = base.select(col("vec_id")).collect()
+      .map(_.getLong(0)).filter(_ % 20 == 0).take(25)
+    val recalls = probeIds.map { pid =>
+      val pv = base.filter(col("vec_id") === pid)
+        .select(col("emb")).head().getSeq[Double](0)
+      val truth = VectorSearch.bruteTopK(
+          Tables.validEmbeddings(spark, sfDir), "vec_id", "embedding",
+          pid, 10)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val ann = VectorSearch.ivfPqTopK(index, cents, books, pv, "vec_id",
+          k = 10, nprobe = nprobe, excludeId = pid)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      ann.intersect(truth).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    val chance = nprobe.toDouble / cells
+    assert(mean >= 1.5 * chance,
+      s"IVF-PQ mean recall@10 = $mean under 1.5x chance ($chance)")
+  }
+
+  test("table-lookup ADC equals the q·(centroid+recon) fold within 1e-9") {
+    // e19 scores with the PQ paper's per-subspace lookup tables; e20 pins
+    // the fold form cross-engine. The two differ only in summation ORDER,
+    // so they must agree to float round-off on every vector — this is the
+    // identity that lets e20's DuckDB hash-match vouch for e19's kernel.
+    val base = normalized
+    val (cents, books, index) = VectorSearch.ivfPqIndex(
+      base, "vec_id", "emb", kCells = 8, m = 8, k = 16)
+    val probe = base.filter(col("vec_id") === 0L)
+      .select(col("emb")).head().getSeq[Double](0)
+    val qDotCell = element_at(
+      typedlit(cents.map(c => VectorSearch.dotLocal(probe, c))),
+      col("cell") + 1)
+    val maxDiff = index
+      .select(abs(
+        (qDotCell + VectorSearch.adcScore(col("codes"), books, probe)) -
+          dot(typedlit(probe),
+            zip_with(element_at(typedlit(cents), col("cell") + 1),
+              VectorSearch.pqReconstruct(col("codes"), books),
+              (c, r) => c + r))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"ADC forms diverge by $maxDiff")
+  }
+
+  test("e19 index stores only (id, cell, codes) — no raw vectors") {
+    // The 100 TB property the composition exists for: after the build,
+    // query-time plans read ~1+m bytes of state per vector. The schema is
+    // the contract.
+    val (_, _, index) = VectorSearch.ivfPqIndex(
+      normalized, "vec_id", "emb", kCells = 8, m = 8, k = 16)
+    assert(index.columns.toSeq == Seq("vec_id", "cell", "codes"))
+    assert(index.schema("codes").dataType.simpleString == "array<int>")
+  }
+
+  test("d52 capstone is bit-identical under a reliable checkpoint dir") {
+    // The Checkpoints.barrier seam: with sc.setCheckpointDir configured
+    // (the cluster form) the gated frame becomes a reliable checkpoint;
+    // results must not move. Mutates shared SparkContext state — safe
+    // only because suites run sequentially (the CC spec's precedent).
+    val q = query("d52_neardup_capstone")
+    val local = GoldenHash.resultHash(q.run(spark, sfDir))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp-seam")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val reliable = GoldenHash.resultHash(q.run(spark, sfDir))
+      assert(reliable == local,
+        s"reliable-checkpoint run drifted: $local -> $reliable")
+      // and the reliable flavor actually engaged (files were written)
+      val wrote = java.nio.file.Files.walk(dir).count()
+      assert(wrote > 1, "no reliable-checkpoint files were written")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
