@@ -40,10 +40,11 @@ object CorpusIngest {
       .dropDuplicatesWithinWatermark("fingerprint")
 
   final case class NearDupIn(bucket: String, doc_id: Long,
-      ts: Timestamp, hs: Array[Long])
+      ts: Timestamp, hs: Array[Long], src: String)
   final case class Admitted(docId: Long, hs: Array[Long], tsMs: Long)
   final case class BucketState(members: List[Admitted])
-  final case class NearDupAdmit(doc_id: Long, ingest_ts: Timestamp)
+  final case class NearDupAdmit(doc_id: Long, ingest_ts: Timestamp,
+      source: String)
 
   /** Streaming NEAR-dup admission — the cross-batch streaming form of
     * d09's verified near-dup: an incoming doc is dropped when a doc
@@ -74,6 +75,11 @@ object CorpusIngest {
     implicit val inEnc = Encoders.product[NearDupIn]
     implicit val stEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[NearDupAdmit]
+    // `source` rides through to the admitted output when the input has it
+    // (the retentionStream rollup groups on it); absent → empty string.
+    val srcCol =
+      if (docs.columns.contains("source")) coalesce(col("source"), lit(""))
+      else lit("")
     docs
       // Null event time or null id can't be stated against (withWatermark
       // KEEPS null-ts rows — the late-data predicate is null ⇒ not late —
@@ -91,7 +97,8 @@ object CorpusIngest {
         // below must compare values, not NPE (empty∩empty ⇒ jaccard 0 ⇒
         // unsignable docs always admit, matching the batch solo policy)
         coalesce(MinHashExprs.shingleHashes(col("toks")),
-          array().cast("array<bigint>")).as("hs"))
+          array().cast("array<bigint>")).as("hs"),
+        srcCol.as("src"))
       .withWatermark("ts", watermark)
       .as[NearDupIn]
       .groupByKey(_.bucket)(Encoders.STRING)
@@ -112,7 +119,7 @@ object CorpusIngest {
                   MinHashOps.jaccardSorted(m.hs, d.hs) >= minJaccard)
               if (!dup) {
                 members = Admitted(d.doc_id, d.hs, d.ts.getTime) :: members
-                admitted += NearDupAdmit(d.doc_id, d.ts)
+                admitted += NearDupAdmit(d.doc_id, d.ts, d.src)
               }
             }
             if (members.isEmpty) state.remove()
@@ -124,5 +131,53 @@ object CorpusIngest {
             admitted.result().iterator
           }
       }.toDF()
+  }
+
+  /** Streaming CAPSTONE — the retention pipeline d52 runs in batch, as
+    * one continuous query over a bronze document stream:
+    *
+    *   Gopher gate → cross-batch near-dup admission → per-source
+    *   admitted counts, UPDATE mode.
+    *
+    * The gate is the SAME definition as the batch path (TextQueries
+    * .gopherMetrics / gopherAdmit — narrow per-row expressions, so they
+    * fuse into the streaming scan exactly as into the batch scan);
+    * admission is [[nearDupAdmitStream]] (bounded state, watermark
+    * horizon); the rollup is a watermarked streaming aggregation whose
+    * state is one counter per source. Three stateful operators chained —
+    * dedup state, then agg state — each bounded, each keyed small.
+    *
+    * Semantics vs d52: on exact-duplicate clusters arriving in id order
+    * the two answers COINCIDE (batch keeps the component's min id; the
+    * stream admits the first arrival — the same document), which is what
+    * the capstone equality test pins. They diverge exactly where the
+    * designs differ on purpose: d52's 4-band LSH catches near-dups the
+    * single min-hash bucket misses, and the stream's horizon forgets
+    * what batch CC remembers forever — the documented recall/state
+    * trade; full-history dedup stays a batch job over the bronze zone.
+    *
+    * REQUIRES `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: Spark rejects any aggregation downstream of
+    * flatMapGroupsWithState because a user function COULD emit rows
+    * older than the watermark (late for the agg and silently dropped).
+    * This one provably cannot: [[nearDupAdmitStream]] emits only rows of
+    * the CURRENT batch carrying their own unmodified event times, and
+    * those rows already passed the same-delay upstream watermark — so no
+    * emitted row is ever late downstream. The conservative analyzer
+    * cannot see through the lambda; the config is the sanctioned
+    * declaration that a human verified it.
+    */
+  def retentionStream(docs: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "1 hour", horizonMs: Long = 3600 * 1000L,
+      minJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val gated = graft.queries.TextQueries
+      .gopherMetrics(docs.withColumn("toks", tokens(col("text"))))
+      .filter(graft.queries.TextQueries.gopherAdmit)
+      .select(col("doc_id"), col("source"), col(tsCol), col("text"))
+    nearDupAdmitStream(gated, tsCol, watermark, horizonMs, minJaccard,
+        maxBucket)
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
   }
 }
