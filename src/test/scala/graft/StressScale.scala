@@ -97,7 +97,15 @@ object StressScale {
     // grows the pair output ~8^2x within capped buckets (the d59 rule).
     "d61_split_leakage" -> ("documents" -> "doc_id"),
     // e18 is the e09/e16 harness at k=1: probes stay ~100, corpus 8x.
-    "e18_knn_label_purity" -> ("embeddings" -> "vec_id"))
+    "e18_knn_label_purity" -> ("embeddings" -> "vec_id"),
+    // e19: the IVF-PQ BUILD is the known O(n·√n) — cells = √n, and
+    // nearest-cell assignment is n × cells literal cosines — so the
+    // harness exponent is expected ~1.3-1.5 BY DESIGN (the standard IVF
+    // build trade; queries amortize it). e20 fixes cells = 8, so its
+    // build is linear — the pair isolates quantizer-count growth from
+    // everything else.
+    "e19_ivfpq_topk" -> ("embeddings" -> "vec_id"),
+    "e20_ivfpq_pinned" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
