@@ -369,4 +369,31 @@ object VectorSearch {
       .orderBy(col("adc_score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Refine tier over [[ivfPqTopK]] (faiss IndexRefineFlat): exact-cosine
+    * rerank of the ADC top-`candidates`. Quantization noise mostly
+    * PERMUTES near neighbors rather than dropping them, so an exact pass
+    * over a bounded candidate set recovers most of the recall the codes
+    * lose — at the cost of fetching `candidates` raw vectors per query:
+    * the candidate id list is tiny, AQE broadcasts it, and the vector
+    * store side never shuffles (the d35/d47 join-back rule). This is the
+    * three-tier layout a deployed 100 TB ANN service runs: cell prune →
+    * code scan → exact refine, each stage touching orders of magnitude
+    * fewer rows than the last. */
+  def ivfPqRerankTopK(index: DataFrame, emb: DataFrame,
+      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      probe: Seq[Double], idCol: String, vecCol: String, k: Int,
+      nprobe: Int, candidates: Int, excludeId: Long): DataFrame = {
+    val adcTop = ivfPqTopK(index, centroids, books, probe, idCol,
+        candidates, nprobe, excludeId)
+      .select(col(idCol), col("adc_score"))
+    emb.select(col(idCol), col(vecCol))
+      .join(adcTop, idCol)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol), typedlit(probe))
+          .as("cos_sim"),
+        col("adc_score"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

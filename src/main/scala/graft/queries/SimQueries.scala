@@ -1324,5 +1324,118 @@ object SimQueries {
         FROM res a, recon rc, pc, q
         WHERE rc.vec_id = a.vec_id AND pc.cell = a.cell AND a.vec_id <> 0
         ORDER BY adc_score DESC, b_id ASC LIMIT 10""")),
+
+    // ---- IVF-PQ + exact-refine tier (faiss IndexRefineFlat) --------------
+    // The third stage of the deployed ANN layout: cell prune → code scan →
+    // EXACT rerank of the ADC top-30 over fetched raw vectors, each stage
+    // touching orders of magnitude fewer rows than the last. Quantization
+    // noise mostly permutes near neighbors, so the bounded exact pass
+    // recovers most of the recall the 8-byte codes lose (Round17OpsSpec
+    // measures the production Lloyd-trained form: rerank recall ≥ plain
+    // ADC recall over the probe panel). Join shape is the d35/d47
+    // join-back rule: the 30-row candidate list broadcasts; the vector
+    // store never shuffles.
+    //
+    // Oracle-checkable via e20's degenerate training; candidate SELECTION
+    // uses e20's strict-fold ADC (bit-stable ranking), and the rerank
+    // cosine is the documented bit-identical fold pair. The production
+    // table-lookup kernel is pinned to the fold form by Round17OpsSpec's
+    // 1e-9 identity, and the production path itself is exercised there
+    // via VectorSearch.ivfPqRerankTopK.
+    GraftQuery(
+      "e21_ivfpq_rerank",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val raw = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val base = raw
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+            .otherwise(transform(col("e"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("emb"))
+        val (centroids, books, index) = VectorSearch.ivfPqIndex(
+          base, "vec_id", "emb", kCells = 8, m = 8, k = 16,
+          iters = 0, sample = 16, pqIters = 0)
+        val probeRows = base.filter(col("vec_id") === 0L)
+          .select(col("emb")).head(1)
+        if (probeRows.isEmpty)
+          base.select(col("vec_id").as("b_id"), lit(0.0).as("cos_sim"),
+            lit(0.0).as("adc_score")).filter(lit(false))
+        else {
+          val probeVec = probeRows.head.getSeq[Double](0)
+          val probeCells = centroids.zipWithIndex
+            .map { case (c, i) => (VectorSearch.cosineLocal(probeVec, c), i) }
+            .sortBy { case (sc, i) => (-sc, i) }.take(2).map(_._2)
+          val adcTop = index
+            .filter(col("cell").isin(probeCells: _*) &&
+              col("vec_id") =!= 0L)
+            .select(col("vec_id").as("b_id"),
+              dot(typedlit(probeVec),
+                zip_with(element_at(typedlit(centroids), col("cell") + 1),
+                  VectorSearch.pqReconstruct(col("codes"), books),
+                  (c, r) => c + r)).as("adc_score"))
+            .orderBy(col("adc_score").desc, col("b_id").asc)
+            .limit(30)
+          base.select(col("vec_id").as("b_id"), col("emb"))
+            .join(adcTop, "b_id")
+            .select(col("b_id"),
+              cosine(col("emb"), typedlit(probeVec)).as("cos_sim"),
+              col("adc_score"))
+            .orderBy(col("cos_sim").desc, col("b_id").asc)
+            .limit(10)
+        }
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        b AS (SELECT vec_id, CASE WHEN ${sqlNorm("e")} = 0 THEN e
+            ELSE list_transform(e, x -> x / ${sqlNorm("e")}) END AS e
+          FROM v),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM b ORDER BY vec_id ASC LIMIT 8),
+        ac AS (SELECT vec_id, e, cell, ce FROM (
+            SELECT w.vec_id, w.e, c.cell, c.ce,
+              row_number() OVER (PARTITION BY w.vec_id
+                ORDER BY ${sqlCos("w.e", "c.ce")} DESC, c.cell ASC) AS rn
+            FROM b w, c) t WHERE rn = 1),
+        res AS (SELECT vec_id, cell, ce,
+            list_transform(list_zip(e, ce), p -> p[1] - p[2]) AS r
+          FROM ac),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS ci,
+            r AS cr
+          FROM res ORDER BY vec_id ASC LIMIT 16),
+        sub AS (SELECT ci, j,
+            cr[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS c
+          FROM cb, (SELECT unnest(range(0, 8)) AS j) jj),
+        enc AS (SELECT vec_id, j, ci FROM (
+            SELECT w.vec_id, s.j, s.ci,
+              row_number() OVER (PARTITION BY w.vec_id, s.j ORDER BY
+                (list_sum(list_transform(s.c, x -> x * x))
+                  - 2.0e0 * list_sum(list_transform(list_zip(
+                      w.r[CAST(s.j*8+1 AS INT):CAST(s.j*8+8 AS INT)], s.c),
+                    p -> p[1] * p[2]))) ASC,
+                s.ci ASC) AS rn
+            FROM res w, sub s) t WHERE rn = 1),
+        recon AS (SELECT e.vec_id,
+            flatten(list(s.c ORDER BY e.j)) AS rr
+          FROM enc e JOIN sub s ON e.j = s.j AND e.ci = s.ci
+          GROUP BY 1),
+        q AS (SELECT e AS qe FROM b WHERE vec_id = 0),
+        pc AS (SELECT cell FROM (
+            SELECT c.cell, row_number() OVER (
+                ORDER BY ${sqlCos("c.ce", "qe")} DESC, c.cell ASC) AS rn
+            FROM c, q) t WHERE rn <= 2),
+        adc AS (SELECT a.vec_id AS b_id,
+            ${sqlDot("qe",
+              "list_transform(list_zip(a.ce, rc.rr), p -> p[1] + p[2])")}
+              AS adc_score
+          FROM res a, recon rc, pc, q
+          WHERE rc.vec_id = a.vec_id AND pc.cell = a.cell AND a.vec_id <> 0
+          ORDER BY adc_score DESC, b_id ASC LIMIT 30)
+        SELECT adc.b_id, ${sqlCos("bb.e", "qe")} AS cos_sim, adc.adc_score
+        FROM adc, b bb, q
+        WHERE bb.vec_id = adc.b_id
+        ORDER BY cos_sim DESC, adc.b_id ASC LIMIT 10""")),
   )
 }

@@ -95,6 +95,49 @@ class Round17OpsSpec extends SparkSpec {
     assert(index.schema("codes").dataType.simpleString == "array<int>")
   }
 
+  test("refine tier: exact rerank never loses recall vs plain ADC") {
+    // The IndexRefineFlat guarantee, testable exactly: the rerank's
+    // candidate set CONTAINS the ADC top-10, and a true top-10 neighbor
+    // can be out-ranked by at most 9 other vectors globally — so every
+    // truth hit in the candidate set survives the exact rerank. Rerank
+    // recall is therefore >= plain-ADC recall per probe, not just on
+    // average; measured on the fixture it is strictly higher in
+    // aggregate (the codes permute near neighbors, the exact pass
+    // restores them).
+    val base = normalized
+    val n = base.count()
+    val cells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, cells / 8)
+    val (cents, books, index) = VectorSearch.ivfPqIndex(
+      base, "vec_id", "emb", cells, m = 8, k = 16)
+    val probeIds = base.select(col("vec_id")).collect()
+      .map(_.getLong(0)).filter(_ % 20 == 0).take(15)
+    val perProbe = probeIds.map { pid =>
+      val pv = base.filter(col("vec_id") === pid)
+        .select(col("emb")).head().getSeq[Double](0)
+      val truth = VectorSearch.bruteTopK(
+          Tables.validEmbeddings(spark, sfDir), "vec_id", "embedding",
+          pid, 10)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val adc = VectorSearch.ivfPqTopK(index, cents, books, pv, "vec_id",
+          k = 10, nprobe = nprobe, excludeId = pid)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val rerank = VectorSearch.ivfPqRerankTopK(index, base, cents, books,
+          pv, "vec_id", "emb", k = 10, nprobe = nprobe, candidates = 30,
+          excludeId = pid)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      (adc.intersect(truth).size, rerank.intersect(truth).size)
+    }
+    perProbe.zip(probeIds).foreach { case ((a, r), pid) =>
+      assert(r >= a, s"probe $pid: rerank recall $r < ADC recall $a")
+    }
+    val (adcSum, rerankSum) = perProbe.unzip match {
+      case (as, rs) => (as.sum, rs.sum)
+    }
+    assert(rerankSum > adcSum,
+      s"rerank should recover recall in aggregate (adc=$adcSum rerank=$rerankSum)")
+  }
+
   test("d52 capstone is bit-identical under a reliable checkpoint dir") {
     // The Checkpoints.barrier seam: with sc.setCheckpointDir configured
     // (the cluster form) the gated frame becomes a reliable checkpoint;
