@@ -1437,5 +1437,94 @@ object SimQueries {
         FROM adc, b bb, q
         WHERE bb.vec_id = adc.b_id
         ORDER BY cos_sim DESC, adc.b_id ASC LIMIT 10""")),
+
+    // ---- int8-SQ recall eval: does 4× compression keep the ranking? ------
+    // Closes the loop e08 opened: e08 measures the SQ8 RECONSTRUCTION
+    // error, this measures what an index actually cares about — the
+    // RANKING loss. Rank the corpus by cosine(full-precision query,
+    // midpoint-dequantized candidate) — the asymmetric-distance read an
+    // SQ8 store serves — and score recall@3 against full-dim truth on the
+    // shared probe sample. With e09/e11/e12/e13/e16 this completes the
+    // compression-recall frontier: prefix-dims / binary-signs / top-var
+    // dims / PQ codes / JL projection / int8 SQ, all on the same harness,
+    // directly comparable per probe.
+    //
+    // Scale shape: e12's single-scan dual ranking verbatim — dequant is a
+    // narrow per-row projection fused into the scan (no join: the
+    // quantization params mn/scl live ON the row, e08's per-vector
+    // scheme), probes broadcast, both cosines on one scan, both top-3
+    // ranks on ONE a_id exchange via map-side WindowGroupLimit.
+    //
+    // Cross-engine exactness: the code expression is e08's verbatim
+    // (floor/least/greatest on exact doubles); dequant mn + (c+0.5)·scl/256
+    // is the same double tree both engines; constant vectors (scl = 0)
+    // dequant to mn exactly; cosine is the module's strict fold; ties
+    // break on vec_id.
+    GraftQuery(
+      "e22_sq8_recall",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val code = (x: Column) =>
+          greatest(lit(0L), least(lit(255L),
+            floor((x - col("mn")) * 256.0 / col("scl"))))
+        val deq = e
+          .withColumn("mn", array_min(col("xs")))
+          .withColumn("scl", array_max(col("xs")) - col("mn"))
+          .select(col("vec_id").as("b_id"), col("xs").as("b_emb"),
+            when(col("scl") === 0.0,
+              transform(col("xs"), _ => col("mn")))
+              .otherwise(transform(col("xs"), x =>
+                col("mn") + (code(x).cast("double") + 0.5) *
+                  col("scl") / 256.0)).as("b_deq"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = e.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("xs").as("a_emb"))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        val hits = deq
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_full", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("cos_sq", cosine(col("a_emb"), col("b_deq")))
+          .withColumn("rn_full", row_number().over(rankW(col("cos_full"))))
+          .withColumn("rn_sq", row_number().over(rankW(col("cos_sq"))))
+          .filter(col("rn_full") <= 3 && col("rn_sq") <= 3)
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+        probes.select(col("a_id")).join(hits, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        dq AS (SELECT vec_id AS b_id, e AS be,
+            CASE WHEN scl = 0 THEN list_transform(e, x -> mn)
+              ELSE list_transform(e, x -> mn +
+                (CAST(GREATEST(0, LEAST(255,
+                  CAST(floor((x - mn) * 256.0 / scl) AS BIGINT))) AS DOUBLE)
+                  + 0.5) * scl / 256.0) END AS bq
+          FROM (SELECT vec_id, e, list_min(e) AS mn,
+              list_max(e) - list_min(e) AS scl FROM b) s),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        truth AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 3),
+        sq AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.bq")} DESC, c.b_id ASC) AS rn
+          FROM probes p JOIN dq c ON p.a_id <> c.b_id) t WHERE rn <= 3),
+        hits AS (SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t JOIN sq a ON t.a_id = a.a_id AND t.b_id = a.b_id
+          GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
   )
 }

@@ -1590,5 +1590,133 @@ object StarQueries {
           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
             AS BIGINT) AS view
         FROM events GROUP BY 1""")),
+
+    // ---- sessionization, MATERIALIZED: the session table itself ----------
+    // q18 counts sessions per user; this emits the session ROWS — the
+    // operator a behavioral pipeline actually stores (session start,
+    // duration, size, value). Session identity is the classic two-window
+    // form: new-session flag on a >30 min gap (q18's rule verbatim), then
+    // a running sum of flags assigns the per-user session index the
+    // grouping key needs.
+    //
+    // Scale shape: ONE exchange on user_id serves the whole chain — both
+    // windows partition by user_id, and the groupBy's clustering key
+    // (user_id, session_idx) is satisfied by the same hash partitioning
+    // (same-user rows are already co-located), so Catalyst plans lag →
+    // running sum → agg with no second shuffle. Per-user event counts are
+    // human-scale, so the sort inside the window never spills.
+    //
+    // Exactness: gap math is int64 nanos end-to-end (the Tables.events
+    // contract); session_value sums through DECIMAL(18,6) (order-free;
+    // all-null sessions stay NULL in both engines); the running-sum frame
+    // is explicit ROWS (the ordering key (ts, event_id) is unique, but
+    // pinning ROWS keeps both engines' frame semantics trivially aligned).
+    GraftQuery(
+      "q43_session_stats",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 1800000000000L, 1L).otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(min(col("ts")).as("session_start_ns"),
+            (max(col("ts")) - min(col("ts"))).as("duration_ns"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("session_value"))
+      },
+      Some("""WITH w AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+            value,
+            lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+            OR ts_ns - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS ns
+          FROM w),
+        sx AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+            ORDER BY ts_ns ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM f)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          MIN(ts_ns) AS session_start_ns,
+          MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sx GROUP BY user_id, session_idx""")),
+
+    // ---- calendar densify + forward fill (gap-fill family) ---------------
+    // The time-series completion pair q28's RANGE frame sidesteps: emit a
+    // row for EVERY calendar day in each event type's active span (zero
+    // rows on quiet days), and carry the last observed daily value sum
+    // forward across the gaps (LAST_VALUE IGNORE NULLS — the ffill a
+    // dashboard/feature store expects). Spark spells it last(col, true);
+    // absent-day counts coalesce to 0, but ffill deliberately distinguishes
+    // nothing between "no events" and "events with all-null values" — the
+    // day aggregate is NULL either way and both carry forward.
+    //
+    // Scale shape: the fact table collapses to the (type, day) aggregate —
+    // map-side combinable, calendar-bounded output — and EVERYTHING after
+    // is calendar-sized: the spine is explode(sequence(min_day, max_day))
+    // over the 5-row per-type span aggregate (generated, never a
+    // cross join), the left join matches two calendar-bounded frames, and
+    // the ffill window partitions by type over ~days rows (bounded by the
+    // calendar, not the fact table — q28's argument). ONE fact-table scan
+    // total: the daily aggregate sits behind a Checkpoints.barrier, so the
+    // span/spine side reuses it instead of re-scanning the fact table
+    // (without the barrier Catalyst collapses span's min/max straight onto
+    // a SECOND events scan — the d22 recompute trap, plan-verified).
+    //
+    // Exactness: day index is exact int64 floor-division of nanos (q42's
+    // rule); day revenue sums as DECIMAL(18,6) and stays decimal through
+    // the ffill window, casting to double only in the output.
+    GraftQuery(
+      "q44_daily_gapfill",
+      (s, d) => {
+        val daily = graft.operators.Checkpoints.barrier(
+          Tables.events(s, d)
+            .select(col("event_type"),
+              floorDiv(col("ts"), 86400L * 1000 * 1000 * 1000).as("day_int"),
+              col("value"))
+            .groupBy(col("event_type"), col("day_int"))
+            .agg(count(lit(1)).as("n_ev"),
+              sum(col("value").cast("decimal(18,6)")).as("rev")))
+        val spine = daily.groupBy(col("event_type"))
+          .agg(min(col("day_int")).as("mn"), max(col("day_int")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"))).as("day_int"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day_int"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("event_type", "day_int"), "left")
+          .select(col("event_type"), col("day_int"),
+            coalesce(col("n_ev"), lit(0L)).cast("bigint").as("n_events"),
+            col("rev").cast("double").as("day_rev"),
+            last(col("rev"), ignoreNulls = true).over(w).cast("double")
+              .as("ffill_rev"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            epoch_ns(ts) // 86400000000000 AS day_int, value FROM events),
+        daily AS (SELECT event_type, day_int, COUNT(*) AS n_ev,
+            SUM(CAST(value AS DECIMAL(18,6))) AS rev
+          FROM e GROUP BY 1, 2),
+        span AS (SELECT event_type, MIN(day_int) AS mn, MAX(day_int) AS mx
+          FROM daily GROUP BY 1),
+        spine AS (SELECT event_type,
+            unnest(generate_series(mn, mx)) AS day_int FROM span),
+        j AS (SELECT s.event_type, s.day_int,
+            COALESCE(d.n_ev, 0) AS n_events, d.rev
+          FROM spine s LEFT JOIN daily d
+            ON s.event_type = d.event_type AND s.day_int = d.day_int)
+        SELECT event_type, day_int, CAST(n_events AS BIGINT) AS n_events,
+          CAST(rev AS DOUBLE) AS day_rev,
+          CAST(last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type
+              ORDER BY day_int ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS DOUBLE) AS ffill_rev
+        FROM j""")),
   )
 }

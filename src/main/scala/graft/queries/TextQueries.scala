@@ -2732,6 +2732,106 @@ object TextQueries {
           CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb) THEN 1 ELSE 0 END
             AS INT) AS is_leak
         FROM sp GROUP BY 1, 2""")),
+
+    // ---- Zipf-law fit of the term-frequency distribution -----------------
+    // The corpus-health scalar behind d24's coverage curve: a natural-
+    // language corpus follows freq ∝ rank^(-α) with α ≈ 1; machine-
+    // generated spam, boilerplate floods, or template pollution bend the
+    // log-log line (α drifts, R² collapses). Fit ln(freq) = a − α·ln(rank)
+    // by OLS over the top-1000 ranked terms (the head carries the law;
+    // d24's cut) — the number a mixture dashboard tracks per source dump.
+    //
+    // Scale shape: d24's exact substrate verbatim — vocab-sized term
+    // counts with map-side partials, TakeOrderedAndProject top-1000 cut,
+    // rank + the five moment sums over the BOUNDED 1000-row frame (the
+    // documented bounded-window exemption), 1-row output.
+    //
+    // Exactness: x = ln(rank), y = ln(tf) round to 6 dp (the d32 ln rule);
+    // products of identical doubles round to 6 dp and sum as
+    // DECIMAL(18,6) (e12's moment recipe — order-free, exact); the closed
+    // forms are q38's expression trees verbatim (same double op order both
+    // engines), rounded at 6 dp.
+    GraftQuery(
+      "d62_zipf_fit",
+      (s, d) => {
+        val byFreq = Window.orderBy(col("tf").desc, col("term").asc)
+        val top = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term").asc).limit(1000)
+          .withColumn("rank", row_number().over(byFreq).cast("bigint"))
+          .select(round(log(col("rank").cast("double")), 6).as("x"),
+            round(log(col("tf").cast("double")), 6).as("y"))
+        val m = top.agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 6).cast("decimal(18,6)")).as("sx"),
+          sum(round(col("y"), 6).cast("decimal(18,6)")).as("sy"),
+          sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("sxy"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("sx2"),
+          sum(round(col("y") * col("y"), 6).cast("decimal(18,6)")).as("sy2"))
+        // nullif guards: a degenerate head (single term, or all-equal
+        // ranks after an empty corpus) zeroes the variance denominator —
+        // ANSI mode turns that into DIVIDE_BY_ZERO unless the fit
+        // degrades to NULL explicitly (mirrored in the oracle).
+        val k = m.select(col("n"),
+          expr("""(cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            / nullif(cast(n as double) * cast(sx2 as double)
+              - cast(sx as double) * cast(sx as double), cast(0 as double))
+            """).as("beta"),
+          expr("cast(sx as double)").as("sxd"),
+          expr("cast(sy as double)").as("syd"),
+          expr("""(cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            * (cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            / nullif((cast(n as double) * cast(sx2 as double)
+              - cast(sx as double) * cast(sx as double))
+              * (cast(n as double) * cast(sy2 as double)
+                - cast(sy as double) * cast(sy as double)),
+              cast(0 as double))""").as("r2"))
+        k.select(col("n").as("n_terms"),
+          round(-col("beta"), 6).as("alpha"),
+          round((col("syd") - col("beta") * col("sxd")) /
+            col("n").cast("double"), 6).as("intercept"),
+          round(col("r2"), 6).as("r_squared"))
+      },
+      Some(s"""WITH t AS (SELECT unnest($sqlToks) AS term FROM documents),
+        tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+        top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC
+          LIMIT 1000),
+        xy AS (SELECT
+            round(ln(CAST(row_number() OVER (ORDER BY tf DESC, term ASC)
+              AS DOUBLE)), 6) AS x,
+            round(ln(CAST(tf AS DOUBLE)), 6) AS y
+          FROM top),
+        m AS (SELECT COUNT(*) AS n,
+            SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS sx,
+            SUM(CAST(round(y, 6) AS DECIMAL(18,6))) AS sy,
+            SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS sxy,
+            SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS sx2,
+            SUM(CAST(round(y * y, 6) AS DECIMAL(18,6))) AS sy2
+          FROM xy),
+        k AS (SELECT n,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS beta,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / NULLIF((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                CAST(0 AS DOUBLE)) AS r2
+          FROM m)
+        SELECT n AS n_terms, round(-beta, 6) AS alpha,
+          round((syd - beta * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+          round(r2, 6) AS r_squared
+        FROM k""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

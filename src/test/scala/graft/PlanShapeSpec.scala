@@ -67,7 +67,10 @@ class PlanShapeSpec extends SparkSpec {
       // totals pattern).
       "q41_hll_merge_rollup", "d60_source_divergence",
       // e18 broadcasts the bounded probe sample (the e09 harness, k=1).
-      "e18_knn_label_purity")
+      "e18_knn_label_purity",
+      // e22 broadcasts the bounded probe sample for both its rankings
+      // (the e12 dual-ranking harness over the SQ8-dequantized corpus).
+      "e22_sq8_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -573,5 +576,44 @@ class PlanShapeSpec extends SparkSpec {
     val e20 = plan("e20_ivfpq_pinned")
     assert(!e20.contains("Join") && !e20.contains("CartesianProduct"),
       s"e20 must stay join-free:\n$e20")
+  }
+
+  test("round-17 batch 2 holds its scale shapes (q43/q44/d62/e22)") {
+    // q43 materialized sessions: ONE user_id exchange serves lag, the
+    // running session-index sum, AND the (user_id, session_idx) aggregate
+    // — partial-key hash partitioning satisfies the agg's clustering, so
+    // a second exchange means the plan regressed to a re-shuffle.
+    val q43 = plan("q43_session_stats")
+    assert(shuffles(q43) == 1 && !q43.contains("Join"),
+      s"q43 must run lag + session index + agg on one exchange:\n$q43")
+    // q44 gap-fill: the daily aggregate is checkpointed (Scan
+    // ExistingRDD) so the span/spine side must NOT re-scan the fact
+    // table — zero FileScans in the fan-out plan; the spine generates
+    // via explode(sequence) (Generate), never a cross join; the
+    // calendar-bounded left join broadcasts.
+    val q44 = plan("q44_daily_gapfill")
+    assert(!q44.contains("FileScan") && q44.contains("Scan ExistingRDD"),
+      s"q44's spine must reuse the checkpointed daily agg, not re-scan:\n$q44")
+    assert(q44.contains("Generate explode(sequence") &&
+      !q44.contains("CartesianProduct") &&
+      q44.contains("BroadcastHashJoin"),
+      s"q44's day spine must be generated and broadcast-joined:\n$q44")
+    // d62 Zipf fit: d24's substrate — one vocab exchange with map-side
+    // partials, a bounded TakeOrderedAndProject top-1000 cut, no join
+    // (the moment sums fold in one aggregate, unlike d24's totals
+    // cross join).
+    val d62 = plan("d62_zipf_fit")
+    assert(shuffles(d62) == 1 && d62.contains("TakeOrderedAndProject") &&
+      !d62.contains("Join"),
+      s"d62 must fit over the bounded ranked head in one exchange:\n$d62")
+    // e22 SQ recall: e12's harness — dequant fuses into the scan (no
+    // quantization-param join), probes broadcast, both top-3 ranks cut
+    // by map-side WindowGroupLimit. (The final probes↔hits left join
+    // runs on the bounded probe set — its pre-AQE strategy is free to
+    // be SMJ, so only the corpus-path shapes are pinned.)
+    val e22 = plan("e22_sq8_recall")
+    assert(e22.contains("WindowGroupLimit") &&
+      !e22.contains("CartesianProduct"),
+      s"e22 must rank via broadcast probes + group-limited windows:\n$e22")
   }
 }

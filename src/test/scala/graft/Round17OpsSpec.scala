@@ -161,4 +161,89 @@ class Round17OpsSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("q43 sessions partition each user's events and agree with q18") {
+    // Internal-consistency pin between the two sessionization forms: the
+    // materialized session table (q43), re-aggregated per user, must
+    // reproduce q18's (sessions, n_events) exactly — same gap rule, same
+    // ordering, independent lineages.
+    val q43 = query("q43_session_stats").run(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("s43"), sum(col("n_events")).as("e43"))
+    val q18 = query("q18_events_sessions").run(spark, sfDir)
+    val bad = q18.join(q43, Seq("user_id"), "full")
+      .filter(col("sessions") =!= col("s43") ||
+        col("n_events") =!= col("e43") ||
+        col("sessions").isNull || col("s43").isNull)
+      .count()
+    assert(bad == 0L, s"$bad users disagree between q43 and q18")
+    // and session durations are sane: non-negative, start within the
+    // session by construction
+    val negDur = query("q43_session_stats").run(spark, sfDir)
+      .filter(col("duration_ns") < 0).count()
+    assert(negDur == 0L)
+  }
+
+  test("q44 gap-fill: dense per-type calendar, ffill equals the last " +
+      "non-null day, totals conserved") {
+    val out = query("q44_daily_gapfill").run(spark, sfDir).cache()
+    try {
+      // dense spine: per type, rows == max_day - min_day + 1, no dup days
+      val span = out.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("rows"),
+          (max(col("day_int")) - min(col("day_int")) + 1).as("expect"),
+          countDistinct(col("day_int")).as("days"))
+        .filter(col("rows") =!= col("expect") || col("days") =!= col("rows"))
+      assert(span.count() == 0L, "spine is not a dense calendar")
+      // conservation: gap rows add no events
+      val total = out.agg(sum(col("n_events"))).head().getLong(0)
+      val raw = Tables.events(spark, sfDir).count()
+      assert(total == raw, s"gap-fill changed the event total: $raw -> $total")
+      // ffill semantics: recompute with a window over the output itself
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day_int"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val drift = out
+        .withColumn("expect", last(col("day_rev"), ignoreNulls = true).over(w))
+        .filter(!(col("ffill_rev") <=> col("expect"))).count()
+      assert(drift == 0L, s"$drift rows: ffill_rev != last non-null day_rev")
+    } finally { out.unpersist(); () }
+  }
+
+  test("d62 recovers the exponent of a constructed Zipfian corpus") {
+    // Semantic anchor independent of the fixtures (whose synthetic
+    // uniform vocab is CORRECTLY reported as non-Zipfian: alpha ~0.18,
+    // R² ~0.06 at sf0.01): build a corpus whose term frequencies are
+    // freq(r) = round(1200 / r) for rank r = 1..40 — an exact alpha = 1
+    // power law up to rounding — and the fit must find it.
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to 40).flatMap { r =>
+      val freq = math.max(1, math.round(1200.0 / r).toInt)
+      // term names ordered so frequency ties break identically either way
+      Seq.fill(freq)(f"term$r%03d")
+    }.grouped(50).zipWithIndex.map { case (ts, i) =>
+      org.apache.spark.sql.Row(i.toLong, ts.mkString(" "), "en", "src1", 1L)
+    }.toSeq
+    val schema = Tables.documents(spark, sfDir).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = query("d62_zipf_fit").run(spark, dir).head()
+    val (alpha, r2) = (got.getAs[Double]("alpha"), got.getAs[Double]("r_squared"))
+    assert(math.abs(alpha - 1.0) < 0.05, s"alpha drifted: $alpha")
+    assert(r2 > 0.99, s"power-law fit lost its R²: $r2")
+    assert(got.getAs[Long]("n_terms") == 40L)
+  }
+
+  test("e22 SQ8 ranking survives quantization on the fixtures") {
+    // SQ8 is the mildest compression in the recall family (8 bits/dim vs
+    // e11's 1 or e13's 0.5): on the 64-dim fixtures its dequantized
+    // ranking should be near-lossless. Floor well below the measured
+    // mean (1.00 at sf0.01) but far above chance (~3/n): a broken
+    // clamp/scale or a mn/scl column swap craters through 0.8.
+    val rec = query("e22_sq8_recall").run(spark, sfDir)
+      .agg(avg(col("recall_at_3"))).head().getDouble(0)
+    assert(rec >= 0.8, s"SQ8 mean recall@3 fell to $rec")
+  }
 }

@@ -105,7 +105,18 @@ object StressScale {
     // build is linear — the pair isolates quantizer-count growth from
     // everything else.
     "e19_ivfpq_topk" -> ("embeddings" -> "vec_id"),
-    "e20_ivfpq_pinned" -> ("embeddings" -> "vec_id"))
+    "e20_ivfpq_pinned" -> ("embeddings" -> "vec_id"),
+    // Round-17 additions: q43/q44 replicas shift event_id but keep
+    // user_id/ts — q43's per-user partitions grow 8× (one user_id
+    // exchange, linear sort growth inside bounded partitions); q44's
+    // calendar spine is FIXED, so only the daily pre-agg scan grows.
+    // d62's replicas duplicate text: vocab fixed, growth is the explode
+    // scan into map-side partials (the d60 shape). e22 is the e12
+    // dual-ranking harness: probes stay ~100, corpus 8×.
+    "q43_session_stats" -> ("events" -> "event_id"),
+    "q44_daily_gapfill" -> ("events" -> "event_id"),
+    "d62_zipf_fit" -> ("documents" -> "doc_id"),
+    "e22_sq8_recall" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
