@@ -1526,5 +1526,98 @@ object SimQueries {
         SELECT p.a_id,
           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
+
+    // ---- filtered ANN: post-filter recall vs the pre-filter truth --------
+    // The filtered-search design question every deployed vector store
+    // answers (search WHERE label = X): PRE-filter ranks only the
+    // predicate-matching subset (exact but needs a per-predicate index
+    // path); POST-filter takes the unfiltered top-K and keeps the matches
+    // (one shared index, but the answer starves when the predicate is
+    // selective). Per probe, with the predicate "same label as the
+    // probe": the pre-filter top-3 truth, the survivors of
+    // post-filtering the unfiltered top-12 (K = 4× over-fetch, the
+    // standard rule-of-thumb starting point), and post-filter recall@3 —
+    // the curve that decides which architecture a 100 TB store ships.
+    //
+    // Scale shape: ONE broadcast-probe scan, ONE lineage: the global
+    // rank (rn_all), the within-subset rank (rn_pre, after the label
+    // filter — which preserves rn_all), and the post-filter rank
+    // (rn_post: candidates-first ordering, so row_number ≤ 3 ∧
+    // rn_all ≤ 12 IS the survivor set) are three windows over the SAME
+    // a_id exchange, folded by one (a_id) aggregate — truth, survivors,
+    // and hits never materialize as separate frames to re-join (the
+    // recompute trap a truth ⋈ post formulation would triple-scan).
+    // Probes bounded (~n/100), never a corpus self-join.
+    //
+    // Exactness: cosine is the module's strict fold; every rank ties on
+    // b_id (rn_post on the already-unique rn_all); counts are int64;
+    // recall divides by the fixed literal 3.
+    GraftQuery(
+      "e23_filtered_ann",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .filter(col("label").isNotNull)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"),
+            col("label"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = e.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("xs").as("a_emb"),
+            col("label").as("a_label"))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        val agg = e.select(col("vec_id").as("b_id"), col("xs").as("b_emb"),
+            col("label").as("b_label"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn_all", row_number().over(rankW(col("cos"))))
+          .filter(col("b_label") === col("a_label"))
+          .withColumn("rn_pre", row_number().over(rankW(col("cos"))))
+          .withColumn("rn_post", row_number().over(
+            Window.partitionBy(col("a_id")).orderBy(
+              when(col("rn_all") <= 12, lit(0)).otherwise(lit(1)).asc,
+              col("rn_all").asc)))
+          .withColumn("is_post", col("rn_post") <= 3 && col("rn_all") <= 12)
+          .groupBy(col("a_id"))
+          .agg(sum(when(col("is_post"), 1L).otherwise(0L)).as("n_post"),
+            sum(when(col("is_post") && col("rn_pre") <= 3, 1L).otherwise(0L))
+              .as("n_hit"))
+        probes.select(col("a_id")).join(agg, Seq("a_id"), "left")
+          .select(col("a_id"),
+            coalesce(col("n_post"), lit(0L)).cast("bigint").as("n_post"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label
+        FROM embeddings WHERE $sqlValidEmb AND label IS NOT NULL),
+        probes AS (SELECT vec_id AS a_id, e AS ae, label AS al FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        scored AS (SELECT p.a_id, p.al, c.vec_id AS b_id, c.label AS bl,
+            ${sqlCos("p.ae", "c.e")} AS cos,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC)
+              AS rn_all
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        truth AS (SELECT a_id, b_id FROM (
+          SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+              ORDER BY cos DESC, b_id ASC) AS rn_pre
+          FROM scored WHERE bl = al) t WHERE rn_pre <= 3),
+        post AS (SELECT a_id, b_id FROM (
+          SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+              ORDER BY rn_all ASC) AS rn_post
+          FROM scored WHERE rn_all <= 12 AND bl = al) t
+          WHERE rn_post <= 3),
+        hits AS (SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t JOIN post a ON t.a_id = a.a_id AND t.b_id = a.b_id
+          GROUP BY 1),
+        got AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_post FROM post
+          GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(g.n_post, 0) AS BIGINT) AS n_post,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id
+          LEFT JOIN got g ON p.a_id = g.a_id""")),
   )
 }

@@ -1718,5 +1718,87 @@ object StarQueries {
               ORDER BY day_int ROWS BETWEEN UNBOUNDED PRECEDING AND
               CURRENT ROW) AS DOUBLE) AS ffill_rev
         FROM j""")),
+
+    // ---- join-size estimation via CMS inner product (AMS family) ---------
+    // The cost-based-optimizer primitive: estimate |A ⋈ B| on a key
+    // BEFORE running the join, from two CONSTANT-SIZE sketches —
+    // |A ⋈ B| = Σ_k dA(k)·dB(k), and a count-min sketch estimates that
+    // inner product as min_j Σ_b cmsA[j][b]·cmsB[j][b] (Cormode &
+    // Muthukrishnan §4.2; collisions only ADD, so est ≥ exact always —
+    // PropertySpec-grade guarantee, asserted in Round17OpsSpec). Here:
+    // how many (view, purchase) same-user pairs would a user_id join of
+    // the two event streams produce, est vs exact vs rel_err.
+    //
+    // Scale shape — the reason this exists at 100 TB: the two sketch
+    // builds are d54's substrate (Sketches.cmsCells — one narrow pass
+    // each folding onto the FIXED 3×64-cell domain with map-side partial
+    // sums, streaming-maintainable), the inner product is a 192-row
+    // join, and the answer arrives WITHOUT shuffling either fact table
+    // by key. The exact side (degree-table join) is fixture-scale ground
+    // truth, the same eval-only role as d54's top-20.
+    //
+    // Exactness: integer counts end-to-end; cell and degree products
+    // widen to DECIMAL(19,0)² → DECIMAL(38,0) sums (no int64 overflow at
+    // any scale), cast to double only in the output; rel_err guards the
+    // empty-side zero with nullif (the d62 rule).
+    GraftQuery(
+      "q45_join_size_cms",
+      (s, d) => {
+        import graft.operators.Sketches
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        def side(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id").cast("string").as("term"))
+        val ca = Sketches.cmsCells(side("view"), "term")
+          .withColumnRenamed("cnt", "ca")
+        val cb = Sketches.cmsCells(side("purchase"), "term")
+          .withColumnRenamed("cnt", "cb")
+        val est = ca.join(cb, Seq("j", "b"))
+          .groupBy(col("j"))
+          .agg(sum(col("ca").cast("decimal(19,0)") *
+            col("cb").cast("decimal(19,0)")).as("ipd"))
+          .agg(min(col("ipd")).as("est_p"))
+        def degrees(t: String, n: String) =
+          ev.filter(col("event_type") === t)
+            .groupBy(col("user_id")).agg(count(lit(1)).as(n))
+        val exact = degrees("view", "na")
+          .join(degrees("purchase", "nb"), Seq("user_id"))
+          .agg(sum(col("na").cast("decimal(19,0)") *
+            col("nb").cast("decimal(19,0)")).as("exact_p"))
+        est.crossJoin(exact)
+          .select(col("est_p").cast("double").as("est_pairs"),
+            col("exact_p").cast("double").as("exact_pairs"),
+            expr("""round((cast(est_p as double) - cast(exact_p as double))
+              / nullif(cast(exact_p as double), cast(0 as double)), 6)""")
+              .as("rel_err"))
+      },
+      Some("""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS term
+          FROM events WHERE user_id IS NOT NULL AND event_type = 'view'),
+        b2 AS (SELECT CAST(user_id AS VARCHAR) AS term
+          FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        ca AS (SELECT jj.j,
+            CAST('0x' || substr(md5(jj.j || ':' || term), 1, 4) AS BIGINT)
+              % 64 AS b, COUNT(*) AS ca
+          FROM a, (SELECT unnest(range(0, 3)) AS j) jj GROUP BY 1, 2),
+        cb AS (SELECT jj.j,
+            CAST('0x' || substr(md5(jj.j || ':' || term), 1, 4) AS BIGINT)
+              % 64 AS b, COUNT(*) AS cb
+          FROM b2, (SELECT unnest(range(0, 3)) AS j) jj GROUP BY 1, 2),
+        ip AS (SELECT ca.j, SUM(CAST(ca.ca AS DECIMAL(19,0))
+            * CAST(cb.cb AS DECIMAL(19,0))) AS ipd
+          FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b GROUP BY 1),
+        est AS (SELECT MIN(ipd) AS est_p FROM ip),
+        da AS (SELECT user_id, COUNT(*) AS na FROM events
+          WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1),
+        db AS (SELECT user_id, COUNT(*) AS nb FROM events
+          WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1),
+        ex AS (SELECT SUM(CAST(na AS DECIMAL(19,0))
+            * CAST(nb AS DECIMAL(19,0))) AS exact_p
+          FROM da JOIN db ON da.user_id = db.user_id)
+        SELECT CAST(est_p AS DOUBLE) AS est_pairs,
+          CAST(exact_p AS DOUBLE) AS exact_pairs,
+          round((CAST(est_p AS DOUBLE) - CAST(exact_p AS DOUBLE))
+            / NULLIF(CAST(exact_p AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+            AS rel_err
+        FROM est, ex""")),
   )
 }

@@ -2832,6 +2832,77 @@ object TextQueries {
           round((syd - beta * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
           round(r2, 6) AS r_squared
         FROM k""")),
+
+    // ---- doc-level source-duplication matrix (normalized) ----------------
+    // d57 answers "which source pairs share CHUNKS (boilerplate)"; this
+    // answers the mixture-weighting question one level up: which source
+    // pairs carry the same whole DOCUMENTS (mirrors, re-crawls, syndicated
+    // feeds), normalized so a curator can read it — per pair, the count of
+    // shared normalized fingerprints plus Jaccard (shared / union) and
+    // containment (shared / smaller side; ≈1 means one source is a subset
+    // mirror of the other and its mixture weight is phantom).
+    //
+    // Scale shape: d57's no-self-join form over d04's fingerprint —
+    // distinct (source, fp) partial-agg collapse, per-fp sorted source-set
+    // agg (collect_set bounded by the ~20-source domain) behind a
+    // Checkpoints.barrier: BOTH consumers (the pair expansion and the
+    // per-source distinct-fp counts, derived by re-exploding the sets —
+    // not a second corpus pass) read the one materialized frame, so the
+    // corpus is scanned and grouped exactly once. Everything after is
+    // source-domain-sized; the ≤20-row counts BROADCAST onto the
+    // ≤C(20,2)-row matrix.
+    //
+    // Exactness: integer counts end-to-end; the two ratios divide exact
+    // int64s cast to double in the same op order both engines, rounded at
+    // 6 dp (n_a + n_b - n_shared ≥ n_shared ≥ 1 on every emitted row, so
+    // no zero-divisor guard is needed).
+    GraftQuery(
+      "d63_source_dup_matrix",
+      (s, d) => {
+        val srcSets = graft.operators.Checkpoints.barrier(
+          Tables.documents(s, d)
+            .select(col("source"), fingerprint(col("text")).as("fp"))
+            .distinct()
+            .groupBy(col("fp"))
+            .agg(sort_array(collect_set(col("source"))).as("srcs")))
+        val perSrc = srcSets.select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairs = srcSets
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> struct(a AS src_a, b AS src_b))))""")).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(broadcast(perSrc.select(col("source").as("src_a"),
+            col("n").as("n_a"))), Seq("src_a"))
+          .join(broadcast(perSrc.select(col("source").as("src_b"),
+            col("n").as("n_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            round(col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+              .as("jaccard"),
+            round(col("n_shared").cast("double") /
+              least(col("n_a"), col("n_b")).cast("double"), 6)
+              .as("containment"))
+      },
+      Some(s"""WITH f AS (SELECT DISTINCT source, $sqlFingerprint AS fp
+          FROM documents),
+        ps AS (SELECT source, COUNT(*) AS n FROM f GROUP BY 1),
+        m AS (SELECT a.source AS src_a, b.source AS src_b,
+            COUNT(*) AS n_shared
+          FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT m.src_a, m.src_b, m.n_shared, pa.n AS n_a, pb.n AS n_b,
+          round(CAST(m.n_shared AS DOUBLE)
+            / CAST(pa.n + pb.n - m.n_shared AS DOUBLE), 6) AS jaccard,
+          round(CAST(m.n_shared AS DOUBLE)
+            / CAST(least(pa.n, pb.n) AS DOUBLE), 6) AS containment
+        FROM m JOIN ps pa ON m.src_a = pa.source
+          JOIN ps pb ON m.src_b = pb.source""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

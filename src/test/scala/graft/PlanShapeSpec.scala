@@ -70,7 +70,11 @@ class PlanShapeSpec extends SparkSpec {
       "e18_knn_label_purity",
       // e22 broadcasts the bounded probe sample for both its rankings
       // (the e12 dual-ranking harness over the SQ8-dequantized corpus).
-      "e22_sq8_recall")
+      "e22_sq8_recall",
+      // e23 broadcasts the bounded probe sample for its shared scored
+      // scan (pre-filter truth + post-filter survivors); q45 cross-joins
+      // two single-row witness aggregates (the q41 pattern).
+      "e23_filtered_ann", "q45_join_size_cms")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -615,5 +619,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(e22.contains("WindowGroupLimit") &&
       !e22.contains("CartesianProduct"),
       s"e22 must rank via broadcast probes + group-limited windows:\n$e22")
+  }
+
+  test("round-17 batch 3 holds its scale shapes (q45/d63/e23)") {
+    // q45 CMS join-size estimate: both sketch builds fold onto the fixed
+    // 192-cell domain via the nested-transform explode (Generate) with
+    // map-side partials; the 192-row inner-product join broadcasts;
+    // never a cartesian (the est path must not touch a key-shuffled
+    // fact join — that is what it estimates the cost OF).
+    val q45 = plan("q45_join_size_cms")
+    assert(q45.contains("Generate explode(transform") &&
+      !q45.contains("CartesianProduct"),
+      s"q45 must build fixed-domain sketches via the explode fold:\n$q45")
+    // d63 source-dup matrix: the (fp → source set) frame is checkpointed
+    // (Scan ExistingRDD) and the corpus is scanned ONCE inside the
+    // barrier — the fan-out plan has no FileScan; per-source counts
+    // broadcast onto the matrix.
+    val d63 = plan("d63_source_dup_matrix")
+    assert(!d63.contains("FileScan") && d63.contains("Scan ExistingRDD"),
+      s"d63's consumers must reuse the checkpointed source-set frame:\n$d63")
+    assert(d63.contains("BroadcastHashJoin") &&
+      !d63.contains("CartesianProduct"),
+      s"d63's per-source counts must broadcast:\n$d63")
+    // e23 filtered ANN: ONE lineage — the three ranks (global,
+    // within-subset, post-filter) are three Window nodes stacked over a
+    // single a_id exchange (the second exchange is the final bounded
+    // probes join), and truth/survivors never re-join as separate frames.
+    val e23 = plan("e23_filtered_ann")
+    assert("Exchange hashpartitioning\\(a_id".r.findAllIn(e23).length <= 2,
+      s"e23's three ranks must share one a_id exchange:\n$e23")
+    assert("Window \\[row_number".r.findAllIn(e23).length == 3 &&
+      !e23.contains("CartesianProduct"),
+      s"e23 must fold truth/post/hits in one three-window lineage:\n$e23")
   }
 }

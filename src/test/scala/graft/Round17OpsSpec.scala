@@ -236,6 +236,72 @@ class Round17OpsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_terms") == 40L)
   }
 
+  test("q45 CMS join-size estimate never underestimates (AMS guarantee)") {
+    // CMS cells only ever ADD colliding keys, so the inner-product
+    // estimate is exact + non-negative collision terms: est ≥ exact on
+    // any input. (At width 64 over ~4k users the measured inflation is
+    // ~2-3× — the deliberately-tiny-width visibility choice d54
+    // documents; production sizes width = ⌈e/ε⌉.)
+    val r = query("q45_join_size_cms").run(spark, sfDir).head()
+    val (est, exact) = (r.getAs[Double]("est_pairs"),
+      r.getAs[Double]("exact_pairs"))
+    assert(est >= exact, s"CMS join-size underestimated: $est < $exact")
+    assert(exact > 0.0, "fixture should have same-user view/purchase pairs")
+  }
+
+  test("d63 source-dup matrix on a constructed three-source corpus") {
+    // The sf0.01 fixtures contain no cross-source exact duplicates (the
+    // driver gate pins d63's empty output there; sf0.1 has 8 pairs), so
+    // the matrix math is anchored on a constructed corpus: sources A/B
+    // share 2 docs, A/C and B/C share 1 ("shared one" is in all three);
+    // A holds 4 distinct fingerprints, B 3, C 2.
+    import scala.jdk.CollectionConverters._
+    val docs = Seq(
+      ("srcA", Seq("shared one", "shared two", "only a1", "only a2")),
+      ("srcB", Seq("shared one", "shared two", "only b1")),
+      ("srcC", Seq("shared one", "only c1"))
+    ).flatMap { case (src, texts) => texts.map(src -> _) }
+      .zipWithIndex.map { case ((src, t), i) =>
+        org.apache.spark.sql.Row(i.toLong, t, "en", src, t.length.toLong)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupmx").toString
+    spark.createDataFrame(docs.asJava,
+        Tables.documents(spark, sfDir).schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = query("d63_source_dup_matrix").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("jaccard"),
+          r.getAs[Double]("containment"))).toMap
+    assert(got.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"),
+      ("srcB", "srcC")))
+    val (nAB, jAB, cAB) = got(("srcA", "srcB"))
+    assert(nAB == 2L && math.abs(jAB - 2.0 / 5.0) < 1e-6 &&
+      math.abs(cAB - 2.0 / 3.0) < 1e-6)
+    val (nAC, jAC, cAC) = got(("srcA", "srcC"))
+    assert(nAC == 1L && math.abs(jAC - 1.0 / 5.0) < 1e-6 &&
+      math.abs(cAC - 1.0 / 2.0) < 1e-6)
+    val (nBC, jBC, cBC) = got(("srcB", "srcC"))
+    assert(nBC == 1L && math.abs(jBC - 1.0 / 4.0) < 1e-6 &&
+      math.abs(cBC - 1.0 / 2.0) < 1e-6)
+  }
+
+  test("e23 filtered-ANN output is internally consistent") {
+    // Post-filter survivors are capped by the over-fetch (≤ 3 kept of
+    // the top-12) and recall counts hits WITHIN the survivors:
+    // recall·3 ≤ n_post, both integers. The fixture's many-class labels
+    // make starvation visible (mean recall ~0.4 at sf0.01) — that
+    // spread, not a high score, is the operator's point.
+    val rows = query("e23_filtered_ann").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, rec) = (r.getAs[Long]("n_post"), r.getAs[Double]("recall_at_3"))
+      assert(np >= 0L && np <= 3L, s"n_post out of range: $np")
+      val hits = math.round(rec * 3.0)
+      assert(math.abs(rec * 3.0 - hits) < 1e-9, s"non-integral hits: $rec")
+      assert(hits <= np, s"more hits than survivors: $hits > $np")
+    }
+  }
+
   test("e22 SQ8 ranking survives quantization on the fixtures") {
     // SQ8 is the mildest compression in the recall family (8 bits/dim vs
     // e11's 1 or e13's 0.5): on the 64-dim fixtures its dequantized

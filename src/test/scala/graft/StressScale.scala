@@ -116,7 +116,15 @@ object StressScale {
     "q43_session_stats" -> ("events" -> "event_id"),
     "q44_daily_gapfill" -> ("events" -> "event_id"),
     "d62_zipf_fit" -> ("documents" -> "doc_id"),
-    "e22_sq8_recall" -> ("embeddings" -> "vec_id"))
+    "e22_sq8_recall" -> ("embeddings" -> "vec_id"),
+    // q45: replicas grow both fact sides 8× onto the FIXED 192-cell
+    // sketch domain (map-side partials) — the est path must stay
+    // scan-linear; the exact degree join grows with the user domain
+    // (fixed here). d63's (source, fp) collapse is domain-bounded per
+    // source; e23 is the e12 probe harness (probes ~100, corpus 8×).
+    "q45_join_size_cms" -> ("events" -> "event_id"),
+    "d63_source_dup_matrix" -> ("documents" -> "doc_id"),
+    "e23_filtered_ann" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
