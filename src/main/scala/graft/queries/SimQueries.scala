@@ -1619,5 +1619,65 @@ object SimQueries {
           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id
           LEFT JOIN got g ON p.a_id = g.a_id""")),
+
+    // ---- ANN shard planner: serpentine bucket → shard assignment ---------
+    // The deployment step after an index is built: partition its buckets
+    // (e02's LSH cells here; IVF cells identically) across S = 8 shards
+    // so query fan-out load balances. Hash-sharding ignores bucket-size
+    // skew; the deterministic alternative a planner can replay anywhere:
+    // rank buckets by size, deal them serpentine (boustrophedon — shard
+    // s takes ranks s+1 and 2S−s in each round of 2S), which pairs each
+    // large bucket with a small one. Output is the ≤S-row shard manifest:
+    // bucket count, vector load, and balance = load / ideal (×S/total);
+    // max(balance) near 1 says the fan-out is even, and the WORST-case
+    // serpentine imbalance is bounded by one max-bucket's overhang —
+    // measurable here, structural at any scale.
+    //
+    // Scale shape: bucket sizes are the e02 assignment folded to
+    // ≤ 2^MaxBits rows with map-side partials (one exchange); the
+    // serpentine rank is an unpartitioned window over that BOUNDED frame
+    // (the d24 exemption, ≤65536 rows by construction); the shard rollup
+    // and the total-over-shards window run on ≤ S rows. Nothing after
+    // the first groupBy is corpus-sized.
+    //
+    // Exactness: integer counts and rank arithmetic end-to-end; balance
+    // divides exact int64s cast to double, rounded at 6 dp.
+    GraftQuery(
+      "e24_shard_plan",
+      (s, d) => {
+        val S = 8
+        val bySize = Window.orderBy(col("n_vecs").desc, col("bucket").asc)
+        val ranked = bucketed(s, d)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+          .withColumn("rank", row_number().over(bySize).cast("bigint"))
+          .withColumn("p", (col("rank") - 1) % (2 * S))
+          .withColumn("shard",
+            when(col("p") < S, col("p")).otherwise(lit(2 * S - 1) - col("p"))
+              .cast("bigint"))
+        ranked.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("n_vecs")).as("load"))
+          .withColumn("total",
+            sum(col("load")).over(Window.partitionBy(lit(1))))
+          .select(col("shard"), col("n_buckets"), col("load"),
+            round(col("load").cast("double") * S /
+              col("total").cast("double"), 6).as("balance"))
+      },
+      Some(s"""WITH $sqlBitsCte,
+        sizes AS (SELECT ${sqlSignBucket("embedding", "bits")} AS bucket,
+            COUNT(*) AS n_vecs
+          FROM embeddings, nb WHERE $sqlValidEmb GROUP BY 1),
+        rk AS (SELECT bucket, n_vecs,
+            row_number() OVER (ORDER BY n_vecs DESC, bucket ASC) AS rank
+          FROM sizes),
+        sp AS (SELECT *, (rank - 1) % 16 AS p FROM rk),
+        asg AS (SELECT bucket, n_vecs,
+            CAST(CASE WHEN p < 8 THEN p ELSE 15 - p END AS BIGINT) AS shard
+          FROM sp),
+        sh AS (SELECT shard, COUNT(*) AS n_buckets,
+            CAST(SUM(n_vecs) AS BIGINT) AS load FROM asg GROUP BY 1)
+        SELECT shard, n_buckets, load,
+          round(CAST(load AS DOUBLE) * 8 /
+            CAST(CAST(SUM(load) OVER () AS BIGINT) AS DOUBLE), 6) AS balance
+        FROM sh""")),
   )
 }

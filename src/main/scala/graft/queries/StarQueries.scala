@@ -1800,5 +1800,95 @@ object StarQueries {
             / NULLIF(CAST(exact_p AS DOUBLE), CAST(0 AS DOUBLE)), 6)
             AS rel_err
         FROM est, ex""")),
+
+    // ---- multi-touch attribution (first / last / linear) -----------------
+    // The attribution-model family over q20's interval join: purchases
+    // credit the clicks in their 7-DAY lookback window (the standard
+    // attribution horizon; q20's 1-hour window is too tight to ever see
+    // a multi-click purchase on these fixtures — 7 days yields ~1.4k of
+    // them at sf0.01, so the three models measurably disagree and the
+    // oracle hash actually pins the rank logic), under the three
+    // standard models AT ONCE — first-touch (earliest click takes the
+    // full purchase value), last-touch (latest click takes it), linear
+    // (value splits 1/n across the n clicks) — rolled up by CLICK day,
+    // the report a marketing pipeline publishes. One pass answers "do
+    // the models disagree" (when they do, the click → purchase lag
+    // structure matters and the attribution choice is material).
+    //
+    // Scale shape: candidate pairs come from TemporalJoins.rangeJoin
+    // (bucketed equi-join on (user, hour-bucket) — never an inequality
+    // cross join); the pair count, first-rank, and last-rank are THREE
+    // windows on ONE purchase-id exchange (same-key stacking, the e23
+    // rule); the day rollup is a second, calendar-bounded exchange.
+    //
+    // Exactness: ranks tie on click event_id both directions; credited
+    // values sum as DECIMAL(18,6); the linear share rounds value/n to
+    // 6 dp per pair BEFORE the decimal sum (the e12 recipe — the
+    // division is the same double op both engines); day index is exact
+    // µs floor-division (q42's rule).
+    GraftQuery(
+      "q46_attribution_models",
+      (s, d) => {
+        import graft.operators.TemporalJoins
+        val ev = Tables.events(s, d)
+        val purchases = ev
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        // pid/cid/ctsu are projected to REAL columns before the windows:
+        // partitioning three windows by the struct field l.event_id makes
+        // Catalyst alias the extraction per window (_w0#i) and re-shuffle
+        // each one — as attributes, all three share ONE exchange
+        // (plan-pinned).
+        val byPurchase = Window.partitionBy(col("pid"))
+        val dec6 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+        TemporalJoins.rangeJoin(purchases, clicks, "user_id", "ts_us",
+            "ts_us", lowOffset = -604800000000L, highOffset = 0L)
+          .select(col("l.event_id").as("pid"), col("l.value").as("value"),
+            col("r.event_id").as("cid"), col("r.ts_us").as("ctsu"))
+          .withColumn("n", count(lit(1)).over(byPurchase))
+          .withColumn("rn_f", row_number().over(byPurchase
+            .orderBy(col("ctsu").asc, col("cid").asc)))
+          .withColumn("rn_l", row_number().over(byPurchase
+            .orderBy(col("ctsu").desc, col("cid").desc)))
+          .groupBy(floorDiv(col("ctsu"), 86400000000L).as("click_day"))
+          .agg(
+            coalesce(sum(when(col("rn_f") === 1, dec6(col("value"))))
+              .cast("double"), lit(0.0)).as("first_touch"),
+            coalesce(sum(when(col("rn_l") === 1, dec6(col("value"))))
+              .cast("double"), lit(0.0)).as("last_touch"),
+            sum(round(col("value") / col("n").cast("double"), 6)
+              .cast("decimal(18,6)")).cast("double").as("linear_touch"),
+            count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+            value FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+          WHERE event_type = 'click'),
+        pr AS (SELECT p.event_id AS pid, p.value, c.event_id AS cid,
+            c.tsu AS ctsu
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.tsu BETWEEN p.tsu - 604800000000 AND p.tsu),
+        w AS (SELECT *, COUNT(*) OVER (PARTITION BY pid) AS n,
+            row_number() OVER (PARTITION BY pid
+              ORDER BY ctsu ASC, cid ASC) AS rn_f,
+            row_number() OVER (PARTITION BY pid
+              ORDER BY ctsu DESC, cid DESC) AS rn_l
+          FROM pr)
+        SELECT ctsu // 86400000000 AS click_day,
+          COALESCE(CAST(SUM(CASE WHEN rn_f = 1
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+            AS first_touch,
+          COALESCE(CAST(SUM(CASE WHEN rn_l = 1
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+            AS last_touch,
+          CAST(SUM(CAST(round(value / CAST(n AS DOUBLE), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS linear_touch,
+          COUNT(*) AS n_pairs
+        FROM w GROUP BY 1""")),
   )
 }

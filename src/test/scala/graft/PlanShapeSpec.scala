@@ -651,5 +651,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[row_number".r.findAllIn(e23).length == 3 &&
       !e23.contains("CartesianProduct"),
       s"e23 must fold truth/post/hits in one three-window lineage:\n$e23")
+    // q46 attribution: pair count + both ranks are three windows on ONE
+    // purchase-id exchange (pid projected to a real attribute — a
+    // struct-field partition key re-shuffles per window); the candidate
+    // join is the bucketed rangeJoin equi-join, never an inequality
+    // cross join.
+    val q46 = plan("q46_attribution_models")
+    assert("Exchange hashpartitioning\\(pid".r.findAllIn(q46).length == 1,
+      s"q46's three windows must share one purchase-id exchange:\n$q46")
+    assert(!q46.contains("CartesianProduct") &&
+      !q46.contains("BroadcastNestedLoopJoin"),
+      s"q46's lookback join must stay a bucketed equi-join:\n$q46")
+    // e24 shard plan: join-free end to end — one corpus exchange folds
+    // bucket sizes; everything after is bucket-/shard-domain-sized.
+    val e24 = plan("e24_shard_plan")
+    assert(!e24.contains("Join"),
+      s"e24 must plan without any join:\n$e24")
   }
 }

@@ -302,6 +302,49 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q46 attribution models conserve value and measurably diverge") {
+    // Conservation: each attributed purchase credits its value exactly
+    // once under first-touch and once under last-touch, so the two
+    // totals are both equal to the total value of attributed purchases;
+    // linear splits the same value 1/n-wise, so its total matches to
+    // n_pairs × the 6-dp rounding quantum. Divergence: with the 7-day
+    // lookback the fixtures have >1k multi-click purchases, so at least
+    // one day must credit first and last differently — if every day
+    // agrees, the rank logic degenerated.
+    val rows = query("q46_attribution_models").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def tot(c: String) = rows.map(_.getAs[Double](c)).sum
+    val (f, l, lin) = (tot("first_touch"), tot("last_touch"),
+      tot("linear_touch"))
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(math.abs(f - l) < 1e-6, s"first/last totals drifted: $f vs $l")
+    assert(math.abs(lin - f) <= pairs * 5e-7 + 1e-6,
+      s"linear total outside rounding envelope: $lin vs $f ($pairs pairs)")
+    assert(rows.exists(r => math.abs(r.getAs[Double]("first_touch") -
+      r.getAs[Double]("last_touch")) > 1e-9),
+      "models never diverge — rank logic is degenerate")
+  }
+
+  test("e24 serpentine shard plan is balanced and conserves the corpus") {
+    val rows = query("e24_shard_plan").run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("shard")).sorted.toSeq == (0L to 7L),
+      "all 8 shards must be assigned")
+    val total = rows.map(_.getAs[Long]("load")).sum
+    val corpus = Tables.validEmbeddings(spark, sfDir).count()
+    assert(total == corpus, s"shard loads lost vectors: $total != $corpus")
+    // serpentine near-balance: measured 0.96-1.07 at sf0.01; a broken
+    // deal (e.g. plain modulo on sorted ranks) skews the first shard
+    // toward the big buckets and lands well outside this band
+    rows.foreach { r =>
+      val b = r.getAs[Double]("balance")
+      assert(b > 0.5 && b < 1.5,
+        s"shard ${r.getAs[Long]("shard")} balance $b outside [0.5, 1.5]")
+    }
+    // bucket counts differ by at most one (the serpentine deal property)
+    val nb = rows.map(_.getAs[Long]("n_buckets"))
+    assert(nb.max - nb.min <= 1L, s"bucket deal uneven: ${nb.toSeq}")
+  }
+
   test("e22 SQ8 ranking survives quantization on the fixtures") {
     // SQ8 is the mildest compression in the recall family (8 bits/dim vs
     // e11's 1 or e13's 0.5): on the 64-dim fixtures its dequantized

@@ -124,7 +124,13 @@ object StressScale {
     // source; e23 is the e12 probe harness (probes ~100, corpus 8×).
     "q45_join_size_cms" -> ("events" -> "event_id"),
     "d63_source_dup_matrix" -> ("documents" -> "doc_id"),
-    "e23_filtered_ann" -> ("embeddings" -> "vec_id"))
+    "e23_filtered_ann" -> ("embeddings" -> "vec_id"),
+    // q46: replicas shift event_id on fixed user/ts domains, so every
+    // purchase's lookback window holds 8× the clicks — PAIR rows grow
+    // ~64× (output-linear, the d59 rule). e24: 8× vectors over the same
+    // bucket domain — the size agg absorbs everything map-side.
+    "q46_attribution_models" -> ("events" -> "event_id"),
+    "e24_shard_plan" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
