@@ -365,5 +365,55 @@ object MediaQueries {
             n_captions >= 2 AS multi_caption
           FROM g WHERE n_media >= 2"""
       }),
+
+    // ---- shared frames across videos (intro/outro boilerplate) -----------
+    // The video-corpus analog of d22's chunk dedup: a FRAME key that
+    // appears in ≥2 distinct videos is recycled footage — intros, outros,
+    // station logos, stock b-roll — the segments a video trainer dedups
+    // or masks rather than learning five thousand times. Per shared key:
+    // how many videos carry it and how many frame instances exist. The
+    // key is the first 16 bits of the per-frame stub digest
+    // (md5(text || ':' || frame_idx) — the same deterministic codec seam
+    // every m-query uses; a real pipeline plugs a perceptual frame hash
+    // into exactly this slot).
+    //
+    // Scale shape: videos explode into ≤16 frames each (the decode
+    // stub's n_frames bound; real sampling is m02's stride); then the
+    // m09 rule — (frame_key, media_id) partial-agg collapse FIRST, so a
+    // boilerplate key shared by millions of videos never feeds a
+    // count(DISTINCT) expand or a window; the key rollup sees one row
+    // per (key, video). Output is bounded by the 2^16 key domain.
+    GraftQuery(
+      "m10_shared_frames",
+      (s, d) => {
+        val v = Tables.documents(s, d)
+          .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id").as("media_id"), col("text"),
+            (lit(1) + pmod(expr("cast(conv(substr(md5(text), 17, 2), 16, 10) as int)"),
+              lit(16))).as("n_frames"))
+          .withColumn("fi", explode(sequence(lit(0), col("n_frames") - 1)))
+          .select(col("media_id"),
+            substring(md5(concat(col("text"), lit(":"),
+              col("fi").cast("string"))), 1, 4).as("frame_key"))
+        v.groupBy(col("frame_key"), col("media_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("frame_key"))
+          .agg(count(lit(1)).as("n_videos"), sum(col("c")).as("n_frames"))
+          .filter(col("n_videos") >= 2)
+      },
+      Some(s"""WITH v AS (SELECT doc_id AS media_id, text,
+            CAST(1 + (${hexByte("md5(text)", 8)} % 16) AS INT) AS n_frames
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 2),
+        fr AS (SELECT media_id, text,
+            unnest(range(0, n_frames)) AS fi FROM v),
+        k AS (SELECT media_id,
+            substr(md5(text || ':' || fi), 1, 4) AS frame_key FROM fr),
+        pm AS (SELECT frame_key, media_id, COUNT(*) AS c FROM k
+          GROUP BY 1, 2),
+        g AS (SELECT frame_key, CAST(COUNT(*) AS BIGINT) AS n_videos,
+            CAST(SUM(c) AS BIGINT) AS n_frames FROM pm GROUP BY 1)
+        SELECT frame_key, n_videos, n_frames FROM g
+        WHERE n_videos >= 2""")),
   )
 }

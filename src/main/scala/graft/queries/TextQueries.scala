@@ -2903,6 +2903,89 @@ object TextQueries {
             / CAST(least(pa.n, pb.n) AS DOUBLE), 6) AS containment
         FROM m JOIN ps pa ON m.src_a = pa.source
           JOIN ps pb ON m.src_b = pb.source""")),
+
+    // ---- quality-score drift between snapshots (PSI) ---------------------
+    // The production-ML distribution monitor (population stability index)
+    // over the corpus quality signal: bin d03's quality score into 10
+    // fixed-width bins, compare the prior dump's bin shares p against the
+    // new dump's q (d23's snapshot split), PSI = Σ (p−q)·ln(p/q). The
+    // standard read: <0.1 stable, 0.1–0.25 drifting, >0.25 the scorer or
+    // the crawl changed — the alarm that fires BEFORE a bad dump trains.
+    // Per-bin terms ship alongside the total so the drifted bins are
+    // visible, not just the scalar.
+    //
+    // Scale shape: one narrow scan (quality + snapshot tag are per-row
+    // arithmetic) → ONE map-side-combinable conditional-count aggregate
+    // onto the ≤10-bin domain → share/term math and the PSI-total window
+    // on ≤10 rows. Fixed bin EDGES (not quantiles) are what make the
+    // sketch mergeable across a 100 TB fleet and comparable across
+    // dumps.
+    //
+    // Exactness: bin = floor(q·10) clamped to 9 on identical doubles;
+    // shares are exact-int divisions (same op order); ε = 1e-6 clamps
+    // empty bins in BOTH engines (the PSI zero-guard); ln rounds to 6 dp
+    // (the d32 rule); per-bin terms round to 6 dp and the total sums
+    // them as DECIMAL(18,6) over the bin-ordered window (order-free).
+    GraftQuery(
+      "d64_quality_psi",
+      (s, d) => {
+        val q = Tables.documents(s, d)
+          .select(snapOf.as("snap"), qualityScore(col("text")).as("q"))
+          .filter(col("snap").isNotNull && col("q").isNotNull)
+          .select((col("snap") % 2).as("snap"),
+            least(lit(9L), floor(col("q") * 10.0).cast("long")).as("bin"))
+        val c = q.groupBy(col("bin"))
+          .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n_prior"),
+            sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n_new"))
+        val shares = c
+          .withColumn("tp", sum(col("n_prior")).over(Window.partitionBy(lit(1))))
+          .withColumn("tn", sum(col("n_new")).over(Window.partitionBy(lit(1))))
+          .withColumn("p", greatest(col("n_prior").cast("double") /
+            col("tp").cast("double"), lit(1e-6)))
+          .withColumn("qq", greatest(col("n_new").cast("double") /
+            col("tn").cast("double"), lit(1e-6)))
+          .withColumn("term",
+            round((col("p") - col("qq")) * round(log(col("p") / col("qq")), 6), 6))
+        shares
+          .withColumn("psi_total",
+            sum(col("term").cast("decimal(18,6)"))
+              .over(Window.partitionBy(lit(1))).cast("double"))
+          .select(col("bin"), col("n_prior"), col("n_new"),
+            col("p"), col("qq").as("q"), col("term").as("psi_term"),
+            col("psi_total"))
+      },
+      Some(s"""WITH base AS (SELECT $sqlSnap AS snap0, text FROM documents),
+        sc AS (SELECT snap0 % 2 AS snap,
+            greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) END)) AS q
+          FROM base WHERE snap0 IS NOT NULL AND text IS NOT NULL),
+        b AS (SELECT snap,
+            least(9, CAST(floor(q * 10.0) AS BIGINT)) AS bin FROM sc),
+        c AS (SELECT bin,
+            CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_prior,
+            CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_new
+          FROM b GROUP BY 1),
+        sh AS (SELECT bin, n_prior, n_new,
+            greatest(CAST(n_prior AS DOUBLE)
+              / CAST(CAST(SUM(n_prior) OVER () AS BIGINT) AS DOUBLE), 1e-6)
+              AS p,
+            greatest(CAST(n_new AS DOUBLE)
+              / CAST(CAST(SUM(n_new) OVER () AS BIGINT) AS DOUBLE), 1e-6)
+              AS qq
+          FROM c),
+        t AS (SELECT bin, n_prior, n_new, p, qq,
+            round((p - qq) * round(ln(p / qq), 6), 6) AS term FROM sh)
+        SELECT bin, n_prior, n_new, p, qq AS q, term AS psi_term,
+          CAST(CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER ()
+            AS DECIMAL(38,6)) AS DOUBLE) AS psi_total
+        FROM t""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

@@ -667,5 +667,18 @@ class PlanShapeSpec extends SparkSpec {
     val e24 = plan("e24_shard_plan")
     assert(!e24.contains("Join"),
       s"e24 must plan without any join:\n$e24")
+    // d64 PSI: one conditional-count exchange onto the ≤10-bin domain,
+    // then single-partition windows over those rows — two exchanges,
+    // no join, nothing corpus-sized past the scan.
+    val d64 = plan("d64_quality_psi")
+    assert(shuffles(d64) <= 3 && !d64.contains("Join"),
+      s"d64 must fold PSI through the bounded bin domain:\n$d64")
+    // m10 shared frames: the m09 two-groupBy rule — (key, media)
+    // partial collapse BEFORE the key rollup, never a count(DISTINCT)
+    // expand; join-free.
+    val m10 = plan("m10_shared_frames")
+    assert(shuffles(m10) <= 2 && !m10.contains("Join") &&
+      !m10.contains("expand"),
+      s"m10 must collapse (key, video) before the key rollup:\n$m10")
   }
 }

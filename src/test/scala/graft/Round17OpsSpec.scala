@@ -345,6 +345,35 @@ class Round17OpsSpec extends SparkSpec {
     assert(nb.max - nb.min <= 1L, s"bucket deal uneven: ${nb.toSeq}")
   }
 
+  test("d64 PSI is non-negative per bin and totals consistently") {
+    // Every PSI term (p−q)·ln(p/q) is ≥ 0 (same sign both factors; the
+    // 6-dp ln rounding can only drive a term to exactly 0, never flip
+    // it), and the published total must equal the sum of the terms. The
+    // fixture's two pseudo-snapshots come from the same generator, so
+    // the corpus should read STABLE (< 0.1 — measured 0.066): a big PSI
+    // here means the binning or share math broke, not the data.
+    val rows = query("d64_quality_psi").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val terms = rows.map(_.getAs[Double]("psi_term"))
+    terms.foreach(t => assert(t >= 0.0, s"negative PSI term $t"))
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(rows.forall(_.getAs[Double]("psi_total") == total))
+    assert(math.abs(terms.sum - total) < 1e-9,
+      s"psi_total $total != term sum ${terms.sum}")
+    assert(total < 0.1, s"same-generator snapshots should be stable: $total")
+    rows.foreach(r => assert((0L to 9L).contains(r.getAs[Long]("bin"))))
+  }
+
+  test("m10 shared-frame keys are cross-video and conserve counts") {
+    val rows = query("m10_shared_frames").run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture should yield 16-bit frame-key collisions")
+    rows.foreach { r =>
+      val (nv, nf) = (r.getAs[Long]("n_videos"), r.getAs[Long]("n_frames"))
+      assert(nv >= 2L, "emitted key must span >= 2 videos")
+      assert(nf >= nv, "frame instances can't undercount videos")
+    }
+  }
+
   test("e22 SQ8 ranking survives quantization on the fixtures") {
     // SQ8 is the mildest compression in the recall family (8 bits/dim vs
     // e11's 1 or e13's 0.5): on the 64-dim fixtures its dequantized

@@ -130,7 +130,12 @@ object StressScale {
     // ~64× (output-linear, the d59 rule). e24: 8× vectors over the same
     // bucket domain — the size agg absorbs everything map-side.
     "q46_attribution_models" -> ("events" -> "event_id"),
-    "e24_shard_plan" -> ("embeddings" -> "vec_id"))
+    "e24_shard_plan" -> ("embeddings" -> "vec_id"),
+    // d64: one scan into the fixed 10-bin domain — pure scan linearity.
+    // m10: replicas duplicate text, so the frame-key domain is fixed;
+    // growth is the bounded frame explode into the partial collapse.
+    "d64_quality_psi" -> ("documents" -> "doc_id"),
+    "m10_shared_frames" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
