@@ -88,4 +88,29 @@ object Sketches {
   def bloomBits(df: DataFrame, fpCol: String): DataFrame =
     df.select(explode(expr(bloomPositions(fpCol))).as("pos"))
       .groupBy(col("pos")).agg(count(lit(1)).as("n_set"))
+
+  /** Fixed-edge quality-histogram bins (d64's PSI substrate). */
+  val QualityBins = 10
+
+  /** The bin of a [0,1] score under the FIXED-edge rule — one definition
+    * shared by d64's PSI (both snapshots) and the streaming histogram
+    * maintenance below; a drifted copy of the clamp or the edge count
+    * would silently decouple the monitored distribution from the
+    * baseline it's compared against. */
+  def qualityBin(q: Column): Column =
+    least(lit(QualityBins - 1L), floor(q * QualityBins).cast("long"))
+
+  /** Quality-score histogram over `qCol`: ≤ [[QualityBins]] rows
+    * whatever the input size. Fourth member of the bounded-state sketch
+    * family (sum-merge, like [[cmsCells]]): a pure groupBy-count onto
+    * the fixed bin domain, so batch map-side partials and Structured
+    * Streaming state both hold ≤ 10 rows however long the stream runs —
+    * the live side of a PSI monitor maintains exactly this frame and
+    * compares it against a frozen baseline histogram. FIXED edges (not
+    * quantiles) are what make it mergeable across a fleet and
+    * comparable across dumps. Null scores carry no signal and drop. */
+  def qualityHistogram(df: DataFrame, qCol: String): DataFrame =
+    df.filter(col(qCol).isNotNull)
+      .groupBy(qualityBin(col(qCol)).as("bin"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -2933,7 +2933,7 @@ object TextQueries {
           .select(snapOf.as("snap"), qualityScore(col("text")).as("q"))
           .filter(col("snap").isNotNull && col("q").isNotNull)
           .select((col("snap") % 2).as("snap"),
-            least(lit(9L), floor(col("q") * 10.0).cast("long")).as("bin"))
+            graft.operators.Sketches.qualityBin(col("q")).as("bin"))
         val c = q.groupBy(col("bin"))
           .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n_prior"),
             sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n_new"))

@@ -249,6 +249,43 @@ class PropertySpec extends SparkSpec {
     dir
   }
 
+  /** events.parquet dir from (event_id, user_id, event_type) rows —
+    * fixed ts/value/props (q45's sketch math only reads user_id/type). */
+  private def eventsDir(rows: Seq[(Long, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prop-events").toString
+    rows.map { case (id, uid, t) =>
+        (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), uid, t,
+          1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("property: CMS join-size estimate (q45) never underestimates and " +
+      "is 4-linear under duplicating both sides") {
+    // The AMS/CMS inner-product laws: collisions only ADD, so
+    // est ≥ exact on ANY input; and duplicating both join sides doubles
+    // every degree, hence every cell count, hence every per-row inner
+    // product — est and exact both ×4 exactly (the mergeability of the
+    // estimate itself).
+    val userGen = Gen.chooseNum(1L, 8L)
+    val typeGen = Gen.frequency(3 -> Gen.const("view"),
+      2 -> Gen.const("purchase"), 1 -> Gen.const("click"))
+    val rows = samples(Gen.zip(userGen, typeGen), 60).zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t) }
+    val q = graft.queries.GraftQuery.all.find(_.name == "q45_join_size_cms").get
+    val one = q.run(spark, eventsDir(rows)).head()
+    val (est1, ex1) = (one.getAs[Double]("est_pairs"),
+      one.getAs[Double]("exact_pairs"))
+    assert(est1 >= ex1, s"CMS join-size underestimated: $est1 < $ex1")
+    val dup = rows ++ rows.map { case (i, u, t) => (i + 100000L, u, t) }
+    val two = q.run(spark, eventsDir(dup)).head()
+    assert(two.getAs[Double]("est_pairs") == 4 * est1 &&
+      two.getAs[Double]("exact_pairs") == 4 * ex1,
+      s"duplication broke 4-linearity: got (${two.getAs[Double]("est_pairs")}, " +
+        s"${two.getAs[Double]("exact_pairs")}), want (${4 * est1}, ${4 * ex1})")
+  }
+
   test("property: native simhashMd5Bits is value-identical to the SQL " +
       "word-fold formulation on random token lists") {
     // The d50/d51 signature is a native expression; this pins it to the

@@ -198,6 +198,38 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality histogram: maintenance equals the batch build, " +
+      "state bounded by the 10-bin domain") {
+    // d64's PSI substrate (Sketches.qualityHistogram) as a streaming
+    // aggregation — the fourth bounded-state sketch next to HLL
+    // (max-merge), CMS (sum-merge), and Bloom (union): a pure
+    // groupBy-count onto the FIXED bin domain, so state is ≤10 rows
+    // however long the ingest runs. This is the live half of a PSI
+    // monitor: maintain this frame on the stream, compare against a
+    // frozen baseline histogram with d64's share/term math.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Double]
+    val hist = graft.operators.Sketches.qualityHistogram(
+      in.toDF().toDF("q"), "q")
+    val q = hist.writeStream.format("memory").queryName("qhist")
+      .outputMode("complete").start()
+    try {
+      in.addData(0.05, 0.12, 0.95, 1.0) // 1.0 must clamp into bin 9
+      q.processAllAvailable()
+      in.addData(0.12, 0.55)
+      q.processAllAvailable()
+      val streamed = spark.table("qhist").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.qualityHistogram(
+        Seq(0.05, 0.12, 0.95, 1.0, 0.12, 0.55).toDF("q"), "q")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed histogram diverges from the batch build")
+      assert(streamed.size <= graft.operators.Sketches.QualityBins)
+      assert(streamed.exists { case (bin, n) => bin == 9L && n == 2L },
+        "q = 1.0 must clamp into the top bin alongside 0.95")
+    } finally q.stop()
+  }
+
   test("streaming Bloom bit table: maintenance equals the batch build, " +
       "state bounded at m, re-sent fingerprints absorbed") {
     // d56's substrate (Sketches.bloomBits) as a streaming aggregation —
