@@ -1679,5 +1679,85 @@ object SimQueries {
           round(CAST(load AS DOUBLE) * 8 /
             CAST(CAST(SUM(load) OVER () AS BIGINT) AS DOUBLE), 6) AS balance
         FROM sh""")),
+
+    // ---- two-tier Matryoshka search: prefix coarse → exact rerank --------
+    // The DEPLOYED form of e09's finding (e21's refine tier applied to
+    // the prefix store): rank the corpus by the 16-dim-prefix cosine
+    // (the 4× cheaper coarse tier), keep the top-12 (4× over-fetch),
+    // exact-rerank those 12 by full-dim cosine, and score the final
+    // top-3 against full-dim truth. Read against e09's raw prefix
+    // recall: the gap between them is what the rerank tier BUYS — the
+    // number that justifies (or kills) storing the full vectors behind
+    // a prefix index.
+    //
+    // Scale shape: e23's one-lineage trick — rn_full (truth), rn_coarse
+    // (prefix rank), and rn_rr (full-cosine rank among the coarse
+    // survivors, via the candidates-first ordering so no mid-lineage
+    // filter is needed) are three windows on ONE a_id exchange, folded
+    // by one aggregate. The coarse tier reads 16 of 64 dims; at scale
+    // that is the 4× I/O cut e09 documents, and the rerank touches 12
+    // full vectors per probe.
+    //
+    // Exactness: both cosines are the module's strict fold; every rank
+    // ties on b_id; recall divides by the literal 3.
+    GraftQuery(
+      "e25_matryoshka_rerank",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = e.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("xs").as("a_emb"))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        val agg = e.select(col("vec_id").as("b_id"), col("xs").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_full", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("cos_pre", cosine(
+            slice(col("a_emb"), 1, TruncDims), slice(col("b_emb"), 1, TruncDims)))
+          .withColumn("rn_full", row_number().over(rankW(col("cos_full"))))
+          .withColumn("rn_coarse", row_number().over(rankW(col("cos_pre"))))
+          .withColumn("rn_rr", row_number().over(
+            Window.partitionBy(col("a_id")).orderBy(
+              when(col("rn_coarse") <= 12, lit(0)).otherwise(lit(1)).asc,
+              col("cos_full").desc, col("b_id").asc)))
+          .withColumn("is_final", col("rn_rr") <= 3 && col("rn_coarse") <= 12)
+          .groupBy(col("a_id"))
+          .agg(sum(when(col("is_final") && col("rn_full") <= 3, 1L)
+            .otherwise(0L)).as("n_hit"))
+        probes.select(col("a_id")).join(agg, Seq("a_id"), "left")
+          .select(col("a_id"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        scored AS (SELECT p.a_id, c.vec_id AS b_id,
+            ${sqlCos("p.ae", "c.e")} AS cos_full,
+            ${sqlCos(s"p.ae[1:$TruncDims]", s"c.e[1:$TruncDims]")} AS cos_pre
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        rk AS (SELECT *,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY cos_full DESC, b_id ASC) AS rn_full,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY cos_pre DESC, b_id ASC) AS rn_coarse
+          FROM scored),
+        rr AS (SELECT *,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY CASE WHEN rn_coarse <= 12 THEN 0 ELSE 1 END ASC,
+                cos_full DESC, b_id ASC) AS rn_rr
+          FROM rk),
+        hits AS (SELECT a_id, CAST(SUM(CASE WHEN rn_rr <= 3
+              AND rn_coarse <= 12 AND rn_full <= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM rr GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
   )
 }

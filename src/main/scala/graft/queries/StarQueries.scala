@@ -1890,5 +1890,57 @@ object StarQueries {
             AS DECIMAL(18,6))) AS DOUBLE) AS linear_touch,
           COUNT(*) AS n_pairs
         FROM w GROUP BY 1""")),
+
+    // ---- DAU / WAU stickiness (rolling distinct-user engagement) ---------
+    // The engagement ratio product teams track: per day, distinct daily
+    // actives over distinct trailing-7-day actives. COUNT(DISTINCT) over
+    // a sliding window doesn't exist as a window function in either
+    // engine; the exact distributed form is COVERAGE EXPANSION — each
+    // active (user, day) covers days d..d+6, dedup (user, covered_day),
+    // count per covered day. That's a ≤7× blowup of the (user, day)
+    // ACTIVITY table (already collapsed from raw events, users×days ≪
+    // events), not of the fact table — the trick that keeps rolling
+    // distinct counts exact at scale. (The sketch alternative is q41's
+    // HLL register merge over day windows; this is the exact side.)
+    //
+    // Scale shape: events collapse to distinct (user, day) with map-side
+    // partials BEHIND a Checkpoints.barrier — both consumers (DAU and
+    // the coverage expansion) read the materialized activity table, so
+    // the fact table is scanned once (the q44 rule); the ×7 coverage
+    // explode + dedup + count are all activity-table-sized; DAU joins
+    // WAU on the calendar-bounded day key. The stickiness ratio divides
+    // exact int64s, 6-dp rounded.
+    GraftQuery(
+      "q47_dau_wau",
+      (s, d) => {
+        val active = graft.operators.Checkpoints.barrier(
+          Tables.events(s, d)
+            .filter(col("user_id").isNotNull)
+            .select(col("user_id"),
+              floorDiv(col("ts"), 86400L * 1000 * 1000 * 1000).as("day"))
+            .distinct())
+        val dau = active.groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"))
+        val wau = active
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 6)
+              .as("stickiness"))
+      },
+      Some("""WITH active AS (SELECT DISTINCT user_id,
+            epoch_ns(ts) // 86400000000000 AS day
+          FROM events WHERE user_id IS NOT NULL),
+        dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY 1),
+        cov AS (SELECT DISTINCT user_id,
+            day + unnest(range(0, 7)) AS day FROM active),
+        wau AS (SELECT day, COUNT(*) AS wau FROM cov GROUP BY 1)
+        SELECT d.day, d.dau, w.wau,
+          round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+            AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day""")),
   )
 }

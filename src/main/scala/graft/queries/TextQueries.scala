@@ -2986,6 +2986,54 @@ object TextQueries {
           CAST(CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER ()
             AS DECIMAL(38,6)) AS DOUBLE) AS psi_total
         FROM t""")),
+
+    // ---- token blocklist filter (the C4 badwords gate) -------------------
+    // The rule d14/d48's signal gates don't have: an explicit TERM
+    // blocklist — C4 drops any page containing a "List of Dirty, Naughty
+    // …" word; production corpora run the same shape for slurs, spam
+    // markers, and SEO boilerplate. Per doc: blocked-token count, token
+    // rate, and the drop flag (C4's any-hit rule). The demo list is two
+    // classic markers plus one term the fixture vocabulary actually
+    // contains, so the gate visibly fires without gutting the corpus (a
+    // real deployment inlines its curated list the same way — a few
+    // thousand literals is still a broadcast-free constant).
+    //
+    // Scale shape: the d48 envelope — ONE narrow zero-exchange scan
+    // pass; the blocklist is an inlined literal array, so the match is
+    // a codegen'd per-token membership test, no join, no shuffle,
+    // nothing but the scan at any corpus size.
+    //
+    // Exactness: integer counts; the rate divides exact ints as double
+    // in the same op order, 6-dp rounded, with the empty-doc guard
+    // pinned to 0.0 in both engines (ANSI 0/0 would otherwise throw).
+    GraftQuery(
+      "d65_blocklist_filter",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"),
+            size(col("toks")).cast("bigint").as("n_tokens"),
+            expr("""cast(size(filter(toks,
+              t -> array_contains(array('dup', 'casino', 'viagra'), lower(t))))
+              as bigint)""").as("n_blocked"))
+          .withColumn("block_rate",
+            when(col("n_tokens") === 0, lit(0.0))
+              .otherwise(round(col("n_blocked").cast("double") /
+                col("n_tokens").cast("double"), 6)))
+          .withColumn("blocked", (col("n_blocked") > 0).cast("int"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(toks,
+              t -> list_contains(['dup', 'casino', 'viagra'], lower(t))))
+              AS BIGINT) AS n_blocked
+          FROM t)
+        SELECT doc_id, n_tokens, n_blocked,
+          CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(CAST(n_blocked AS DOUBLE)
+              / CAST(n_tokens AS DOUBLE), 6) END AS block_rate,
+          CAST(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END AS INT) AS blocked
+        FROM c""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

@@ -73,8 +73,9 @@ class PlanShapeSpec extends SparkSpec {
       "e22_sq8_recall",
       // e23 broadcasts the bounded probe sample for its shared scored
       // scan (pre-filter truth + post-filter survivors); q45 cross-joins
-      // two single-row witness aggregates (the q41 pattern).
-      "e23_filtered_ann", "q45_join_size_cms")
+      // two single-row witness aggregates (the q41 pattern); e25 is the
+      // e23 harness with a coarse/rerank rank pair.
+      "e23_filtered_ann", "q45_join_size_cms", "e25_matryoshka_rerank")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -680,5 +681,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(m10) <= 2 && !m10.contains("Join") &&
       !m10.contains("expand"),
       s"m10 must collapse (key, video) before the key rollup:\n$m10")
+    // d65 blocklist: the d48 envelope — one narrow ZERO-exchange scan
+    // pass, the membership test inlined as a literal array (no join).
+    val d65 = plan("d65_blocklist_filter")
+    assert(shuffles(d65) == 0 && !d65.contains("Join"),
+      s"d65 must gate in one zero-exchange scan pass:\n$d65")
+    // e25 two-tier rerank: e23's one-lineage shape — three rank windows
+    // on one a_id exchange (the second a_id exchange is the bounded
+    // probes join), never a cartesian.
+    val e25 = plan("e25_matryoshka_rerank")
+    assert("Exchange hashpartitioning\\(a_id".r.findAllIn(e25).length <= 2 &&
+      "Window \\[row_number".r.findAllIn(e25).length == 3 &&
+      !e25.contains("CartesianProduct"),
+      s"e25 must fold coarse/rerank/truth in one three-window lineage:\n$e25")
+    // q47 DAU/WAU: the activity table is checkpointed — no FileScan in
+    // the fan-out plan (one fact scan inside the barrier), and the
+    // DAU↔WAU match is an equi-join on the calendar-bounded day key.
+    val q47 = plan("q47_dau_wau")
+    assert(!q47.contains("FileScan") && q47.contains("Scan ExistingRDD") &&
+      !q47.contains("CartesianProduct"),
+      s"q47's consumers must reuse the checkpointed activity table:\n$q47")
   }
 }

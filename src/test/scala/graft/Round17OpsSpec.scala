@@ -374,6 +374,57 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("d65 blocklist gate: flags are consistent and the gate fires " +
+      "without gutting the corpus") {
+    val rows = query("d65_blocklist_filter").run(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (nb, b, rate) = (r.getAs[Long]("n_blocked"),
+        r.getAs[Int]("blocked"), r.getAs[Double]("block_rate"))
+      assert((b == 1) == (nb > 0), "blocked flag must mirror any-hit")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(nb <= r.getAs[Long]("n_tokens"))
+    }
+    val blocked = rows.count(_.getAs[Int]("blocked") == 1)
+    assert(blocked > 0 && blocked < rows.length / 2,
+      s"demo gate should fire selectively, blocked $blocked of ${rows.length}")
+  }
+
+  test("e25 two-tier rerank beats raw prefix recall (what the tier buys)") {
+    // e09 = prefix top-3 straight; e25 = prefix top-12 then exact
+    // rerank. Same probes, same truth — the rerank must recover
+    // substantially more of the true top-3 (measured 0.227 vs 0.133 at
+    // sf0.001 = 1.7×, and 0.293 vs 0.053 at sf0.01 = 5.5×; floor at
+    // 1.25×, under both).
+    def mean(name: String) = {
+      val rs = query(name).run(spark, sfDir).collect()
+      rs.map(_.getAs[Double]("recall_at_3")).sum / rs.length
+    }
+    val (raw, tiered) = (mean("e09_matryoshka_recall"),
+      mean("e25_matryoshka_rerank"))
+    assert(tiered >= 1.25 * raw,
+      s"rerank tier bought too little: $tiered vs raw prefix $raw")
+  }
+
+  test("q47 DAU/WAU: window containment and ratio bounds hold") {
+    // WAU(day) counts distinct users over [day-6, day] ⊇ the day itself,
+    // so dau <= wau and stickiness ∈ (0, 1]; and WAU must be at least
+    // the MAX single-day DAU inside its window (containment).
+    val rows = query("q47_dau_wau").run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Double]("stickiness")))
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, dau, wau, st) =>
+      assert(dau <= wau, s"day $day: dau $dau > wau $wau")
+      assert(st > 0.0 && st <= 1.0, s"day $day: stickiness $st")
+      val windowMax = (day - 6 to day).flatMap(dauByDay.get)
+      if (windowMax.nonEmpty)
+        assert(wau >= windowMax.max,
+          s"day $day: wau $wau under window max ${windowMax.max}")
+    }
+  }
+
   test("e22 SQ8 ranking survives quantization on the fixtures") {
     // SQ8 is the mildest compression in the recall family (8 bits/dim vs
     // e11's 1 or e13's 0.5): on the 64-dim fixtures its dequantized

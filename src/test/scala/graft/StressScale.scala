@@ -135,7 +135,14 @@ object StressScale {
     // m10: replicas duplicate text, so the frame-key domain is fixed;
     // growth is the bounded frame explode into the partial collapse.
     "d64_quality_psi" -> ("documents" -> "doc_id"),
-    "m10_shared_frames" -> ("documents" -> "doc_id"))
+    "m10_shared_frames" -> ("documents" -> "doc_id"),
+    // d65 is a d48-shaped zero-exchange scan. e25 is the e12/e23 probe
+    // harness (probes fixed, corpus 8×). q47: replicas shift event_id
+    // but keep user/ts, so the distinct (user, day) activity table — and
+    // everything after the barrier — is FIXED; only the scan grows.
+    "d65_blocklist_filter" -> ("documents" -> "doc_id"),
+    "e25_matryoshka_rerank" -> ("embeddings" -> "vec_id"),
+    "q47_dau_wau" -> ("events" -> "event_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
