@@ -1759,5 +1759,100 @@ object SimQueries {
         SELECT p.a_id,
           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id""")),
+
+    // ---- over-fetch tuning sweep for the two-tier search -----------------
+    // e25 fixes the over-fetch at 12 (4×); this sweeps K ∈ {3, 6, 12,
+    // 24} and reports rerank recall@3 per probe AT EACH K — the third
+    // member of the operating-point sweep family (e17 nprobe, d59
+    // bands×rows): the saturation curve that prices "how many full
+    // vectors must the rerank tier touch" before deploying a prefix
+    // index. Nested candidate sets (K ⊂ K') mean recall is monotone in
+    // K by construction — asserted, not assumed.
+    //
+    // Scale shape: the e25 lineage with one rerank-rank window PER sweep
+    // point — six row_number windows total, ALL on the single a_id
+    // exchange (the e23 stacking rule); the sweep fans out as a literal
+    // 4-struct explode of the per-probe aggregate (d58's unpivot — no
+    // second scan per K, no join). The corpus is scored ONCE for the
+    // whole curve.
+    //
+    // Exactness: identical rank/tie rules at every K; recall divides by
+    // the literal 3.
+    GraftQuery(
+      "e26_overfetch_sweep",
+      (s, d) => {
+        val ks = Seq(3, 6, 12, 24)
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = e.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("xs").as("a_emb"))
+        def rankW(c: Column) = Window.partitionBy(col("a_id"))
+          .orderBy(c.desc, col("b_id").asc)
+        var scored = e.select(col("vec_id").as("b_id"), col("xs").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_full", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("cos_pre", cosine(
+            slice(col("a_emb"), 1, TruncDims), slice(col("b_emb"), 1, TruncDims)))
+          .withColumn("rn_full", row_number().over(rankW(col("cos_full"))))
+          .withColumn("rn_coarse", row_number().over(rankW(col("cos_pre"))))
+        ks.foreach { k =>
+          scored = scored.withColumn(s"rn_rr_$k", row_number().over(
+            Window.partitionBy(col("a_id")).orderBy(
+              when(col("rn_coarse") <= k, lit(0)).otherwise(lit(1)).asc,
+              col("cos_full").desc, col("b_id").asc)))
+        }
+        val hitCols = ks.map { k =>
+          sum(when(col(s"rn_rr_$k") <= 3 && col("rn_coarse") <= k &&
+            col("rn_full") <= 3, 1L).otherwise(0L)).as(s"h$k")
+        }
+        val agg = scored.groupBy(col("a_id"))
+          .agg(hitCols.head, hitCols.tail: _*)
+        probes.select(col("a_id")).join(agg, Seq("a_id"), "left")
+          .select(col("a_id"), explode(expr(
+            s"""array(${ks.map(k =>
+              s"struct(${k}L AS k, coalesce(h$k, 0L) AS nh)").mkString(", ")})"""))
+            .as("s"))
+          .select(col("a_id"), col("s.k").as("k_overfetch"),
+            (col("s.nh").cast("double") / lit(3.0)).as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        scored AS (SELECT p.a_id, c.vec_id AS b_id,
+            ${sqlCos("p.ae", "c.e")} AS cos_full,
+            ${sqlCos(s"p.ae[1:$TruncDims]", s"c.e[1:$TruncDims]")} AS cos_pre
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        rk AS (SELECT *,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY cos_full DESC, b_id ASC) AS rn_full,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY cos_pre DESC, b_id ASC) AS rn_coarse
+          FROM scored),
+        rr AS (SELECT *,
+            ${Seq(3, 6, 12, 24).map(k =>
+              s"""row_number() OVER (PARTITION BY a_id
+                ORDER BY CASE WHEN rn_coarse <= $k THEN 0 ELSE 1 END ASC,
+                  cos_full DESC, b_id ASC) AS rn_rr_$k""").mkString(",\n            ")}
+          FROM rk),
+        hits AS (SELECT a_id,
+            ${Seq(3, 6, 12, 24).map(k =>
+              s"""CAST(SUM(CASE WHEN rn_rr_$k <= 3 AND rn_coarse <= $k
+                AND rn_full <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h$k""")
+              .mkString(",\n            ")}
+          FROM rr GROUP BY 1),
+        m AS (SELECT p.a_id,
+            ${Seq(3, 6, 12, 24).map(k =>
+              s"coalesce(h.h$k, 0) AS h$k").mkString(", ")}
+          FROM probes p LEFT JOIN hits h ON p.a_id = h.a_id)
+        SELECT a_id, u.k AS k_overfetch,
+          CAST(u.nh AS DOUBLE) / 3.0 AS recall_at_3
+        FROM m, LATERAL unnest([${Seq(3, 6, 12, 24).map(k =>
+          s"{'k': CAST($k AS BIGINT), 'nh': h$k}").mkString(", ")}])
+          AS t(u)""")),
   )
 }

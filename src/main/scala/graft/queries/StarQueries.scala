@@ -1942,5 +1942,82 @@ object StarQueries {
           round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
             AS stickiness
         FROM dau d JOIN wau w ON d.day = w.day""")),
+
+    // ---- session-scoped conversion funnel --------------------------------
+    // q24 measures the funnel per USER over all time; the sharper product
+    // question is per SESSION — did the view convert within the same
+    // visit? Composes q43's session identity (gap flag → running-sum
+    // index) with q24's chained conditional-min funnel, rescoped to
+    // (user, session): first view, first click at-or-after it, first
+    // purchase at-or-after that, all inside one session. Output: sessions
+    // per funnel stage — the conversion report whose q24 ratio tells you
+    // how much conversion happens across visits vs within one.
+    //
+    // Scale shape: STILL one user_id exchange — the two session windows
+    // sort by (ts, event_id); the three funnel mins partition by
+    // (user_id, session_idx), which hash-partitioning on user_id already
+    // clusters (the q43 partial-key rule), so Catalyst adds sorts, never
+    // a second shuffle. The stage rollup is a 4-value-key partial agg.
+    // NULL chaining orders the funnel exactly as q24 documents.
+    GraftQuery(
+      "q48_session_funnel",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val bySession = Window.partitionBy(col("user_id"), col("session_idx"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 1800000000000L, 1L).otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("v_ts",
+            min(when(col("event_type") === "view", col("ts")))
+              .over(bySession))
+          .withColumn("c_ts",
+            min(when(col("event_type") === "click" &&
+              col("ts") >= col("v_ts"), col("ts"))).over(bySession))
+          .withColumn("p_ts",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") >= col("c_ts"), col("ts"))).over(bySession))
+          .select(col("user_id"), col("session_idx"),
+            when(col("p_ts").isNotNull, 3L)
+              .when(col("c_ts").isNotNull, 2L)
+              .when(col("v_ts").isNotNull, 1L)
+              .otherwise(0L).as("stage"))
+          .distinct()
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_sessions"))
+      },
+      Some("""WITH w AS (SELECT user_id, event_id, event_type,
+            epoch_ns(ts) AS ts_ns,
+            lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+            OR ts_ns - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS ns
+          FROM w),
+        sx AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+            ORDER BY ts_ns ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f),
+        w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END)
+            OVER (PARTITION BY user_id, sid) AS v_ts FROM sx),
+        w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+              AND ts_ns >= v_ts THEN ts_ns END)
+            OVER (PARTITION BY user_id, sid) AS c_ts FROM w1),
+        w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+              AND ts_ns >= c_ts THEN ts_ns END)
+            OVER (PARTITION BY user_id, sid) AS p_ts FROM w2),
+        st AS (SELECT DISTINCT user_id, sid,
+            CASE WHEN p_ts IS NOT NULL THEN 3
+              WHEN c_ts IS NOT NULL THEN 2
+              WHEN v_ts IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+          FROM w3)
+        SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_sessions
+        FROM st GROUP BY stage""")),
   )
 }

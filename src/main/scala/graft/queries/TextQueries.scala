@@ -3034,6 +3034,76 @@ object TextQueries {
               / CAST(n_tokens AS DOUBLE), 6) END AS block_rate,
           CAST(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END AS INT) AS blocked
         FROM c""")),
+
+    // ---- dedup-aware token budget per source (effective tokens) ----------
+    // The mixture-budget input d19/d36 implicitly assume but nothing
+    // reports: raw token counts OVERSTATE a duplicated source's
+    // contribution — what matters for mixture weights is tokens on the
+    // docs dedup KEEPS. Per source, via d53's representative election
+    // (min-id over the md5 LSH band buckets): raw docs/tokens, kept
+    // docs/tokens, and the inflation ratio raw/kept — a source at 1.5×
+    // is a third phantom mass, and two sources with equal raw budgets
+    // can differ materially after dedup (rep election is corpus-GLOBAL,
+    // so a mirror source can keep ~nothing).
+    //
+    // Scale shape: d53's plan verbatim (bucket window-min on the band
+    // key, per-doc min over T tables, linear output) plus one NARROW
+    // second scan (doc_id, source, token count — no shingles) left-
+    // joined to the rep table and collapsed onto the ~20-source domain;
+    // the nullif guards a source whose every doc is represented
+    // elsewhere.
+    GraftQuery(
+      "d66_dedup_token_budget",
+      (s, d) => {
+        val banded = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), expr(sparkGrams).as("sh"))
+          .select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
+          .filter(col("bk.mh").isNotNull)
+        val bucketMin = banded.withColumn("bucket_rep",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bk.t"), col("bk.mh"))))
+        val reps = bucketMin.groupBy(col("doc_id"))
+          .agg(min(col("bucket_rep")).as("rep_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("bigint").as("n_toks"))
+          .join(reps, Seq("doc_id"), "left")
+          .withColumn("kept",
+            when(coalesce(col("rep_id"), col("doc_id")) === col("doc_id"), 1L)
+              .otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("kept")).as("n_kept"),
+            sum(when(col("kept") === 1, col("n_toks")).otherwise(0L))
+              .as("tokens_kept"))
+          .withColumn("inflation",
+            round(col("n_tokens").cast("double") /
+              expr("nullif(cast(tokens_kept as double), cast(0 as double))"),
+              6))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $sqlToks AS toks
+          FROM documents),
+        g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
+        b AS (${sqlMd5Bands("g")}),
+        bm AS (SELECT t, mh, MIN(doc_id) AS mn FROM b GROUP BY 1, 2),
+        r AS (SELECT b.doc_id, MIN(bm.mn) AS rep
+          FROM b JOIN bm USING (t, mh) GROUP BY 1),
+        k AS (SELECT d.doc_id, d.source,
+            CAST(len(d.toks) AS BIGINT) AS n_toks,
+            CASE WHEN COALESCE(r.rep, d.doc_id) = d.doc_id
+              THEN 1 ELSE 0 END AS kept
+          FROM toks d LEFT JOIN r USING (doc_id))
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          CAST(SUM(kept) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+            AS tokens_kept,
+          round(CAST(SUM(n_toks) AS DOUBLE)
+            / NULLIF(CAST(SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END)
+              AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS inflation
+        FROM k GROUP BY 1""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

@@ -73,9 +73,10 @@ class PlanShapeSpec extends SparkSpec {
       "e22_sq8_recall",
       // e23 broadcasts the bounded probe sample for its shared scored
       // scan (pre-filter truth + post-filter survivors); q45 cross-joins
-      // two single-row witness aggregates (the q41 pattern); e25 is the
-      // e23 harness with a coarse/rerank rank pair.
-      "e23_filtered_ann", "q45_join_size_cms", "e25_matryoshka_rerank")
+      // two single-row witness aggregates (the q41 pattern); e25/e26 are
+      // the e23 harness with coarse/rerank rank stacks.
+      "e23_filtered_ann", "q45_join_size_cms", "e25_matryoshka_rerank",
+      "e26_overfetch_sweep")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -701,5 +702,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!q47.contains("FileScan") && q47.contains("Scan ExistingRDD") &&
       !q47.contains("CartesianProduct"),
       s"q47's consumers must reuse the checkpointed activity table:\n$q47")
+    // q48 session funnel: session identity + the three funnel mins all
+    // ride ONE user_id exchange (partial-key clustering satisfies the
+    // (user_id, session_idx) windows — the q43 rule); the only other
+    // exchange is the 4-value stage rollup.
+    val q48 = plan("q48_session_funnel")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(q48).length == 1,
+      s"q48's five windows must share one user_id exchange:\n$q48")
+    assert(!q48.contains("Join"), s"q48 must stay join-free:\n$q48")
+    // e26 over-fetch sweep: the whole curve scores the corpus ONCE — six
+    // rank windows stacked on one a_id exchange, sweep points unpivoted
+    // from the aggregate (Generate), never a per-K scan or join.
+    val e26 = plan("e26_overfetch_sweep")
+    assert("Window \\[row_number".r.findAllIn(e26).length == 6 &&
+      "Exchange hashpartitioning\\(a_id".r.findAllIn(e26).length <= 2 &&
+      !e26.contains("CartesianProduct"),
+      s"e26 must sweep all K off one scored scan:\n$e26")
+    // d66 token budget: d53's rep election shape + one NARROW second
+    // scan — no cartesian, no shingle payload in the final join.
+    val d66 = plan("d66_dedup_token_budget")
+    assert(!d66.contains("CartesianProduct"),
+      s"d66 must stay cartesian-free:\n$d66")
   }
 }

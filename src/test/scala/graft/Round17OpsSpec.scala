@@ -425,6 +425,59 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q48 session funnel partitions q43's sessions across stages") {
+    // Every session lands in exactly one stage, so the stage counts must
+    // sum to the total session count q43 materializes (two independent
+    // lineages, same gap rule).
+    val stages = query("q48_session_funnel").run(spark, sfDir).collect()
+    val total = stages.map(_.getAs[Long]("n_sessions")).sum
+    val q43 = query("q43_session_stats").run(spark, sfDir).count()
+    assert(total == q43, s"funnel lost sessions: $total != $q43")
+    stages.foreach(r =>
+      assert((0L to 3L).contains(r.getAs[Long]("stage"))))
+  }
+
+  test("e26 over-fetch curve is monotone and reproduces e09/e25 at its " +
+      "endpoints") {
+    // Nested candidate sets ⇒ recall monotone in K per probe; and the
+    // sweep's K=3 point IS e09's raw prefix recall while K=12 IS e25's
+    // two-tier recall — per-probe equality, the strongest cross-query
+    // consistency pin available.
+    val sweep = query("e26_overfetch_sweep").run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("k_overfetch")) ->
+        r.getAs[Double]("recall_at_3")).toMap
+    val probes = sweep.keys.map(_._1).toSet
+    probes.foreach { a =>
+      val ks = Seq(3L, 6L, 12L, 24L).map(k => sweep((a, k)))
+      assert(ks == ks.sorted, s"probe $a: recall not monotone in K: $ks")
+    }
+    def byProbe(name: String) = query(name).run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("a_id") -> r.getAs[Double]("recall_at_3")).toMap
+    val (e09, e25) = (byProbe("e09_matryoshka_recall"),
+      byProbe("e25_matryoshka_rerank"))
+    probes.foreach { a =>
+      assert(sweep((a, 3L)) == e09(a),
+        s"probe $a: sweep K=3 ${sweep((a, 3L))} != e09 ${e09(a)}")
+      assert(sweep((a, 12L)) == e25(a),
+        s"probe $a: sweep K=12 ${sweep((a, 12L))} != e25 ${e25(a)}")
+    }
+  }
+
+  test("d66 token budget: kept bounds hold and totals match the d53 reps") {
+    val rows = query("d66_dedup_token_budget").run(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("n_tokens"))
+      val inf = r.getAs[Double]("inflation")
+      assert(inf >= 1.0, s"${r.getAs[String]("source")}: inflation $inf < 1")
+    }
+    // Σ kept across sources == number of docs that are their own d53 rep
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val d53Self = query("d53_cluster_reps_md5").run(spark, sfDir)
+      .filter(col("rep_id") === col("doc_id")).count()
+    assert(kept == d53Self, s"kept totals diverge from d53: $kept != $d53Self")
+  }
+
   test("e22 SQ8 ranking survives quantization on the fixtures") {
     // SQ8 is the mildest compression in the recall family (8 bits/dim vs
     // e11's 1 or e13's 0.5): on the 64-dim fixtures its dequantized

@@ -142,7 +142,15 @@ object StressScale {
     // everything after the barrier — is FIXED; only the scan grows.
     "d65_blocklist_filter" -> ("documents" -> "doc_id"),
     "e25_matryoshka_rerank" -> ("embeddings" -> "vec_id"),
-    "q47_dau_wau" -> ("events" -> "event_id"))
+    "q47_dau_wau" -> ("events" -> "event_id"),
+    // q48 rides the q43 session envelope (8× rows per user, one
+    // exchange). e26 is e25 with six rank windows — same probe-product
+    // envelope. d66 is d53's rep election + a narrow second scan;
+    // replicas duplicate text, so band buckets gain 8 members each and
+    // the window-min output stays linear.
+    "q48_session_funnel" -> ("events" -> "event_id"),
+    "e26_overfetch_sweep" -> ("embeddings" -> "vec_id"),
+    "d66_dedup_token_budget" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
