@@ -22,12 +22,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    // Three queries use windows that are UNPARTITIONED by construction
-    // (bounded domains — d24's top-1000 vocab cut, q28's calendar-day
-    // aggregate, TweetSink's opt-in parity ids); WindowExec warns per
-    // occurrence and the repeated lines crowd the driver's limited
-    // captured stderr tail. Targeted silence for the bench session only —
-    // everything else keeps its level.
+    // A handful of queries use windows that are UNPARTITIONED by
+    // construction (bounded domains — d24/d62's top-1000 vocab cut,
+    // q28's calendar-day aggregate, e24's ≤2^16-bucket rank,
+    // TweetSink's opt-in parity ids); WindowExec warns per occurrence
+    // and the repeated lines crowd the driver's limited captured stderr
+    // tail. Targeted silence for the bench session only — everything
+    // else keeps its level.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
