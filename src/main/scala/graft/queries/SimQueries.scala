@@ -1854,5 +1854,99 @@ object SimQueries {
         FROM m, LATERAL unnest([${Seq(3, 6, 12, 24).map(k =>
           s"{'k': CAST($k AS BIGINT), 'nh': h$k}").mkString(", ")}])
           AS t(u)""")),
+
+    // ---- tombstone-aware search: recall + staleness under deletions ------
+    // The index-MAINTENANCE question the build/tune family (e05-e26)
+    // doesn't ask: vectors get deleted (takedowns, TTL'd docs, user
+    // erasure), but a built ANN index doesn't remove them — production
+    // engines tombstone the ids and filter at query time, rebuilding
+    // only when the tombstone fraction degrades results. Model: every
+    // vec_id ≡ 0 (mod 7) is deleted (~14%); the index still scores the
+    // FULL corpus, the top-12 candidate fetch drops tombstones
+    // post-hoc, and the surviving first 3 are answered. Per live probe:
+    // how many of the full-index top-12 were tombstones (the staleness
+    // signal a compaction trigger watches), how many answers survived,
+    // and recall@3 against the live-corpus truth. The e26 over-fetch
+    // sweep calibrates K; THIS query reports what the deployed (K=12,
+    // filter, top-3) configuration delivers as deletions accumulate.
+    //
+    // Scale shape: the e23 envelope — one bounded broadcast probe
+    // sample against one corpus scan, all four rank/flag windows riding
+    // the SAME a_id exchange (tombstone flag is per-row arithmetic, and
+    // both the live-truth rank and the post-filter rank order by
+    // (flag, score) so no second scoring pass exists). Tombstones at
+    // 100 TB are a broadcast id set or a validity bitmap joined the
+    // same way; the plan is unchanged.
+    //
+    // Exactness: ranks are integer; ties break on b_id; recall divides
+    // exact counts by the literal 3.0 — the e23 arithmetic.
+    GraftQuery(
+      "e27_tombstone_recall",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = e.filter(col("vec_id") % mod === 0 &&
+            col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("a_id"), col("xs").as("a_emb"))
+        val byAid = Window.partitionBy(col("a_id"))
+        val scored = e.select(col("vec_id").as("b_id"), col("xs").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("tomb", col("b_id") % 7 === 0)
+          .withColumn("rn_all", row_number().over(
+            byAid.orderBy(col("cos").desc, col("b_id").asc)))
+          .withColumn("rn_truth", row_number().over(
+            byAid.orderBy(col("tomb").asc, col("cos").desc, col("b_id").asc)))
+          .withColumn("cand", !col("tomb") && col("rn_all") <= 12)
+          .withColumn("rn_post", row_number().over(
+            byAid.orderBy(col("cand").desc, col("rn_all").asc)))
+        val agg = scored.groupBy(col("a_id"))
+          .agg(sum(when(col("tomb") && col("rn_all") <= 12, 1L).otherwise(0L))
+              .as("n_tomb_in_12"),
+            sum(when(col("cand") && col("rn_post") <= 3, 1L).otherwise(0L))
+              .as("n_got"),
+            sum(when(col("cand") && col("rn_post") <= 3 &&
+                col("rn_truth") <= 3, 1L).otherwise(0L)).as("n_hit"))
+        probes.select(col("a_id")).join(agg, Seq("a_id"), "left")
+          .select(col("a_id"),
+            coalesce(col("n_tomb_in_12"), lit(0L)).cast("bigint")
+              .as("n_tomb_in_12"),
+            coalesce(col("n_got"), lit(0L)).cast("bigint").as("n_got"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0 AND vec_id % 7 <> 0),
+        scored AS (SELECT p.a_id, c.vec_id AS b_id,
+            ${sqlCos("p.ae", "c.e")} AS cos, (c.vec_id % 7 = 0) AS tomb
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        rk AS (SELECT *,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY cos DESC, b_id ASC) AS rn_all,
+            row_number() OVER (PARTITION BY a_id
+              ORDER BY tomb ASC, cos DESC, b_id ASC) AS rn_truth
+          FROM scored),
+        cd AS (SELECT *, (NOT tomb AND rn_all <= 12) AS cand FROM rk),
+        ps AS (SELECT *, row_number() OVER (PARTITION BY a_id
+              ORDER BY cand DESC, rn_all ASC) AS rn_post FROM cd),
+        a AS (SELECT a_id,
+            CAST(SUM(CASE WHEN tomb AND rn_all <= 12 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tomb_in_12,
+            CAST(SUM(CASE WHEN cand AND rn_post <= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_got,
+            CAST(SUM(CASE WHEN cand AND rn_post <= 3 AND rn_truth <= 3
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM ps GROUP BY 1)
+        SELECT p.a_id,
+          CAST(coalesce(a.n_tomb_in_12, 0) AS BIGINT) AS n_tomb_in_12,
+          CAST(coalesce(a.n_got, 0) AS BIGINT) AS n_got,
+          CAST(coalesce(a.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM probes p LEFT JOIN a ON p.a_id = a.a_id""")),
   )
 }

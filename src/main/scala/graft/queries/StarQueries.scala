@@ -2019,5 +2019,86 @@ object StarQueries {
           FROM w3)
         SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_sessions
         FROM st GROUP BY stage""")),
+
+    // ---- spend concentration: per-segment Gini + top-decile share --------
+    // The inequality profile of customer value (q27 bins spend into
+    // deciles; this reduces the whole distribution to the two scalars a
+    // revenue-risk dashboard tracks): exact Gini coefficient of customer
+    // spend within each market segment — G = 2·Σᵢ i·xᵢ / (n·Σx) −
+    // (n+1)/n over ascending-ranked spends — and the revenue share of
+    // the top spend decile. G ≈ 0 means broad-based revenue, G → 1
+    // means a whale-dependent segment (churn of a few accounts moves
+    // the number).
+    //
+    // Scale shape: the fact table collapses to per-customer totals under
+    // map-side partial agg FIRST (one custkey exchange), joins the
+    // customer dim for segment, and the rank runs per segment over that
+    // CUSTOMER-sized frame — never over raw orders (the q27 rule). The
+    // final per-segment fold reuses the window's segment clustering, so
+    // rank + count + fold ride ONE segment exchange. At 100 TB the
+    // per-segment sort over customers is the inherent price of an exact
+    // Gini; the relaxation is quantile-binned Lorenz (q27's deciles)
+    // when customers-per-segment outgrow a sort budget.
+    //
+    // Exactness: spends and the rank-weighted sum Σ i·xᵢ stay
+    // DECIMAL end-to-end (rank as DECIMAL(18,0) × spend DECIMAL(18,2) —
+    // exact, order-free); the Gini formula runs on doubles cast from
+    // those exact sums in ONE op order, rounded at 6 dp; the top-decile
+    // membership rk > n − n div 10 is pure int64 arithmetic.
+    GraftQuery(
+      "q49_spend_gini",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spend"))
+        val seg = spend.join(
+          Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment")),
+          Seq("o_custkey"))
+        val w = Window.partitionBy(col("segment"))
+        seg
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("spend").asc, col("o_custkey").asc)).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(w))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("spend")).as("s_dec"),
+            sum(col("rk").cast("decimal(18,0)") * col("spend")).as("t_dec"),
+            sum(when(col("rk") > expr("n - n div 10"), col("spend")))
+              .as("top_dec"))
+          .select(col("segment"), col("n_customers"),
+            col("s_dec").cast("double").as("total_spend"),
+            round(lit(2.0) * col("t_dec").cast("double")
+              / (col("n_customers").cast("double")
+                * col("s_dec").cast("double"))
+              - (col("n_customers").cast("double") + lit(1.0))
+                / col("n_customers").cast("double"), 6).as("gini"),
+            round(coalesce(col("top_dec"), lit(0).cast("decimal(18,2)"))
+              .cast("double") / col("s_dec").cast("double"), 6)
+              .as("top10_share"))
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY 1),
+        seg AS (SELECT s.o_custkey, s.spend, c.c_mktsegment AS segment
+          FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey),
+        r AS (SELECT segment, spend, o_custkey,
+            CAST(row_number() OVER (PARTITION BY segment
+              ORDER BY spend ASC, o_custkey ASC) AS BIGINT) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+          FROM seg),
+        a AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+            SUM(spend) AS s_dec,
+            SUM(CAST(rk AS DECIMAL(18,0)) * spend) AS t_dec,
+            SUM(CASE WHEN rk > n - n // 10 THEN spend END) AS top_dec
+          FROM r GROUP BY 1)
+        SELECT segment, n_customers, CAST(s_dec AS DOUBLE) AS total_spend,
+          round(2.0 * CAST(t_dec AS DOUBLE)
+            / (CAST(n_customers AS DOUBLE) * CAST(s_dec AS DOUBLE))
+            - (CAST(n_customers AS DOUBLE) + 1.0)
+              / CAST(n_customers AS DOUBLE), 6) AS gini,
+          round(CAST(COALESCE(top_dec, 0) AS DOUBLE)
+            / CAST(s_dec AS DOUBLE), 6) AS top10_share
+        FROM a""")),
   )
 }

@@ -3104,6 +3104,191 @@ object TextQueries {
             / NULLIF(CAST(SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END)
               AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS inflation
         FROM k GROUP BY 1""")),
+
+    // ---- mixture diversity: entropy / effective source count -------------
+    // The health SCALAR of the realized mixture (d36 computes the
+    // reweighting, d66 the per-source budgets; this reports what the mix
+    // IS): per-source token share, Shannon entropy over shares, the
+    // effective source count exp(H) (the "how many sources does this
+    // corpus really have" number — 20 nominal sources collapsing to
+    // eff ≈ 3 is a concentration alarm), and Pielou evenness H/ln(k).
+    // The same scalar family mixture papers report when comparing data
+    // recipes; drops in eff_sources between dumps fire BEFORE a
+    // downstream eval does.
+    //
+    // Scale shape: ONE narrow scan folds token counts map-side onto the
+    // ~20-row source domain; every window after it (total, k, entropy
+    // sum) runs on that bounded frame — the d64 envelope. Nothing but
+    // the scan is corpus-sized at any scale.
+    //
+    // Exactness: shares divide exact int64 token counts as double in one
+    // op order; ln rounds to 6 dp (the d32 rule), terms round to 6 dp,
+    // and the entropy total sums DECIMAL(18,6) terms (order-free) before
+    // the final exp/divide — the d64 PSI recipe applied to -Σ p·ln p.
+    GraftQuery(
+      "d67_mixture_diversity",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+          .withColumn("tot", sum(col("n_tokens")).over(w))
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("p",
+            col("n_tokens").cast("double") / col("tot").cast("double"))
+          .withColumn("ent_term",
+            when(col("n_tokens") === 0, lit(0.0))
+              .otherwise(round(-col("p") * round(log(col("p")), 6), 6)))
+          .withColumn("entropy",
+            sum(col("ent_term").cast("decimal(18,6)")).over(w).cast("double"))
+          .select(col("source"), col("n_tokens"),
+            round(col("p"), 6).as("share"), col("ent_term"), col("entropy"),
+            round(exp(col("entropy")), 6).as("eff_sources"),
+            when(col("k") <= 1, lit(1.0))
+              .otherwise(round(col("entropy") /
+                round(log(col("k").cast("double")), 6), 6)).as("evenness"))
+      },
+      Some(s"""WITH per AS (SELECT source,
+            CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        t AS (SELECT source, n_tokens,
+            CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot,
+            CAST(COUNT(*) OVER () AS BIGINT) AS k FROM per),
+        p AS (SELECT source, n_tokens, k,
+            CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p FROM t),
+        e AS (SELECT source, n_tokens, k, p,
+            CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE round(-p * round(ln(p), 6), 6) END AS ent_term FROM p),
+        se AS (SELECT *, CAST(CAST(SUM(CAST(ent_term AS DECIMAL(18,6)))
+            OVER () AS DECIMAL(38,6)) AS DOUBLE) AS entropy FROM e)
+        SELECT source, n_tokens, round(p, 6) AS share, ent_term, entropy,
+          round(exp(entropy), 6) AS eff_sources,
+          CASE WHEN k <= 1 THEN 1.0
+            ELSE round(entropy / round(ln(CAST(k AS DOUBLE)), 6), 6)
+            END AS evenness
+        FROM se""")),
+
+    // ---- BPE merge-candidate pair counts (tokenizer-training step 0) -----
+    // The first iteration of byte-pair-encoding training — the op a
+    // tokenizer pipeline runs over the SAME corpus the engine just
+    // cleaned: count adjacent character pairs inside words, weighted by
+    // corpus word frequency, and rank the merge candidates (top pair =
+    // BPE's first merge). Ranking the head is the decision input; the
+    // full pair table is the same frame without the rank cut.
+    //
+    // Scale shape: the corpus explode folds map-side onto the WORD-VOCAB
+    // domain first (the d24/d62 move — pair expansion runs over distinct
+    // words × their bounded lengths, never over corpus tokens), then
+    // pairs fold onto the alphabet² domain (≤ ~1.4k rows for ASCII
+    // letters). The top-20 rank is an unpartitioned window over that
+    // BOUNDED pair domain compiling to a map-side WindowGroupLimit — the
+    // e24 exemption. Nothing after the first groupBy is corpus-sized.
+    //
+    // Exactness: integer counts end-to-end; ties rank by pair text
+    // (unique), so the cut is deterministic in both engines. Overlapping
+    // pairs ('aaa' → 'aa','aa') both count — the standard BPE pair
+    // statistic; overlap resolution happens at merge-apply time, not in
+    // the count.
+    GraftQuery(
+      "d68_bpe_pair_counts",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+        vocab
+          .filter(length(col("tok")) >= 2)
+          .select(col("w"), explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("w")).cast("bigint").as("pair_count"))
+          .withColumn("merge_rank",
+            row_number().over(
+              Window.orderBy(col("pair_count").desc, col("pair").asc))
+              .cast("bigint"))
+          .filter(col("merge_rank") <= 20)
+      },
+      Some(s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+        tok AS (SELECT unnest(toks) AS tok FROM t),
+        v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS w FROM tok GROUP BY 1),
+        pr AS (SELECT unnest(list_transform(range(1, len(tok)),
+              i -> substring(tok, CAST(i AS INT), 2))) AS pair, w
+          FROM v WHERE len(tok) >= 2),
+        c AS (SELECT pair, CAST(SUM(w) AS BIGINT) AS pair_count
+          FROM pr GROUP BY 1)
+        SELECT pair, pair_count,
+          CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC)
+            AS BIGINT) AS merge_rank
+        FROM c QUALIFY merge_rank <= 20""")),
+
+    // ---- lang × source independence (chi-square contingency audit) -------
+    // The stratification audit d06/d60 don't ask: is language
+    // distribution INDEPENDENT of source, or do sources carry materially
+    // different language mixes (which breaks any "sample by source,
+    // assume language balance" plan)? Classic Pearson chi² over the
+    // lang × source contingency table — per-cell observed/expected and
+    // contribution (the drill-down showing WHICH cell drives the
+    // dependence), plus the total statistic and degrees of freedom.
+    //
+    // Scale shape: ONE corpus scan folds map-side onto the lang × source
+    // cell domain; marginals derive from the CELL table (grid-sized),
+    // never a rescan; the grid densify is a broadcast nested-loop of two
+    // bounded marginal frames (zero cells must enter the statistic —
+    // a left join from the cross product restores them); every window
+    // runs on the ≤ langs × sources grid. The d64 envelope with a 2-D
+    // domain.
+    //
+    // Exactness: observed/marginal counts are exact int64; expected
+    // multiplies/divides them as double in one op order (exact to 2⁵³);
+    // contributions round at 6 dp and the total sums DECIMAL(18,6)
+    // (order-free); dof is integer arithmetic on window-counted distinct
+    // marginals.
+    GraftQuery(
+      "d69_lang_source_chi2",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val cells = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rowTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+        val colTot = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+        rowTot.crossJoin(broadcast(colTot))
+          .join(cells, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .withColumn("n", sum(col("o")).over(w))
+          .withColumn("nl", size(collect_set(col("lang")).over(w)).cast("bigint"))
+          .withColumn("ns", size(collect_set(col("source")).over(w)).cast("bigint"))
+          .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+            / col("n").cast("double"))
+          .withColumn("contrib",
+            round((col("o").cast("double") - col("e"))
+              * (col("o").cast("double") - col("e")) / col("e"), 6))
+          .withColumn("chi2",
+            sum(col("contrib").cast("decimal(18,6)")).over(w).cast("double"))
+          .select(col("lang"), col("source"), col("o"),
+            col("rt").cast("bigint").as("rt"), col("ct").cast("bigint").as("ct"),
+            round(col("e"), 6).as("expected"), col("contrib"), col("chi2"),
+            ((col("nl") - 1) * (col("ns") - 1)).cast("bigint").as("dof"))
+      },
+      Some("""WITH cell AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
+        c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cell
+          GROUP BY 1),
+        g AS (SELECT r.lang, c.source, r.rt, c.ct, COALESCE(cell.o, 0) AS o
+          FROM r CROSS JOIN c LEFT JOIN cell
+            ON cell.lang = r.lang AND cell.source = c.source),
+        t AS (SELECT *, CAST(SUM(o) OVER () AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT lang) OVER () AS BIGINT) AS nl,
+            CAST(COUNT(DISTINCT source) OVER () AS BIGINT) AS ns FROM g),
+        x AS (SELECT *, CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(n AS DOUBLE) AS e FROM t),
+        y AS (SELECT *, round((CAST(o AS DOUBLE) - e)
+            * (CAST(o AS DOUBLE) - e) / e, 6) AS contrib FROM x)
+        SELECT lang, source, o, rt, ct, round(e, 6) AS expected, contrib,
+          CAST(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER ()
+            AS DECIMAL(38,6)) AS DOUBLE) AS chi2,
+          CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof
+        FROM y""")),
   )
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5

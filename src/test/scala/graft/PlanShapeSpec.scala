@@ -76,7 +76,11 @@ class PlanShapeSpec extends SparkSpec {
       // two single-row witness aggregates (the q41 pattern); e25/e26 are
       // the e23 harness with coarse/rerank rank stacks.
       "e23_filtered_ann", "q45_join_size_cms", "e25_matryoshka_rerank",
-      "e26_overfetch_sweep")
+      "e26_overfetch_sweep",
+      // e27 broadcasts the bounded probe sample (the e23 harness with a
+      // tombstone flag); d69 cross-joins the two bounded marginal frames
+      // to densify the lang × source grid (zero cells must enter χ²).
+      "e27_tombstone_recall", "d69_lang_source_chi2")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

@@ -488,4 +488,83 @@ class Round17OpsSpec extends SparkSpec {
       .agg(avg(col("recall_at_3"))).head().getDouble(0)
     assert(rec >= 0.8, s"SQ8 mean recall@3 fell to $rec")
   }
+
+  test("q49 Gini: bounds, identical-rollup consistency, and top-decile " +
+      "floor hold per segment") {
+    val rows = query("q49_spend_gini").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, g, t10) = (r.getAs[Long]("n_customers"),
+        r.getAs[Double]("gini"), r.getAs[Double]("top10_share"))
+      // Exact-Gini bounds: 0 at perfect equality, < 1 always.
+      assert(g >= 0.0 && g < 1.0, s"${r.getAs[String]("segment")}: gini $g")
+      // The top decile of an ASCENDING ranking holds at least its
+      // proportional share of spend (they're the largest spenders).
+      val floor = (n / 10).toDouble / n.toDouble
+      assert(t10 >= floor - 1e-9 && t10 <= 1.0,
+        s"top10_share $t10 below proportional floor $floor (n=$n)")
+    }
+  }
+
+  test("d67 mixture diversity: shares sum to 1, entropy is capped by " +
+      "ln(k), and eff_sources <= k") {
+    val rows = query("d67_mixture_diversity").run(spark, sfDir).collect()
+    val k = rows.length
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      val (h, eff, ev) = (r.getAs[Double]("entropy"),
+        r.getAs[Double]("eff_sources"), r.getAs[Double]("evenness"))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-4,
+        s"entropy $h outside [0, ln($k)]")
+      assert(eff > 0.0 && eff <= k + 1e-4, s"eff_sources $eff > k=$k")
+      assert(ev > 0.0 && ev <= 1.0 + 1e-9, s"evenness $ev outside (0,1]")
+    }
+  }
+
+  test("d68 BPE pair counts: dense top-20 rank, nonincreasing counts, " +
+      "2-char pairs") {
+    val rows = query("d68_bpe_pair_counts").run(spark, sfDir)
+      .orderBy(col("merge_rank")).collect()
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq ==
+      (1L to rows.length).toSeq, "rank not dense from 1")
+    assert(rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts == counts.sorted.reverse, "counts not nonincreasing")
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+  }
+
+  test("d69 chi-square: grid covers all marginals, cells sum to N, and " +
+      "dof matches the independent distinct counts") {
+    val rows = query("d69_lang_source_chi2").run(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    assert(rows.map(_.getAs[Long]("o")).sum == n,
+      "grid cell counts don't sum to the corpus")
+    val nl = docs.select(col("lang")).distinct().count()
+    val ns = docs.select(col("source")).distinct().count()
+    assert(rows.length == nl * ns, "grid is not the full cross product")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dof") == (nl - 1) * (ns - 1))
+      assert(r.getAs[Double]("contrib") >= 0.0)
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+  }
+
+  test("e27 tombstones: probes are live, answers obey the fetch-filter " +
+      "arithmetic, and recall is bounded") {
+    val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") % 7 != 0, "a deleted probe was queried")
+      val (tomb, got, rec) = (r.getAs[Long]("n_tomb_in_12"),
+        r.getAs[Long]("n_got"), r.getAs[Double]("recall_at_3"))
+      // K=12 fetch minus tombstones, answered top-3: exactly
+      // min(3, 12 - tombstones) answers must survive.
+      assert(got == math.min(3L, 12L - tomb),
+        s"n_got $got != min(3, 12 - $tomb)")
+      assert(rec >= 0.0 && rec * 3.0 <= got + 1e-9,
+        s"recall $rec exceeds answered count $got")
+    }
+  }
 }
