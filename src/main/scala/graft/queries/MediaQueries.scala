@@ -415,5 +415,74 @@ object MediaQueries {
             CAST(SUM(c) AS BIGINT) AS n_frames FROM pm GROUP BY 1)
         SELECT frame_key, n_videos, n_frames FROM g
         WHERE n_videos >= 2""")),
+
+    // ---- shot-boundary detection over the frame grid ---------------------
+    // The video-curation op after frame sampling (m02) and cross-video
+    // dedup (m10): segment each video into SHOTS by comparing adjacent
+    // frame digests — a real pipeline diffs perceptual frame features;
+    // the stub seam makes runs of frames share a scene digest
+    // (scene = md5(text # fi div shot_len), shot_len ∈ [1,4] from
+    // payload byte 4 — the same deterministic md5-byte convention as
+    // every m-query, so both engines derive identical runs). Per video:
+    // frame count, shot count (boundary = digest differs from lag, first
+    // frame always opens a shot), and mean shot length — the stats a
+    // sampling policy reads (sample per SHOT, not per stride, to avoid
+    // over-representing long static scenes).
+    //
+    // Scale shape: one narrow scan → bounded explode (≤16 frames/video)
+    // → ONE media_id exchange serving both the lag window (per-video
+    // frames, bounded partitions) and the per-video fold. Nothing is
+    // corpus-wide; the plan is m02's with a lag window instead of a
+    // rollup.
+    GraftQuery(
+      "m11_shot_boundaries",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.documents(s, d)
+          .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id").as("media_id"), col("text"),
+            (lit(1) + pmod(expr(
+              "cast(conv(substr(md5(text), 17, 2), 16, 10) as int)"),
+              lit(16))).as("n_frames"),
+            (lit(1) + pmod(expr(
+              "cast(conv(substr(md5(text), 9, 2), 16, 10) as int)"),
+              lit(4))).as("shot_len"))
+          .withColumn("fi", explode(sequence(lit(0), col("n_frames") - 1)))
+          .withColumn("scene", substring(md5(concat(col("text"), lit("#"),
+            expr("cast(fi div shot_len as int)").cast("string"))), 1, 4))
+        val wOrd = Window.partitionBy(col("media_id")).orderBy(col("fi"))
+        v.withColumn("prev", lag(col("scene"), 1).over(wOrd))
+          .withColumn("boundary",
+            (col("prev").isNull || col("prev") =!= col("scene"))
+              .cast("long"))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_frames"),
+            sum(col("boundary")).cast("bigint").as("n_shots"))
+          .withColumn("avg_shot_len",
+            round(col("n_frames").cast("double")
+              / col("n_shots").cast("double"), 6))
+      },
+      Some(s"""WITH v AS (SELECT doc_id AS media_id, text,
+            CAST(1 + (${hexByte("md5(text)", 8)} % 16) AS INT) AS n_frames,
+            CAST(1 + (${hexByte("md5(text)", 4)} % 4) AS INT) AS shot_len
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 2),
+        fr AS (SELECT media_id, text, shot_len,
+            unnest(range(0, n_frames)) AS fi FROM v),
+        k AS (SELECT media_id, fi,
+            substr(md5(text || '#' || CAST(fi // shot_len AS INT)), 1, 4)
+              AS scene
+          FROM fr),
+        b AS (SELECT media_id, scene,
+            lag(scene) OVER (PARTITION BY media_id ORDER BY fi) AS prev
+          FROM k),
+        a AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+            CAST(SUM(CASE WHEN prev IS NULL OR prev <> scene
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_shots
+          FROM b GROUP BY 1)
+        SELECT media_id, n_frames, n_shots,
+          round(CAST(n_frames AS DOUBLE) / CAST(n_shots AS DOUBLE), 6)
+            AS avg_shot_len
+        FROM a""")),
   )
 }

@@ -2100,5 +2100,81 @@ object StarQueries {
           round(CAST(COALESCE(top_dec, 0) AS DOUBLE)
             / CAST(s_dec AS DOUBLE), 6) AS top10_share
         FROM a""")),
+
+    // ---- RFM segmentation: recency / frequency / monetary quintiles ------
+    // The classic customer-scoring table (every CRM/churn model's input):
+    // per customer, last order date, order count, and lifetime spend,
+    // each scored 1-5 by population quintile (5 = best), plus the
+    // combined RFM cell (r·100 + f·10 + m — '555' is the
+    // retain-at-all-costs corner). Quintile = rank arithmetic
+    // 5 − (rn−1)·5 div n over an explicit total order — NOT ntile(),
+    // whose remainder-distribution rule differs subtly across engines;
+    // the arithmetic form is engine-exact and identical to q27's decile
+    // rule.
+    //
+    // Scale shape: the fact table collapses to per-customer totals under
+    // map-side partial agg, then each of the three exact global rankings
+    // is a GlobalRank pass (range-partitioned sort + partition-offset
+    // indexing — never q27's single-partition window trap). Three sorts
+    // of the CUSTOMER-sized frame is the honest price of exact
+    // population quintiles on three independent axes; the 100 TB
+    // relaxation is approx-quantile thresholds per axis (one fixed-size
+    // sketch each) when the customer table outgrows the sort budget.
+    //
+    // Exactness: dates/counts/decimal sums are exact; ranks are
+    // integers; every score is pure int64 arithmetic on them. The N
+    // scalar is one count job on the customer frame (the q27 pattern).
+    GraftQuery(
+      "q50_rfm_scores",
+      (s, d) => {
+        val rfm = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(dec(col("o_totalprice"))).as("monetary"))
+        val n = math.max(rfm.count(), 1L)
+        def score(df: org.apache.spark.sql.DataFrame,
+            sort: Seq[org.apache.spark.sql.Column], name: String) =
+          GlobalRank.withRowNumber(df, sort, "rn_tmp")
+            .withColumn(name,
+              lit(5L) - floorDiv((col("rn_tmp") - 1L) * 5L, n))
+            .drop("rn_tmp")
+        val scored = score(score(score(rfm,
+            Seq(col("last_order").desc, col("o_custkey").asc), "r_score"),
+            Seq(col("frequency").desc, col("o_custkey").asc), "f_score"),
+            Seq(col("monetary").desc, col("o_custkey").asc), "m_score")
+        scored.select(col("o_custkey"),
+          date_format(col("last_order"), "yyyy-MM-dd").as("last_order"),
+          col("frequency"), col("monetary").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+            .as("rfm_cell"))
+      },
+      Some("""WITH rfm AS (SELECT o_custkey,
+            MAX(CAST(o_orderdate AS DATE)) AS last_order,
+            CAST(COUNT(*) AS BIGINT) AS frequency,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+          FROM orders GROUP BY 1),
+        nn AS (SELECT greatest(CAST(COUNT(*) AS BIGINT), 1) AS n FROM rfm),
+        r AS (SELECT rfm.*,
+            CAST(row_number() OVER (ORDER BY last_order DESC, o_custkey ASC)
+              AS BIGINT) AS rn_r,
+            CAST(row_number() OVER (ORDER BY frequency DESC, o_custkey ASC)
+              AS BIGINT) AS rn_f,
+            CAST(row_number() OVER (ORDER BY monetary DESC, o_custkey ASC)
+              AS BIGINT) AS rn_m
+          FROM rfm),
+        sc AS (SELECT o_custkey, last_order, frequency, monetary,
+            5 - (rn_r - 1) * 5 // n AS r_score,
+            5 - (rn_f - 1) * 5 // n AS f_score,
+            5 - (rn_m - 1) * 5 // n AS m_score
+          FROM r, nn)
+        SELECT o_custkey, strftime(last_order, '%Y-%m-%d') AS last_order,
+          frequency, CAST(monetary AS DOUBLE) AS monetary,
+          CAST(r_score AS BIGINT) AS r_score,
+          CAST(f_score AS BIGINT) AS f_score,
+          CAST(m_score AS BIGINT) AS m_score,
+          CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_cell
+        FROM sc""")),
   )
 }

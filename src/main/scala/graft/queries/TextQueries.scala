@@ -944,50 +944,8 @@ object TextQueries {
     // yields NULL total → NULL logprobs end-to-end (no ln(1/0) overflow).
     GraftQuery(
       "d32_unigram_logprob",
-      (s, d) => {
-        val terms = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-        val total = tf.agg(sum(col("tf")).as("total"))
-        val vocab = tf.orderBy(col("tf").desc, col("term").asc).limit(1000)
-          .crossJoin(broadcast(total))
-          .select(col("term"),
-            round(log(col("tf").cast("double") / col("total").cast("double")), 6)
-              .cast("decimal(18,6)").as("lp"))
-        val oov = broadcast(total.select(
-          round(log(lit(1.0) / col("total").cast("double")), 6)
-            .cast("decimal(18,6)").as("oov_lp")))
-        val scored = terms
-          .join(broadcast(vocab), Seq("term"), "left")
-          .crossJoin(oov)
-          .select(col("doc_id"), coalesce(col("lp"), col("oov_lp")).as("lp"))
-          .groupBy(col("doc_id"))
-          .agg(
-            (sum(col("lp")).cast("double") / count(lit(1)).cast("double"))
-              .as("logprob_per_token"),
-            count(lit(1)).as("n_tokens"))
-        Tables.documents(s, d).select(col("doc_id"))
-          .join(scored, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("logprob_per_token"),
-            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-      },
-      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term
-          FROM documents),
-        tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
-        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
-        vocab AS (SELECT term,
-            CAST(round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 6)
-              AS DECIMAL(18,6)) AS lp
-          FROM (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC
-            LIMIT 1000), tot),
-        o AS (SELECT CAST(round(ln(1.0 / CAST(total AS DOUBLE)), 6)
-            AS DECIMAL(18,6)) AS oov_lp FROM tot),
-        sc AS (SELECT t.doc_id,
-            CAST(SUM(coalesce(v.lp, o.oov_lp)) AS DOUBLE)
-              / CAST(COUNT(*) AS DOUBLE) AS logprob_per_token,
-            COUNT(*) AS n_tokens
-          FROM t LEFT JOIN vocab v USING (term), o
-          GROUP BY t.doc_id)
+      (s, d) => unigramLogprobDocs(s, d),
+      Some(s"""WITH $sqlUnigramCtes
         SELECT d.doc_id, sc.logprob_per_token,
           coalesce(sc.n_tokens, 0) AS n_tokens
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
@@ -3289,7 +3247,115 @@ object TextQueries {
             AS DECIMAL(38,6)) AS DOUBLE) AS chi2,
           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof
         FROM y""")),
+
+    // ---- CCNet head/middle/tail perplexity bucketing ---------------------
+    // The op CCNet actually ships (d32 computes the score; this is the
+    // DECISION layered on it): per LANGUAGE, split docs into equal
+    // perplexity terciles — 'head' (most fluent third, kept outright),
+    // 'middle', 'tail' (usually dropped or down-weighted). Per-language
+    // is the point: raw LM scores aren't comparable across languages, so
+    // a global cut would keep only the LM's favorite language. Bucket
+    // assignment is the q27/q50 rank-arithmetic rule ((rk−1)·3 div n),
+    // not ntile(), for engine-exact boundaries.
+    //
+    // Scale shape: d32's shared scoring lineage (one vocab broadcast,
+    // per-doc partial agg) plus a doc_id join for lang, then ONE
+    // lang-partitioned rank window over the per-DOC frame — per-language
+    // sort is the inherent price of exact terciles (languages
+    // parallelize across the exchange; within a 100 TB language the
+    // relaxation is two approx-quantile thresholds per lang, one
+    // fixed-size sketch each). Unscoreable docs (NULL score) sort last
+    // in BOTH engines (DESC default) and land in 'tail' — the right
+    // failure mode for a fluency gate.
+    GraftQuery(
+      "d70_perplexity_buckets",
+      (s, d) => {
+        val sc = unigramLogprobDocs(s, d)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+        val w = Window.partitionBy(col("lang"))
+        sc
+          .withColumn("rk", row_number().over(w.orderBy(
+            col("logprob_per_token").desc_nulls_last, col("doc_id").asc))
+            .cast("bigint"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("b", expr("cast((rk - 1) * 3 div n as bigint)"))
+          .select(col("doc_id"), col("lang"), col("logprob_per_token"),
+            when(col("b") === 0, lit("head"))
+              .when(col("b") === 1, lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+      },
+      Some(s"""WITH $sqlUnigramCtes,
+        base AS (SELECT d.doc_id, d.lang, sc.logprob_per_token
+          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        r AS (SELECT doc_id, lang, logprob_per_token,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY logprob_per_token DESC NULLS LAST, doc_id ASC)
+              AS BIGINT) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM base)
+        SELECT doc_id, lang, logprob_per_token,
+          CASE (rk - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM r""")),
   )
+
+  /** The d32 unigram-LM scoring lineage, shared with d70's bucketing:
+    * train the top-1000-vocab unigram LM over the corpus, score each doc
+    * by mean token log-probability (OOV floored at ln(1/total)); see the
+    * d32 entry's scaladoc for the two-pass/broadcast scale shape and the
+    * decimal-sum determinism rule. Returns (doc_id, logprob_per_token,
+    * n_tokens) for EVERY doc (unscoreable docs carry NULL / 0). */
+  private def unigramLogprobDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val vocab = tf.orderBy(col("tf").desc, col("term").asc).limit(1000)
+      .crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("tf").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val oov = broadcast(total.select(
+      round(log(lit(1.0) / col("total").cast("double")), 6)
+        .cast("decimal(18,6)").as("oov_lp")))
+    val scored = terms
+      .join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(oov)
+      .select(col("doc_id"), coalesce(col("lp"), col("oov_lp")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("lp")).cast("double") / count(lit(1)).cast("double"))
+          .as("logprob_per_token"),
+        count(lit(1)).as("n_tokens"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("logprob_per_token"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** The same lineage as DuckDB CTEs (t/tf/tot/vocab/o/sc) — ONE
+    * definition interpolated into the d32 AND d70 oracles so the LM and
+    * its rounding rules can never drift between them. */
+  private lazy val sqlUnigramCtes: String =
+    s"""t AS (SELECT doc_id, unnest($sqlToks) AS term
+          FROM documents),
+        tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+        vocab AS (SELECT term,
+            CAST(round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC
+            LIMIT 1000), tot),
+        o AS (SELECT CAST(round(ln(1.0 / CAST(total AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS oov_lp FROM tot),
+        sc AS (SELECT t.doc_id,
+            CAST(SUM(coalesce(v.lp, o.oov_lp)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS logprob_per_token,
+            COUNT(*) AS n_tokens
+          FROM t LEFT JOIN vocab v USING (term), o
+          GROUP BY t.doc_id)"""
 
   /** The d50/d51 signature bit string in DuckDB SQL over an `hs` (md5
     * list) column — the oracle mirror of the NATIVE

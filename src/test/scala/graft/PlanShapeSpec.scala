@@ -79,8 +79,11 @@ class PlanShapeSpec extends SparkSpec {
       "e26_overfetch_sweep",
       // e27 broadcasts the bounded probe sample (the e23 harness with a
       // tombstone flag); d69 cross-joins the two bounded marginal frames
-      // to densify the lang × source grid (zero cells must enter χ²).
-      "e27_tombstone_recall", "d69_lang_source_chi2")
+      // to densify the lang × source grid (zero cells must enter χ²);
+      // d70 rides d32's shared scoring lineage (1-row OOV + vocab-total
+      // broadcasts).
+      "e27_tombstone_recall", "d69_lang_source_chi2",
+      "d70_perplexity_buckets")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

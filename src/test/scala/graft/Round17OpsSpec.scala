@@ -551,6 +551,64 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q50 RFM: scores span 1-5 in balanced quintiles and the cell " +
+      "encodes the three scores") {
+    val rows = query("q50_rfm_scores").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      Seq(rs, fs, ms).foreach(v => assert(v >= 1L && v <= 5L))
+      assert(r.getAs[Long]("rfm_cell") == rs * 100 + fs * 10 + ms)
+    }
+    // rank-arithmetic quintiles: bucket sizes differ by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$c quintiles unbalanced: $sizes")
+    }
+  }
+
+  test("d70 perplexity buckets: per-language terciles are balanced and " +
+      "cover every doc") {
+    val rows = query("d70_perplexity_buckets").run(spark, sfDir).collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length == n, "bucketing dropped docs")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, docs) =>
+      val sizes = docs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set("head", "middle", "tail")))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+    }
+  }
+
+  test("m11 shot count equals ceil(n_frames / shot_len) frame runs " +
+      "per video") {
+    val rows = query("m11_shot_boundaries").run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_shots"))).toMap
+    assert(rows.nonEmpty)
+    // independently re-derive n_frames/shot_len from the stub convention
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"),
+        (lit(1) + pmod(expr(
+          "cast(conv(substr(md5(text), 17, 2), 16, 10) as int)"),
+          lit(16))).as("nf"),
+        (lit(1) + pmod(expr(
+          "cast(conv(substr(md5(text), 9, 2), 16, 10) as int)"),
+          lit(4))).as("sl"))
+      .collect()
+    expected.foreach { r =>
+      val (id, nf, sl) = (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("nf").toLong, r.getAs[Int]("sl").toLong)
+      val (gotF, gotS) = rows(id)
+      assert(gotF == nf, s"video $id: n_frames $gotF != $nf")
+      assert(gotS == (nf + sl - 1) / sl,
+        s"video $id: n_shots $gotS != ceil($nf/$sl)")
+    }
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()

@@ -150,7 +150,28 @@ object StressScale {
     // the window-min output stays linear.
     "q48_session_funnel" -> ("events" -> "event_id"),
     "e26_overfetch_sweep" -> ("embeddings" -> "vec_id"),
-    "d66_dedup_token_budget" -> ("documents" -> "doc_id"))
+    "d66_dedup_token_budget" -> ("documents" -> "doc_id"),
+    // Batch 8: q49's replicas shift o_orderkey but keep o_custkey, so
+    // the per-customer pre-agg frame — and the segment rank after it —
+    // is FIXED; only the fact scan grows. d67/d69 fold one scan onto
+    // fixed source / lang×source domains (the d64 envelope); d68's
+    // replicas duplicate text so the word vocab (and the pair domain
+    // after it) is FIXED — growth is the token explode into map-side
+    // partials. e27 is the e23 probe harness (probes ~100, corpus 8×).
+    "q49_spend_gini" -> ("orders" -> "o_orderkey"),
+    "d67_mixture_diversity" -> ("documents" -> "doc_id"),
+    "d68_bpe_pair_counts" -> ("documents" -> "doc_id"),
+    "d69_lang_source_chi2" -> ("documents" -> "doc_id"),
+    "e27_tombstone_recall" -> ("embeddings" -> "vec_id"),
+    // Batch 9: q50's replicas shift o_orderkey but keep o_custkey, so
+    // the customer frame — and all three GlobalRank sorts — is FIXED;
+    // only the fact scan grows. d70's replicas duplicate text: vocab
+    // fixed, the explode scan and the per-lang doc rank both grow 8×
+    // (input-linear by design). m11 is a bounded explode into per-video
+    // lag windows — partition COUNT grows, size doesn't.
+    "q50_rfm_scores" -> ("orders" -> "o_orderkey"),
+    "d70_perplexity_buckets" -> ("documents" -> "doc_id"),
+    "m11_shot_boundaries" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
