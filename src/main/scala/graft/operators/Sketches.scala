@@ -113,4 +113,18 @@ object Sketches {
     df.filter(col(qCol).isNotNull)
       .groupBy(qualityBin(col(qCol)).as("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-source token-count table over rows carrying (source, token
+    * count): ≤ |sources| rows whatever the corpus size. Fifth member of
+    * the bounded-state sketch family (sum-merge, like [[cmsCells]] /
+    * [[qualityHistogram]]): a pure groupBy-sum onto the source domain,
+    * so batch map-side partials and Structured Streaming state both
+    * hold one row per source however long the ingest runs. This is the
+    * live half of the d67 mixture-diversity monitor: maintain this
+    * frame on the stream and read entropy / effective-source-count off
+    * the ≤20-row table whenever the alarm evaluates. */
+  def sourceTokenCounts(df: DataFrame, srcCol: String,
+      nToksCol: String): DataFrame =
+    df.groupBy(col(srcCol).as("source"))
+      .agg(sum(col(nToksCol)).as("n_tokens"))
 }

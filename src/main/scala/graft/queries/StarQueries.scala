@@ -2176,5 +2176,76 @@ object StarQueries {
           CAST(m_score AS BIGINT) AS m_score,
           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_cell
         FROM sc""")),
+
+    // ---- co-purchase lift: brand association rules -----------------------
+    // The market-basket family (nothing else in the matrix covers
+    // association mining): for every brand pair bought together in ≥ 3
+    // orders, support n_ab/N and lift n_ab·N/(n_a·n_b) — lift > 1 means
+    // the pair co-occurs more than independence predicts (bundle/
+    // cross-sell signal), < 1 means substitution.
+    //
+    // Scale shape: the basket frame collapses to DISTINCT (order, brand)
+    // first — map-side, and bounded per order by the BRAND domain (~25),
+    // not by line items. Pairs come from per-order sorted brand sets
+    // (collect_set bounded by that domain — never a hot-key hazard, the
+    // d63 srcSets pattern) exploded to ≤ C(25,2) combos and folded onto
+    // the ≤ 300-row pair domain; marginals and the N scalar derive from
+    // the SAME distinct frame (one corpus-sized lineage, everything
+    // after it domain-bounded) and broadcast back onto the pair table.
+    //
+    // Exactness: all counts are exact distinct-order int64s; support and
+    // lift divide them as doubles in one op order, rounded at 6 dp.
+    GraftQuery(
+      "q51_copurchase_lift",
+      (s, d) => {
+        val ob = Tables.lineitem(s, d)
+          .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), Seq("l_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+        val tot = ob.agg(
+          count_distinct(col("l_orderkey")).cast("bigint").as("n"))
+        val marg = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+        val pairs = ob.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+          .filter(size(col("bs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(bs, (a, i) ->
+                 transform(slice(bs, i + 2, size(bs)),
+                   b -> struct(a AS ba, b AS bb))))""")).as("p"))
+          .groupBy(col("p.ba").as("brand_a"), col("p.bb").as("brand_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        pairs
+          .join(broadcast(marg.select(col("p_brand").as("brand_a"),
+            col("cnt").as("n_a"))), Seq("brand_a"))
+          .join(broadcast(marg.select(col("p_brand").as("brand_b"),
+            col("cnt").as("n_b"))), Seq("brand_b"))
+          .crossJoin(broadcast(tot))
+          .select(col("brand_a"), col("brand_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            round(col("n_ab").cast("double") / col("n").cast("double"), 6)
+              .as("support"),
+            round(col("n_ab").cast("double") * col("n").cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+              .as("lift"))
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+          FROM ob),
+        m AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM ob
+          GROUP BY 1),
+        pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+            CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM ob a JOIN ob b
+            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+          GROUP BY 1, 2)
+        SELECT brand_a, brand_b, n_ab, ma.cnt AS n_a, mb.cnt AS n_b,
+          round(CAST(n_ab AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS support,
+          round(CAST(n_ab AS DOUBLE) * CAST(t.n AS DOUBLE)
+            / (CAST(ma.cnt AS DOUBLE) * CAST(mb.cnt AS DOUBLE)), 6) AS lift
+        FROM pr JOIN m ma ON pr.brand_a = ma.p_brand
+          JOIN m mb ON pr.brand_b = mb.p_brand, tot t
+        WHERE n_ab >= 3""")),
   )
 }

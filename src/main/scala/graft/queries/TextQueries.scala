@@ -3075,9 +3075,11 @@ object TextQueries {
     // downstream eval does.
     //
     // Scale shape: ONE narrow scan folds token counts map-side onto the
-    // ~20-row source domain; every window after it (total, k, entropy
-    // sum) runs on that bounded frame — the d64 envelope. Nothing but
-    // the scan is corpus-sized at any scale.
+    // ~20-row source domain (Sketches.sourceTokenCounts — the substrate
+    // is also maintained as the FIFTH bounded-state streaming sketch,
+    // StatefulOpsSpec); every window after it (total, k, entropy sum)
+    // runs on that bounded frame — the d64 envelope. Nothing but the
+    // scan is corpus-sized at any scale.
     //
     // Exactness: shares divide exact int64 token counts as double in one
     // op order; ln rounds to 6 dp (the d32 rule), terms round to 6 dp,
@@ -3087,9 +3089,10 @@ object TextQueries {
       "d67_mixture_diversity",
       (s, d) => {
         val w = Window.partitionBy(lit(1))
-        Tables.documents(s, d)
-          .groupBy(col("source"))
-          .agg(sum(tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+        graft.operators.Sketches.sourceTokenCounts(
+          Tables.documents(s, d).select(col("source"),
+            tokenCount(col("text")).cast("bigint").as("n_toks")),
+          "source", "n_toks")
           .withColumn("tot", sum(col("n_tokens")).over(w))
           .withColumn("k", count(lit(1)).over(w))
           .withColumn("p",

@@ -84,8 +84,9 @@ class PlanShapeSpec extends SparkSpec {
       // broadcasts).
       "e27_tombstone_recall", "d69_lang_source_chi2",
       "d70_perplexity_buckets",
-      // e28 broadcasts the 1-row corpus-mean vector (e10's substrate).
-      "e28_centroid_outliers")
+      // e28 broadcasts the 1-row corpus-mean vector (e10's substrate);
+      // q51 cross-joins the 1-row distinct-order total (the q41 pattern).
+      "e28_centroid_outliers", "q51_copurchase_lift")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

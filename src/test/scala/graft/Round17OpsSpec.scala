@@ -609,6 +609,26 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q51 co-purchase lift: canonical pair order, count bounds, and " +
+      "support/lift arithmetic consistency") {
+    val rows = query("q51_copurchase_lift").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = {
+      val li = Tables.lineitem(spark, sfDir)
+      li.select(col("l_orderkey")).distinct().count()
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      assert(a < b, s"pair ($a, $b) not in canonical order")
+      val (ab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(ab >= 3 && ab <= math.min(na, nb),
+        s"co-count $ab outside [3, min($na, $nb)]")
+      assert(math.abs(r.getAs[Double]("support") - ab.toDouble / n) < 1e-5)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("e28 centroid outliers: dense bottom-20 ranking, ascending scores, " +
       "and genuinely-minimal tail") {
     val rows = query("e28_centroid_outliers").run(spark, sfDir)

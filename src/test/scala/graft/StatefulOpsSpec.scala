@@ -264,4 +264,36 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.size <= 3 * graft.operators.Sketches.BloomHashes)
     } finally q.stop()
   }
+
+  test("streaming source-token counts: maintenance equals the batch " +
+      "build, state bounded by the source domain") {
+    // d67's substrate (Sketches.sourceTokenCounts) as a streaming
+    // aggregation — the fifth bounded-state sketch (sum-merge onto the
+    // source domain): state is one row per source however long the
+    // ingest runs. This is the live half of the mixture-diversity
+    // monitor: maintain this frame on the stream, read entropy /
+    // effective-source-count off the ≤|sources|-row table at alarm time.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val counts = graft.operators.Sketches.sourceTokenCounts(
+      in.toDF().toDF("src", "n_toks"), "src", "n_toks")
+    val q = counts.writeStream.format("memory").queryName("srctoks")
+      .outputMode("complete").start()
+    try {
+      in.addData(("web", 120L), ("books", 400L), ("web", 80L))
+      q.processAllAvailable()
+      in.addData(("code", 50L), ("web", 100L))
+      q.processAllAvailable()
+      val streamed = spark.table("srctoks")
+        .as[(String, Long)].collect().toSet
+      val batch = graft.operators.Sketches.sourceTokenCounts(
+        Seq(("web", 120L), ("books", 400L), ("web", 80L),
+          ("code", 50L), ("web", 100L)).toDF("src", "n_toks"),
+        "src", "n_toks").as[(String, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed source-token counts diverge from the batch build")
+      assert(streamed.size == 3, "state must be one row per source")
+      assert(streamed.contains(("web", 300L)))
+    } finally q.stop()
+  }
 }

@@ -174,7 +174,12 @@ object StressScale {
     "m11_shot_boundaries" -> ("documents" -> "doc_id"),
     // e28: the per-dim mean folds onto the fixed 64-dim domain; scoring
     // is scan-linear and the bottom-20 rank is a WindowGroupLimit.
-    "e28_centroid_outliers" -> ("embeddings" -> "vec_id"))
+    "e28_centroid_outliers" -> ("embeddings" -> "vec_id"),
+    // q51: replicas shift l_orderkey, so baskets replicate with the
+    // SAME brand content — the pair/marginal domains are FIXED (≤ 300
+    // rows) and growth is the distinct scan + bounded per-order pair
+    // explode folding onto them.
+    "q51_copurchase_lift" -> ("lineitem" -> "l_orderkey"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
