@@ -3301,6 +3301,81 @@ object TextQueries {
           CASE (rk - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
             ELSE 'tail' END AS bucket
         FROM r""")),
+
+    // ---- quality-signal agreement audit (Spearman rank correlation) ------
+    // The methodological check a gating stack needs BEFORE it gates: do
+    // the heuristic quality score (d03) and the LM fluency score (d32)
+    // rank the corpus the same way? Spearman ρ over the two rankings —
+    // near 0 means the two gates remove DIFFERENT documents (each adds
+    // signal); near 1 means one is redundant; NEGATIVE means they
+    // actively disagree and one of them is miscalibrated. One scalar row:
+    // n scored docs, Σd², ρ = 1 − 6Σd²/(n(n²−1)). Ranks are row_number
+    // under a (score, doc_id) total order — the deterministic variant of
+    // Spearman (average-rank ties don't exist under a unique tie-break;
+    // with continuous scores the difference is measure-zero).
+    //
+    // Scale shape: two GlobalRank passes over the per-DOC scored frame
+    // (range-partitioned sorts — exact global ranks are the honest price
+    // of exact Spearman; the 100 TB relaxation is rank-from-quantile-bin
+    // via two fixed-size sketches). Everything else is one scan (both
+    // scores ride d32's shared lineage + a narrow quality column) and
+    // one 1-row fold.
+    //
+    // Exactness: ranks are integers; Σd² accumulates DECIMAL(38,0)
+    // products (order-free, overflow-proof at any n); ρ runs on doubles
+    // cast from those exact values in one op order, 6-dp rounded; the
+    // n ≤ 1 degenerate case yields NULL in both engines.
+    GraftQuery(
+      "d71_signal_agreement",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val sc = unigramLogprobDocs(s, d).filter(col("n_tokens") > 0)
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            qualityScore(col("text")).as("q")), Seq("doc_id"))
+          .select(col("doc_id"), col("q"), col("logprob_per_token").as("lp"))
+        val ranked = GlobalRank.withRowNumber(
+          GlobalRank.withRowNumber(sc,
+            Seq(col("q").asc, col("doc_id").asc), "rq"),
+          Seq(col("lp").asc, col("doc_id").asc), "rl")
+        val dd = (col("rq") - col("rl")).cast("decimal(19,0)")
+        ranked
+          .agg(count(lit(1)).as("n"), sum(dd * dd).as("d2"))
+          .select(col("n").as("n_docs"),
+            col("d2").cast("double").as("sum_d2"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise(round(lit(1.0) - lit(6.0) * col("d2").cast("double")
+                / (col("n").cast("double") * (col("n").cast("double")
+                  * col("n").cast("double") - lit(1.0))), 6))
+              .as("spearman_rho"))
+      },
+      Some(s"""WITH $sqlUnigramCtes,
+        qs AS (SELECT doc_id,
+            greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) END)) AS q
+          FROM documents),
+        j AS (SELECT sc.doc_id, qs.q, sc.logprob_per_token AS lp
+          FROM sc JOIN qs ON sc.doc_id = qs.doc_id WHERE sc.n_tokens > 0),
+        r AS (SELECT doc_id, q, lp,
+            CAST(row_number() OVER (ORDER BY q ASC, doc_id ASC) AS BIGINT)
+              AS rq,
+            CAST(row_number() OVER (ORDER BY lp ASC, doc_id ASC) AS BIGINT)
+              AS rl
+          FROM j),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST((rq - rl) AS DECIMAL(19,0))
+              * CAST((rq - rl) AS DECIMAL(19,0))) AS d2
+          FROM r)
+        SELECT n AS n_docs, CAST(d2 AS DOUBLE) AS sum_d2,
+          CASE WHEN n <= 1 THEN NULL
+            ELSE round(1.0 - 6.0 * CAST(d2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - 1.0)), 6) END AS spearman_rho
+        FROM a""")),
   )
 
   /** The d32 unigram-LM scoring lineage, shared with d70's bucketing:

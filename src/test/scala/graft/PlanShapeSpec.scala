@@ -85,8 +85,10 @@ class PlanShapeSpec extends SparkSpec {
       "e27_tombstone_recall", "d69_lang_source_chi2",
       "d70_perplexity_buckets",
       // e28 broadcasts the 1-row corpus-mean vector (e10's substrate);
-      // q51 cross-joins the 1-row distinct-order total (the q41 pattern).
-      "e28_centroid_outliers", "q51_copurchase_lift")
+      // q51 cross-joins the 1-row distinct-order total (the q41 pattern);
+      // d71 rides d32's shared scoring lineage (the d70 case).
+      "e28_centroid_outliers", "q51_copurchase_lift",
+      "d71_signal_agreement")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

@@ -629,6 +629,18 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("d71 Spearman agreement: bounds hold and rho reproduces from the " +
+      "reported Sd2/n") {
+    val r = query("d71_signal_agreement").run(spark, sfDir).head()
+    val (n, d2, rho) = (r.getAs[Long]("n_docs"), r.getAs[Double]("sum_d2"),
+      r.getAs[Double]("spearman_rho"))
+    assert(n > 1)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho $rho out of range")
+    val recomputed = 1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n.toDouble - 1.0))
+    assert(math.abs(rho - recomputed) < 1e-6,
+      s"rho $rho inconsistent with Sd2=$d2, n=$n")
+  }
+
   test("e28 centroid outliers: dense bottom-20 ranking, ascending scores, " +
       "and genuinely-minimal tail") {
     val rows = query("e28_centroid_outliers").run(spark, sfDir)

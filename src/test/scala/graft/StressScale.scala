@@ -179,7 +179,11 @@ object StressScale {
     // SAME brand content — the pair/marginal domains are FIXED (≤ 300
     // rows) and growth is the distinct scan + bounded per-order pair
     // explode folding onto them.
-    "q51_copurchase_lift" -> ("lineitem" -> "l_orderkey"))
+    "q51_copurchase_lift" -> ("lineitem" -> "l_orderkey"),
+    // d71: replicas duplicate text (vocab fixed), so growth is the
+    // scoring scan + the two GlobalRank range-sorts over 8× docs —
+    // sort-linear by design.
+    "d71_signal_agreement" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
