@@ -484,5 +484,80 @@ object MediaQueries {
           round(CAST(n_frames AS DOUBLE) / CAST(n_shots AS DOUBLE), 6)
             AS avg_shot_len
         FROM a""")),
+
+    // ---- speech-ratio / VAD gate over the audio chunk grid ---------------
+    // The audio-curation gate (m11's run logic in the audio domain): a
+    // real pipeline runs voice-activity detection per chunk and drops
+    // low-speech audio (music beds, silence, static) before transcription
+    // — paying the expensive ASR step only on speech. Per-chunk "energy"
+    // is the stub seam (byte 0 of md5(media_id ~ chunk_idx), scaled to
+    // [0,1) — deterministic in both engines); voiced = energy ≥ 0.4. Per
+    // audio: chunk/voiced counts, the speech ratio a keep-threshold
+    // reads, and the number of contiguous voiced SEGMENTS (the clip
+    // extractor's input — lag-window run starts, exactly m11's boundary
+    // rule).
+    //
+    // Scale shape: m05's chunk explode (bounded per audio by duration /
+    // hop) → ONE media_id exchange serving the lag window and the
+    // per-audio fold. Nothing is corpus-wide.
+    GraftQuery(
+      "m12_speech_ratio",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ch = Multimodal.audioChunks(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))
+        val en = ch.withColumn("energy",
+          expr("""cast(conv(substr(md5(concat(cast(media_id as string),
+            '~', cast(chunk_idx as string))), 1, 2), 16, 10) as int)""")
+            .cast("double") / lit(256.0))
+          .withColumn("voiced", (col("energy") >= 0.4).cast("long"))
+        val w = Window.partitionBy(col("media_id")).orderBy(col("chunk_idx"))
+        en.withColumn("prev", lag(col("voiced"), 1).over(w))
+          .withColumn("seg_start",
+            (col("voiced") === 1L &&
+              (col("prev").isNull || col("prev") === 0L)).cast("long"))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+            sum(col("voiced")).cast("bigint").as("n_voiced"),
+            sum(col("seg_start")).cast("bigint").as("n_segments"))
+          .withColumn("speech_ratio",
+            round(col("n_voiced").cast("double")
+              / col("n_chunks").cast("double"), 6))
+      },
+      Some(s"""WITH aud AS (SELECT doc_id AS media_id,
+            8000 * (1 + (${hexByte("md5(text)", 1)} % 4)) AS sample_rate,
+            (1 + (${hexByte("md5(text)", 2)} % 8)) AS dur_s,
+            ${hexByte("md5(text)", 3)} AS b3
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 1),
+        base AS (SELECT media_id, sample_rate,
+            CAST(sample_rate * dur_s + b3 * 100 AS BIGINT) AS n_samples,
+            CAST(sample_rate AS BIGINT) AS win,
+            CAST(sample_rate AS BIGINT) // 2 AS hop
+          FROM aud),
+        ch AS (SELECT media_id,
+            unnest(generate_series(0,
+              CASE WHEN n_samples <= win THEN 0
+                ELSE (n_samples - win) // hop END)) AS chunk_idx
+          FROM base),
+        en AS (SELECT media_id, chunk_idx,
+            CAST(${hexByte(
+              "md5(CAST(media_id AS VARCHAR) || '~' || CAST(chunk_idx AS VARCHAR))",
+              0)} AS DOUBLE) / 256.0 AS energy
+          FROM ch),
+        v AS (SELECT media_id, chunk_idx,
+            CASE WHEN energy >= 0.4 THEN 1 ELSE 0 END AS voiced FROM en),
+        l AS (SELECT *, lag(voiced)
+            OVER (PARTITION BY media_id ORDER BY chunk_idx) AS prev FROM v),
+        a AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(voiced) AS BIGINT) AS n_voiced,
+            CAST(SUM(CASE WHEN voiced = 1 AND (prev IS NULL OR prev = 0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+          FROM l GROUP BY 1)
+        SELECT media_id, n_chunks, n_voiced,
+          round(CAST(n_voiced AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+            AS speech_ratio,
+          n_segments
+        FROM a""")),
   )
 }

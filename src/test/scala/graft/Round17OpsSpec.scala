@@ -657,6 +657,23 @@ class Round17OpsSpec extends SparkSpec {
     assert(cs.last < 1.0, "outlier scores cannot reach the maximum")
   }
 
+  test("m12 VAD: voiced counts, segment bounds, and ratio arithmetic " +
+      "hold per audio") {
+    val rows = query("m12_speech_ratio").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, nv, ns) = (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_voiced"), r.getAs[Long]("n_segments"))
+      assert(nc >= 1 && nv >= 0 && nv <= nc)
+      // segments are maximal voiced runs: at least 1 if anything is
+      // voiced, at most min(voiced count, alternating-pattern ceiling)
+      assert(ns <= math.min(nv, (nc + 1) / 2))
+      assert((nv == 0) == (ns == 0))
+      assert(math.abs(r.getAs[Double]("speech_ratio") -
+        math.floor(nv.toDouble / nc.toDouble * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()

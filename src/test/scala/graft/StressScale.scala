@@ -183,7 +183,11 @@ object StressScale {
     // d71: replicas duplicate text (vocab fixed), so growth is the
     // scoring scan + the two GlobalRank range-sorts over 8× docs —
     // sort-linear by design.
-    "d71_signal_agreement" -> ("documents" -> "doc_id"))
+    "d71_signal_agreement" -> ("documents" -> "doc_id"),
+    // m12: the m05 chunk explode is bounded per audio; the lag window
+    // and fold ride one media_id exchange — partition count grows, not
+    // size (the m11 envelope).
+    "m12_speech_ratio" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
