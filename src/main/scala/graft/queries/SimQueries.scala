@@ -2009,5 +2009,91 @@ object SimQueries {
           FROM sc)
         SELECT vec_id, centroid_cos, outlier_rank FROM r
         WHERE outlier_rank <= 20""")),
+
+    // ---- embedding drift monitor between snapshots (per-dim z) -----------
+    // d64's PSI idea in the embedding domain: encoders get re-versioned,
+    // normalization bugs ship, a new dump's vectors silently shift — and
+    // every downstream index/centroid assumes they didn't. Split the
+    // corpus into prior/new halves (vec_id parity — the d64 snapshot
+    // convention), compare per-DIM means, and report each dim's shift in
+    // prior-std units: z = (μ_new − μ_prior)/max(σ_prior, 1e-6), plus
+    // the max/mean |z| scalars an alarm thresholds (|z| ≈ 0 here — same
+    // generator, as it must be; an encoder swap shows up as whole-axis
+    // shifts).
+    //
+    // Scale shape: ONE scan folds both snapshots' per-dim moments
+    // map-side onto the FIXED 64-dim domain (conditional decimal sums —
+    // one exchange, ≤64 rows after it); the z math and the max/mean
+    // windows run on those 64 rows. The e10/d64 envelope end-to-end.
+    //
+    // Exactness: moments accumulate 6-dp-rounded values as
+    // DECIMAL(18,6)/DECIMAL(28,12) (order-free); means/variance/z run on
+    // doubles cast from exact sums in ONE op order; variance clamps at 0
+    // before sqrt; σ floors at 1e-6 (the PSI zero-guard); z rounds 6 dp.
+    GraftQuery(
+      "e29_embedding_drift",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val el = Tables.validEmbeddings(s, d)
+          .select((col("vec_id") % 2).as("snap"),
+            posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+          .select(col("snap"), col("pos"), round(col("x"), 6).as("x"))
+        val m = el.groupBy(col("pos"))
+          .agg(
+            count(when(col("snap") === 0, 1)).as("n_p"),
+            sum(when(col("snap") === 0, col("x").cast("decimal(18,6)")))
+              .as("s_p"),
+            sum(when(col("snap") === 0,
+              (col("x") * col("x")).cast("decimal(28,12)"))).as("ss_p"),
+            count(when(col("snap") === 1, 1)).as("n_n"),
+            sum(when(col("snap") === 1, col("x").cast("decimal(18,6)")))
+              .as("s_n"))
+        m
+          .withColumn("mu_p", col("s_p").cast("double") / col("n_p").cast("double"))
+          .withColumn("mu_n", col("s_n").cast("double") / col("n_n").cast("double"))
+          .withColumn("var_p", greatest(
+            col("ss_p").cast("double") / col("n_p").cast("double")
+              - col("mu_p") * col("mu_p"), lit(0.0)))
+          .withColumn("z", round((col("mu_n") - col("mu_p"))
+            / greatest(sqrt(col("var_p")), lit(1e-6)), 6))
+          .withColumn("max_abs_z", max(abs(col("z"))).over(w))
+          .withColumn("mean_abs_z",
+            sum(abs(col("z")).cast("decimal(18,6)")).over(w).cast("double")
+              / count(lit(1)).over(w).cast("double"))
+          .select(col("pos").cast("bigint").as("pos"),
+            col("mu_p"), col("mu_n"),
+            round(sqrt(col("var_p")), 6).as("std_p"),
+            col("z"), col("max_abs_z"), col("mean_abs_z"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id % 2 AS snap,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+          FROM embeddings WHERE $sqlValidEmb),
+        el AS (SELECT snap, unnest(range(0, len(xs))) AS pos,
+            round(unnest(xs), 6) AS x FROM e),
+        m AS (SELECT pos,
+            CAST(COUNT(CASE WHEN snap = 0 THEN 1 END) AS BIGINT) AS n_p,
+            SUM(CASE WHEN snap = 0 THEN CAST(x AS DECIMAL(18,6)) END) AS s_p,
+            SUM(CASE WHEN snap = 0 THEN CAST(x * x AS DECIMAL(28,12)) END)
+              AS ss_p,
+            CAST(COUNT(CASE WHEN snap = 1 THEN 1 END) AS BIGINT) AS n_n,
+            SUM(CASE WHEN snap = 1 THEN CAST(x AS DECIMAL(18,6)) END) AS s_n
+          FROM el GROUP BY 1),
+        t AS (SELECT pos,
+            CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) AS mu_p,
+            CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE) AS mu_n,
+            greatest(CAST(ss_p AS DOUBLE) / CAST(n_p AS DOUBLE)
+              - (CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE))
+                * (CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE)), 0.0) AS var_p
+          FROM m),
+        z AS (SELECT pos, mu_p, mu_n, var_p,
+            round((mu_n - mu_p) / greatest(sqrt(var_p), 1e-6), 6) AS z
+          FROM t)
+        SELECT CAST(pos AS BIGINT) AS pos, mu_p, mu_n,
+          round(sqrt(var_p), 6) AS std_p, z,
+          MAX(abs(z)) OVER () AS max_abs_z,
+          CAST(CAST(SUM(CAST(abs(z) AS DECIMAL(18,6))) OVER ()
+              AS DECIMAL(38,6)) AS DOUBLE)
+            / CAST(CAST(COUNT(*) OVER () AS BIGINT) AS DOUBLE) AS mean_abs_z
+        FROM z""")),
   )
 }

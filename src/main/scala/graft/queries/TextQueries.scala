@@ -3376,6 +3376,78 @@ object TextQueries {
               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                 - 1.0)), 6) END AS spearman_rho
         FROM a""")),
+
+    // ---- quality-elected duplicate representatives (keep-best dedup) -----
+    // d53 elects each near-dup group's representative by MIN doc_id —
+    // the arbitrary-but-deterministic rule. Production pipelines
+    // increasingly keep the BEST duplicate instead (longest, cleanest,
+    // highest quality): this is d53's exact band machinery with the
+    // election flipped to argmax d03-quality (ties → smallest id). The
+    // argmax rides the same O(1)-state window trick: max of
+    // struct(q, −doc_id) is lexicographic — max quality first, then MIN
+    // id — so a boilerplate mega-bucket folds in constant window state,
+    // never an ordered buffer (the d53 scale rule, kept).
+    //
+    // Scale shape: identical to d53 — banded signatures explode T×docs
+    // rows, ONE (t, mh) window + one doc_id fold + the narrow left-join
+    // back; quality is one extra codegen'd column carried through.
+    //
+    // Exactness: quality doubles are engine-identical (the d03-verified
+    // arithmetic); the struct max / (q DESC, id ASC) row_number pair
+    // encode the same total order; int64 ids end-to-end.
+    GraftQuery(
+      "d72_best_rep_election",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), qualityScore(col("text")).as("q"),
+            expr(sparkGrams).as("sh"))
+        val banded = scored
+          .select(col("doc_id"), col("q"),
+            explode(expr(sparkMd5Bands)).as("bk"))
+          .filter(col("bk.mh").isNotNull)
+        val bucketBest = banded.withColumn("best",
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bk.t"), col("bk.mh"))))
+        val reps = bucketBest.groupBy(col("doc_id"))
+          .agg(max(col("best")).as("b"))
+          .select(col("doc_id"), (-col("b.nid")).as("rep_id"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+          .withColumn("kept",
+            (col("rep_id") === col("doc_id")).cast("int"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        qs AS (SELECT doc_id,
+            greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) END)) AS q
+          FROM documents),
+        g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
+        b AS (${sqlMd5Bands("g")}),
+        bq AS (SELECT b.doc_id, b.t, b.mh, qs.q FROM b
+          JOIN qs USING (doc_id)),
+        best AS (SELECT t, mh, doc_id AS bid, q AS bq,
+            row_number() OVER (PARTITION BY t, mh
+              ORDER BY q DESC, doc_id ASC) AS rn
+          FROM bq),
+        bb AS (SELECT t, mh, bid, bq FROM best WHERE rn = 1),
+        j AS (SELECT b2.doc_id, bb.bid,
+            row_number() OVER (PARTITION BY b2.doc_id
+              ORDER BY bb.bq DESC, bb.bid ASC) AS rn
+          FROM bq b2 JOIN bb USING (t, mh)),
+        r AS (SELECT doc_id, bid AS rep FROM j WHERE rn = 1)
+        SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep_id,
+          CAST(CASE WHEN COALESCE(r.rep, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INT) AS kept
+        FROM documents d LEFT JOIN r USING (doc_id)""")),
   )
 
   /** The d32 unigram-LM scoring lineage, shared with d70's bucketing:

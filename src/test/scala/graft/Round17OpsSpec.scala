@@ -674,6 +674,47 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("e29 drift monitor: full dim coverage, scalar consistency, and " +
+      "no drift on the same-generator fixture") {
+    val rows = query("e29_embedding_drift").run(spark, sfDir).collect()
+    assert(rows.length == 64, "must report every dim")
+    val zs = rows.map(r => math.abs(r.getAs[Double]("z")))
+    val maxZ = rows.head.getAs[Double]("max_abs_z")
+    assert(math.abs(maxZ - zs.max) < 1e-9, "max_abs_z != max |z|")
+    rows.foreach(r => assert(r.getAs[Double]("std_p") >= 0.0))
+    // same-generator halves: per-dim mean shift stays well under one
+    // prior-std (measured 0.30 at sf0.01); an encoder swap or
+    // normalization bug shows up as whole-axis |z| >> 1
+    assert(maxZ < 1.0, s"fixture halves drifted: max|z| = $maxZ")
+  }
+
+  test("d72 keep-best election: reps are at least as good as the docs " +
+      "they represent") {
+    val rows = query("d72_best_rep_election").run(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n, "election dropped docs")
+    val quality = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q"))
+      .toMap
+    rows.foreach { r =>
+      val (id, rep) = (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_id"))
+      assert(r.getAs[Int]("kept") == (if (id == rep) 1 else 0))
+      // a doc is a member of its own buckets, so its elected rep's
+      // quality can never be below its own
+      assert(quality(rep) >= quality(id) - 1e-12,
+        s"doc $id (q=${quality(id)}) elected worse rep $rep (q=${quality(rep)})")
+    }
+    // the flip must actually bite: at least one rep differs from d53's
+    // min-id election on the fixture
+    val d53 = query("d53_cluster_reps_md5").run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(rows.exists(r =>
+      d53(r.getAs[Long]("doc_id")) != r.getAs[Long]("rep_id")),
+      "keep-best election never diverged from min-id — the flip is dead")
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()

@@ -187,7 +187,14 @@ object StressScale {
     // m12: the m05 chunk explode is bounded per audio; the lag window
     // and fold ride one media_id exchange — partition count grows, not
     // size (the m11 envelope).
-    "m12_speech_ratio" -> ("documents" -> "doc_id"))
+    "m12_speech_ratio" -> ("documents" -> "doc_id"),
+    // e29: conditional moments fold onto the fixed 64-dim domain — the
+    // e10 envelope. d72: d53's band plan with one extra carried column;
+    // replicas duplicate text, so every bucket gains 8 members and the
+    // window/fold grow with the 8× banded rows (input-linear, the d66
+    // rule).
+    "e29_embedding_drift" -> ("embeddings" -> "vec_id"),
+    "d72_best_rep_election" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
