@@ -715,6 +715,118 @@ class Round17OpsSpec extends SparkSpec {
       "keep-best election never diverged from min-id — the flip is dead")
   }
 
+  test("q49 Gini closed forms on a constructed ledger: 0 under equality, " +
+      "(n-1)/3n under linear spends") {
+    // Semantic anchor independent of the fixture: segment EQ has 5
+    // equal spenders (Gini exactly 0); segment LIN has 10 customers
+    // spending 100..1000 — closed form G = (n−1)/(3n) = 0.3 and
+    // top-decile share 1000/5500.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    val custSchema = Tables.customer(spark, sfDir).schema
+    val ordSchema = Tables.orders(spark, sfDir).schema
+    // o_orderdate surfaces as TIMESTAMP_NTZ through the loader
+    val ts: Any = ordSchema("o_orderdate").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      case _ => java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    }
+    val custs =
+      (1 to 5).map(i => org.apache.spark.sql.Row(
+        i.toLong, s"c$i", 0, 0.0, "EQ")) ++
+      (11 to 20).map(i => org.apache.spark.sql.Row(
+        i.toLong, s"c$i", 0, 0.0, "LIN"))
+    val orders =
+      (1 to 5).map(i => org.apache.spark.sql.Row(
+        i.toLong, i.toLong, "F", 100.0, ts, "1-URGENT")) ++
+      (11 to 20).map(i => org.apache.spark.sql.Row(
+        i.toLong, i.toLong, "F", (i - 10) * 100.0, ts, "1-URGENT"))
+    spark.createDataFrame(custs.asJava, custSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.createDataFrame(orders.asJava, ordSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = query("q49_spend_gini").run(spark, dir).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    assert(got("EQ").getAs[Double]("gini") == 0.0)
+    assert(got("EQ").getAs[Double]("top10_share") == 0.0) // n<10: empty decile
+    assert(math.abs(got("LIN").getAs[Double]("gini") - 0.3) < 1e-9)
+    assert(math.abs(got("LIN").getAs[Double]("top10_share")
+      - 1000.0 / 5500.0) < 1e-6)
+  }
+
+  test("d69 chi-square is exactly 0 on a constructed independent " +
+      "contingency table") {
+    // lang en:20/fr:10 × source s1:12/s2:18 with cells exactly rt·ct/N
+    // (8/12/4/6 over N=30) — every contribution must be 0 and so must
+    // the statistic; dof = 1.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+    val schema = Tables.documents(spark, sfDir).schema
+    var id = 0L
+    val rows = Seq(("en", "s1", 8), ("en", "s2", 12),
+      ("fr", "s1", 4), ("fr", "s2", 6)).flatMap { case (l, s, n) =>
+      (1 to n).map { _ =>
+        id += 1
+        org.apache.spark.sql.Row(id, "w", l, s, 1L)
+      }
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = query("d69_lang_source_chi2").run(spark, dir).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Double]("contrib") == 0.0)
+      assert(r.getAs[Double]("chi2") == 0.0)
+      assert(r.getAs[Long]("dof") == 1L)
+    }
+  }
+
+  test("d68 BPE top pair is exact on a constructed vocabulary") {
+    // banana×2 + bandana×1: pair totals an:6, na:5, ba:3, nd:1, da:1 —
+    // hand-counted; the ranking must reproduce them.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val schema = Tables.documents(spark, sfDir).schema
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "banana banana", "en", "s1", 13L),
+      org.apache.spark.sql.Row(2L, "bandana", "en", "s1", 7L))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = query("d68_bpe_pair_counts").run(spark, dir)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("pair_count")))
+    assert(got.take(3).toSeq == Seq(("an", 6L), ("na", 5L), ("ba", 3L)),
+      s"BPE head ranking wrong: ${got.toSeq}")
+    assert(got.drop(3).toSet == Set(("da", 1L), ("nd", 1L)))
+  }
+
+  test("e29 drift alarm fires on an injected single-axis shift") {
+    // Construct embeddings whose odd half (snap 1) shifts dim 0 by +5
+    // while all other dims are identically distributed — the monitor
+    // must flag dim 0 with |z| >> 1 and leave the rest quiet.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val schema = Tables.validEmbeddings(spark, sfDir).schema
+    val dim = 64
+    val rows = (0L until 200L).map { id =>
+      val emb = (0 until dim).map { p =>
+        val base = (((id * 31 + p * 7) % 13) - 6).toFloat / 6.0f
+        if (p == 0 && id % 2 == 1) base + 5.0f else base
+      }
+      org.apache.spark.sql.Row(id, emb, 0)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = query("e29_embedding_drift").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("pos") -> r).toMap
+    assert(math.abs(got(0L).getAs[Double]("z")) > 3.0,
+      s"shifted dim not flagged: z = ${got(0L).getAs[Double]("z")}")
+    (1 until dim).foreach { p =>
+      assert(math.abs(got(p.toLong).getAs[Double]("z")) < 1.0,
+        s"quiet dim $p fired: z = ${got(p.toLong).getAs[Double]("z")}")
+    }
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()
