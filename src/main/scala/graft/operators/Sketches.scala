@@ -127,4 +127,25 @@ object Sketches {
       nToksCol: String): DataFrame =
     df.groupBy(col(srcCol).as("source"))
       .agg(sum(col(nToksCol)).as("n_tokens"))
+
+  /** Per-key first/second decimal-exact moments of a 6-dp-rounded value
+    * column: (n, s = Σx as DECIMAL(18,6), ss = Σx² as DECIMAL(28,12))
+    * per key tuple. Sixth member of the bounded-state sketch family
+    * (sum-merge): when the keys span a FIXED domain (e29 keys on
+    * (snapshot, dim) — ≤128 rows), batch map-side partials and
+    * Structured Streaming state are both domain-sized however much data
+    * flows through. This is the live half of the e29 drift monitor:
+    * maintain the stream's per-dim moments, freeze a baseline copy, and
+    * the z math reads two ≤64-row tables. The x² double→decimal cast is
+    * deterministic cross-engine because the true product of two 6-dp
+    * values is exactly a 12-dp decimal ≥ 5e-13 away from any half-ulp
+    * boundary, while the double error is ~1e-16. Callers must pass x
+    * ALREADY rounded to 6 dp (one definition of the rounding point —
+    * here — keeps batch, stream, and oracle in lockstep). */
+  def dimMoments(df: DataFrame, keyCols: Seq[String],
+      xCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("decimal(18,6)")).as("s"),
+        sum((col(xCol) * col(xCol)).cast("decimal(28,12)")).as("ss"))
 }

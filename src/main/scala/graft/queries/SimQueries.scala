@@ -2038,16 +2038,18 @@ object SimQueries {
           .select((col("vec_id") % 2).as("snap"),
             posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
           .select(col("snap"), col("pos"), round(col("x"), 6).as("x"))
-        val m = el.groupBy(col("pos"))
+        // shared substrate (operators/Sketches): the SAME (snap, pos)
+        // moment frame StatefulOpsSpec maintains as a streaming
+        // aggregation; the prior/new pivot below runs on its ≤128 rows
+        val mm = graft.operators.Sketches.dimMoments(
+          el, Seq("snap", "pos"), "x")
+        val m = mm.groupBy(col("pos"))
           .agg(
-            count(when(col("snap") === 0, 1)).as("n_p"),
-            sum(when(col("snap") === 0, col("x").cast("decimal(18,6)")))
-              .as("s_p"),
-            sum(when(col("snap") === 0,
-              (col("x") * col("x")).cast("decimal(28,12)"))).as("ss_p"),
-            count(when(col("snap") === 1, 1)).as("n_n"),
-            sum(when(col("snap") === 1, col("x").cast("decimal(18,6)")))
-              .as("s_n"))
+            sum(when(col("snap") === 0, col("n"))).as("n_p"),
+            sum(when(col("snap") === 0, col("s"))).as("s_p"),
+            sum(when(col("snap") === 0, col("ss"))).as("ss_p"),
+            sum(when(col("snap") === 1, col("n"))).as("n_n"),
+            sum(when(col("snap") === 1, col("s"))).as("s_n"))
         m
           .withColumn("mu_p", col("s_p").cast("double") / col("n_p").cast("double"))
           .withColumn("mu_n", col("s_n").cast("double") / col("n_n").cast("double"))

@@ -296,4 +296,38 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.contains(("web", 300L)))
     } finally q.stop()
   }
+
+  test("streaming per-dim moments: maintenance equals the batch build, " +
+      "state bounded by the dim domain") {
+    // e29's substrate (Sketches.dimMoments) as a streaming aggregation —
+    // the sixth bounded-state sketch (sum-merge of count/Σx/Σx² onto the
+    // fixed dim domain): state is one row per dim however long the
+    // embedding stream runs. The live half of a drift monitor: freeze a
+    // baseline copy of this frame, and e29's z math compares two
+    // ≤64-row tables at alarm time.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val moments = graft.operators.Sketches.dimMoments(
+      in.toDF().toDF("pos", "x"), Seq("pos"), "x")
+    val q = moments.writeStream.format("memory").queryName("dimmom")
+      .outputMode("complete").start()
+    try {
+      in.addData((0L, 0.5), (1L, -0.25), (0L, 0.75))
+      q.processAllAvailable()
+      in.addData((1L, 0.125), (0L, -0.5))
+      q.processAllAvailable()
+      val streamed = spark.table("dimmom")
+        .selectExpr("pos", "n", "cast(s as double)", "cast(ss as double)")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val batch = graft.operators.Sketches.dimMoments(
+        Seq((0L, 0.5), (1L, -0.25), (0L, 0.75), (1L, 0.125), (0L, -0.5))
+          .toDF("pos", "x"), Seq("pos"), "x")
+        .selectExpr("pos", "n", "cast(s as double)", "cast(ss as double)")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(streamed == batch,
+        "streamed moments diverge from the batch build")
+      assert(streamed.size == 2, "state must be one row per dim")
+      assert(streamed.contains((0L, 3L, 0.75, 1.0625)))
+    } finally q.stop()
+  }
 }
