@@ -448,8 +448,11 @@ object MediaQueries {
               "cast(conv(substr(md5(text), 9, 2), 16, 10) as int)"),
               lit(4))).as("shot_len"))
           .withColumn("fi", explode(sequence(lit(0), col("n_frames") - 1)))
-          .withColumn("scene", substring(md5(concat(col("text"), lit("#"),
-            expr("cast(fi div shot_len as int)").cast("string"))), 1, 4))
+          // full md5 (unlike m10's deliberately-bounded 16-bit key
+          // domain): adjacent-shot digest collisions would silently
+          // merge distinct shots, so the compare key keeps all 128 bits
+          .withColumn("scene", md5(concat(col("text"), lit("#"),
+            expr("cast(fi div shot_len as int)").cast("string"))))
         val wOrd = Window.partitionBy(col("media_id")).orderBy(col("fi"))
         v.withColumn("prev", lag(col("scene"), 1).over(wOrd))
           .withColumn("boundary",
@@ -470,8 +473,7 @@ object MediaQueries {
         fr AS (SELECT media_id, text, shot_len,
             unnest(range(0, n_frames)) AS fi FROM v),
         k AS (SELECT media_id, fi,
-            substr(md5(text || '#' || CAST(fi // shot_len AS INT)), 1, 4)
-              AS scene
+            md5(text || '#' || CAST(fi // shot_len AS INT)) AS scene
           FROM fr),
         b AS (SELECT media_id, scene,
             lag(scene) OVER (PARTITION BY media_id ORDER BY fi) AS prev

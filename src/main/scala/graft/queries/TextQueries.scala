@@ -2913,14 +2913,7 @@ object TextQueries {
             col("psi_total"))
       },
       Some(s"""WITH base AS (SELECT $sqlSnap AS snap0, text FROM documents),
-        sc AS (SELECT snap0 % 2 AS snap,
-            greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                    AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) END)) AS q
+        sc AS (SELECT snap0 % 2 AS snap, $sqlQualityOfText AS q
           FROM base WHERE snap0 IS NOT NULL AND text IS NOT NULL),
         b AS (SELECT snap,
             least(9, CAST(floor(q * 10.0) AS BIGINT)) AS bin FROM sc),
@@ -3349,14 +3342,7 @@ object TextQueries {
               .as("spearman_rho"))
       },
       Some(s"""WITH $sqlUnigramCtes,
-        qs AS (SELECT doc_id,
-            greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                    AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) END)) AS q
+        qs AS (SELECT doc_id, $sqlQualityOfText AS q
           FROM documents),
         j AS (SELECT sc.doc_id, qs.q, sc.logprob_per_token AS lp
           FROM sc JOIN qs ON sc.doc_id = qs.doc_id WHERE sc.n_tokens > 0),
@@ -3421,14 +3407,7 @@ object TextQueries {
             (col("rep_id") === col("doc_id")).cast("int"))
       },
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-        qs AS (SELECT doc_id,
-            greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                    AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-              * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) END)) AS q
+        qs AS (SELECT doc_id, $sqlQualityOfText AS q
           FROM documents),
         g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
         b AS (${sqlMd5Bands("g")}),
@@ -3449,6 +3428,23 @@ object TextQueries {
             THEN 1 ELSE 0 END AS INT) AS kept
         FROM documents d LEFT JOIN r USING (doc_id)""")),
   )
+
+  /** DuckDB expression for TextFunctions.qualityScore over a `text`
+    * column — ONE definition interpolated into every oracle that scores
+    * quality inline (d64's PSI binning, the Gopher gate CTE, d71's
+    * Spearman audit, d72's keep-best election), so the
+    * length/punct/upper formula can never drift between them. (d03's
+    * oracle keeps its historical subquery shape — it REPORTS the
+    * component ratios, so its formula is pinned against this one by the
+    * hash gate itself.) */
+  private lazy val sqlQualityOfText: String =
+    """greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+            * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+            * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END))"""
 
   /** The d32 unigram-LM scoring lineage, shared with d70's bucketing:
     * train the top-1000-vocab unigram LM over the corpus, score each doc
@@ -3639,13 +3635,7 @@ object TextQueries {
     s"""WITH sig AS (
         SELECT doc_id, text,
           CAST(len($sqlToks) AS BIGINT) AS n_tokens,
-          greatest(0.0, least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-            * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                  / CAST(length(text) AS DOUBLE) END)
-            * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-                  / CAST(length(text) AS DOUBLE) END)) AS quality_score,
+          $sqlQualityOfText AS quality_score,
           CASE WHEN len($sqlToks) = 0 THEN 0.0
             ELSE CAST(len(regexp_extract_all(lower(text), '$englishStopwordPattern')) AS DOUBLE)
               / CAST(len($sqlToks) AS DOUBLE) END AS stopword_ratio,

@@ -641,8 +641,8 @@ class Round17OpsSpec extends SparkSpec {
       s"rho $rho inconsistent with Sd2=$d2, n=$n")
   }
 
-  test("e28 centroid outliers: dense bottom-20 ranking, ascending scores, " +
-      "and genuinely-minimal tail") {
+  test("e28 centroid outliers: dense bottom-20 ranking that matches an " +
+      "independent driver-side brute force") {
     val rows = query("e28_centroid_outliers").run(spark, sfDir)
       .orderBy(col("outlier_rank")).collect()
     assert(rows.length == 20)
@@ -650,11 +650,36 @@ class Round17OpsSpec extends SparkSpec {
       "rank not dense from 1")
     val cs = rows.map(_.getAs[Double]("centroid_cos")).toSeq
     assert(cs == cs.sorted, "scores not ascending with rank")
-    // the returned tail must sit strictly below the corpus mean score —
-    // a broken mean vector or flipped sort would surface mid-pack rows
-    val all = Tables.validEmbeddings(spark, sfDir).count()
-    assert(all > 20)
-    assert(cs.last < 1.0, "outlier scores cannot reach the maximum")
+    // independent re-derivation in plain Scala, mirroring the query's
+    // exact arithmetic (6-dp HALF_UP round → exact decimal sum → double
+    // mean; strict left-fold dot/norm): the bottom-20 ids AND scores
+    // must agree bit-for-bit — a polluted mean vector, a dim-ordering
+    // slip in the reassembly, or a flipped sort all diverge here
+    import graft.functions.VectorFunctions.asDouble
+    val data = Tables.validEmbeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("xs"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    val dim = data.head._2.length
+    val n = data.length
+    val mus = Array.tabulate(dim) { p =>
+      data.map(d => BigDecimal(d._2(p))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / n.toDouble
+    }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double =
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    val expected = data.map { case (id, xs) => (id, cosine(xs, mus)) }
+      .sortBy { case (id, c) => (c, id) }.take(20)
+    val got = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("centroid_cos"))).toSeq
+    assert(got == expected.toSeq,
+      s"engine bottom-20 diverges from brute force:\n$got\nvs\n${expected.toSeq}")
   }
 
   test("m12 VAD: voiced counts, segment bounds, and ratio arithmetic " +
