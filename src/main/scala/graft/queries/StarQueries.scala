@@ -2247,5 +2247,67 @@ object StarQueries {
         FROM pr JOIN m ma ON pr.brand_a = ma.p_brand
           JOIN m mb ON pr.brand_b = mb.p_brand, tot t
         WHERE n_ab >= 3""")),
+
+    // ---- day-of-week seasonality indices (time-series decomposition) -----
+    // The first step of any seasonal decomposition (the family q28's
+    // trailing window and q44's gap-fill don't cover): per weekday, the
+    // mean daily revenue relative to the overall mean daily revenue —
+    // index > 1 marks the heavy days; a forecaster divides by it to
+    // deseasonalize, a capacity planner staffs by it. Weekday is
+    // computed ARITHMETICALLY (epoch-day mod 7, class 0 ≡ Thursday
+    // 1970-01-01) — never an engine's dayofweek(), whose 0-vs-1-based
+    // Sunday convention differs across engines.
+    //
+    // Scale shape: the fact table collapses to per-day decimal revenue
+    // under map-side partial agg (the q28 move), the 7-class rollup
+    // collapses the calendar, and the overall-mean windows run on ≤ 7
+    // rows. One calendar-bounded lineage after the first groupBy.
+    //
+    // Exactness: day/class revenue stays decimal; means divide exact
+    // decimal-cast doubles by exact counts in ONE op order; the index
+    // divides the two means in the same order, 6-dp rounded.
+    GraftQuery(
+      "q52_dow_seasonality",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("dow_idx",
+            pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7))
+              .cast("bigint"))
+          .groupBy(col("dow_idx"))
+          .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("rev_dec"))
+          .withColumn("tot_rev", sum(col("rev_dec")).over(w))
+          .withColumn("tot_days", sum(col("n_days")).over(w))
+          .withColumn("mean_rev", round(col("rev_dec").cast("double")
+            / col("n_days").cast("double"), 6))
+          .withColumn("seasonal_index",
+            round((col("rev_dec").cast("double") / col("n_days").cast("double"))
+              / (col("tot_rev").cast("double") / col("tot_days").cast("double")),
+              6))
+          .select(col("dow_idx"), col("n_days"),
+            col("rev_dec").cast("double").as("total_rev"),
+            col("mean_rev"), col("seasonal_index"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        cls AS (SELECT ((day - DATE '1970-01-01') % 7 + 7) % 7 AS dow_idx,
+            rev FROM daily),
+        g AS (SELECT CAST(dow_idx AS BIGINT) AS dow_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_days,
+            SUM(rev) AS rev_dec
+          FROM cls GROUP BY 1),
+        t AS (SELECT *,
+            CAST(SUM(rev_dec) OVER () AS DECIMAL(38,2)) AS tot_rev,
+            CAST(SUM(n_days) OVER () AS BIGINT) AS tot_days FROM g)
+        SELECT dow_idx, n_days, CAST(rev_dec AS DOUBLE) AS total_rev,
+          round(CAST(rev_dec AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+            AS mean_rev,
+          round((CAST(rev_dec AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(tot_rev AS DOUBLE) / CAST(tot_days AS DOUBLE)), 6)
+            AS seasonal_index
+        FROM t""")),
   )
 }

@@ -3427,6 +3427,54 @@ object TextQueries {
           CAST(CASE WHEN COALESCE(r.rep, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS INT) AS kept
         FROM documents d LEFT JOIN r USING (doc_id)""")),
+
+    // ---- k-anonymity audit over quasi-identifiers ------------------------
+    // The governance question the PII scrub (d26) doesn't answer:
+    // masking direct identifiers still leaves QUASI-identifiers, and a
+    // doc whose (lang, source, length-bucket) tuple is shared by fewer
+    // than k documents is re-identifiable by that combination alone.
+    // Classic k-anonymity (k = 5): per equivalence class, its size and
+    // at-risk flag, plus the corpus-wide share of docs sitting in
+    // under-k classes — the scalar a release review gates on
+    // (generalize the buckets or suppress the tail until it's ~0).
+    //
+    // Scale shape: ONE scan folds map-side onto the lang × source × 10
+    // length-bucket class domain; the risky-share windows run on that
+    // bounded grid. The d64/d69 envelope.
+    //
+    // Exactness: class counts are exact int64; the share divides exact
+    // sums as double in one op order, 6-dp rounded; the length bucket is
+    // pure integer arithmetic (n_chars div 100, clamped to 9).
+    GraftQuery(
+      "d73_k_anonymity",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            least(lit(9L), expr("cast(n_chars div 100 as bigint)"))
+              .as("len_bucket"))
+          .groupBy(col("lang"), col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("at_risk", (col("n_docs") < 5).cast("int"))
+          .withColumn("risky_share",
+            round(sum(when(col("at_risk") === 1, col("n_docs"))
+                .otherwise(0L)).over(w).cast("double")
+              / sum(col("n_docs")).over(w).cast("double"), 6))
+      },
+      Some("""WITH cls AS (SELECT lang, source,
+            least(9, n_chars // 100) AS len_bucket FROM documents),
+        g AS (SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM cls GROUP BY 1, 2, 3),
+        f AS (SELECT *,
+            CAST(CASE WHEN n_docs < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+          FROM g)
+        SELECT lang, source, len_bucket, n_docs, at_risk,
+          round(CAST(CAST(SUM(CASE WHEN at_risk = 1 THEN n_docs ELSE 0 END)
+              OVER () AS BIGINT) AS DOUBLE)
+            / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE), 6)
+            AS risky_share
+        FROM f""")),
   )
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`

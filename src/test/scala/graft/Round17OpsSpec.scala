@@ -852,6 +852,42 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q52 seasonality: revenue conserved, indices consistent, and " +
+      "day-weighted index mean is 1") {
+    val rows = query("q52_dow_seasonality").run(spark, sfDir).collect()
+    assert(rows.length == 7, "a year-spanning fixture must hit all 7 classes")
+    val totRev = rows.map(_.getAs[Double]("total_rev")).sum
+    val exact = Tables.orders(spark, sfDir)
+      .agg(sum(graft.queries.GraftQuery.dec(col("o_totalprice")))
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(totRev - exact) < 1e-6, "class revenue not conserved")
+    val totDays = rows.map(_.getAs[Long]("n_days")).sum
+    val overallMean = totRev / totDays.toDouble
+    rows.foreach { r =>
+      val idx = r.getAs[Double]("seasonal_index")
+      assert(math.abs(idx - r.getAs[Double]("mean_rev") / overallMean) < 1e-4)
+    }
+    val weighted = rows.map(r =>
+      r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum / totDays
+    assert(math.abs(weighted - 1.0) < 1e-4,
+      s"day-weighted index mean drifted: $weighted")
+  }
+
+  test("d73 k-anonymity: classes cover the corpus and the risky share " +
+      "reproduces from the class table") {
+    val rows = query("d73_k_anonymity").run(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "classes don't partition the corpus")
+    val risky = rows.filter(_.getAs[Int]("at_risk") == 1)
+      .map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      assert((r.getAs[Long]("n_docs") < 5) == (r.getAs[Int]("at_risk") == 1))
+      assert(math.abs(r.getAs[Double]("risky_share")
+        - math.floor(risky.toDouble / n.toDouble * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()

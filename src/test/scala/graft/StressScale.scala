@@ -194,7 +194,12 @@ object StressScale {
     // window/fold grow with the 8× banded rows (input-linear, the d66
     // rule).
     "e29_embedding_drift" -> ("embeddings" -> "vec_id"),
-    "d72_best_rep_election" -> ("documents" -> "doc_id"))
+    "d72_best_rep_election" -> ("documents" -> "doc_id"),
+    // q52: the fact scan folds onto the calendar then the 7-class
+    // domain (the q28 envelope). d73: one scan onto the fixed
+    // lang × source × 10-bucket grid (the d64/d69 envelope).
+    "q52_dow_seasonality" -> ("orders" -> "o_orderkey"),
+    "d73_k_anonymity" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
