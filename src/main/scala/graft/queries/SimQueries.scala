@@ -1971,11 +1971,14 @@ object SimQueries {
     //
     // Scale shape: the per-dim mean folds map-side onto the FIXED 64-dim
     // domain (one constant-size exchange), broadcasts back as one row,
-    // and scoring is a narrow codegen'd scan pass. The bottom-k rank is
-    // row_number ≤ 20 over an unpartitioned window — the d29/q36 rule:
-    // it compiles to a map-side WindowGroupLimit, so each task forwards
-    // at most 20 rows and the final sort sees 20 × tasks rows, never the
-    // corpus.
+    // and scoring is a narrow codegen'd scan pass. The bottom-k is
+    // orderBy + limit(20), which compiles to TakeOrderedAndProject —
+    // each task keeps its own 20 smallest and the driver merges 20 ×
+    // tasks rows, never the corpus. (NOT an unpartitioned row_number ≤
+    // 20 filter: Catalyst's WindowGroupLimit insertion needs a
+    // partitionSpec, so that form funnels every row through ONE window
+    // task — the q27 trap; plan-pinned in PlanShapeSpec.) The rank
+    // label is then a window over the 20 surviving rows.
     //
     // Exactness: the mean vector is identical doubles in both engines
     // (decimal-exact sums, one division order); cosine is the verified
@@ -1994,10 +1997,11 @@ object SimQueries {
           .as("mus"))
         e.crossJoin(broadcast(ma))
           .withColumn("centroid_cos", cosine(col("xs"), col("mus")))
+          .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+          .limit(20)
           .withColumn("outlier_rank", row_number().over(
             Window.orderBy(col("centroid_cos").asc, col("vec_id").asc))
             .cast("bigint"))
-          .filter(col("outlier_rank") <= 20)
           .select(col("vec_id"), col("centroid_cos"), col("outlier_rank"))
       },
       Some(s"""WITH $sqlDimMeanCtes,

@@ -3134,9 +3134,12 @@ object TextQueries {
     // domain first (the d24/d62 move — pair expansion runs over distinct
     // words × their bounded lengths, never over corpus tokens), then
     // pairs fold onto the alphabet² domain (≤ ~1.4k rows for ASCII
-    // letters). The top-20 rank is an unpartitioned window over that
-    // BOUNDED pair domain compiling to a map-side WindowGroupLimit — the
-    // e24 exemption. Nothing after the first groupBy is corpus-sized.
+    // letters). The top-20 is orderBy + limit over that BOUNDED pair
+    // domain — TakeOrderedAndProject, each task forwarding its own 20
+    // (an unpartitioned row_number ≤ k filter would NOT get a
+    // WindowGroupLimit — Catalyst's insertion needs a partitionSpec;
+    // plan-pinned in PlanShapeSpec); the rank label is a window over
+    // the 20 survivors. Nothing after the first groupBy is corpus-sized.
     //
     // Exactness: integer counts end-to-end; ties rank by pair text
     // (unique), so the cut is deterministic in both engines. Overlapping
@@ -3155,11 +3158,12 @@ object TextQueries {
             "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
             .as("pair"))
           .groupBy(col("pair")).agg(sum(col("w")).cast("bigint").as("pair_count"))
+          .orderBy(col("pair_count").desc, col("pair").asc)
+          .limit(20)
           .withColumn("merge_rank",
             row_number().over(
               Window.orderBy(col("pair_count").desc, col("pair").asc))
               .cast("bigint"))
-          .filter(col("merge_rank") <= 20)
       },
       Some(s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         tok AS (SELECT unnest(toks) AS tok FROM t),

@@ -102,6 +102,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d68/e28 global top-/bottom-k compiles to TakeOrderedAndProject, " +
+      "never a corpus-wide single-partition rank window") {
+    // Unpartitioned row_number ≤ k does NOT get a WindowGroupLimit
+    // (Catalyst's insertion needs a partitionSpec — verified on Spark
+    // 4.1, the filter stays above a single-partition Window), so the
+    // global cut must be orderBy + limit: TakeOrderedAndProject keeps k
+    // rows per task and merges k × tasks at the driver. The rank-label
+    // window that follows runs on the ≤ k surviving rows only.
+    Seq("d68_bpe_pair_counts", "e28_centroid_outliers").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n: global top-k lost its map-side take")
+    }
+  }
+
   test("q36 KMV sketch build: per-type top-k is a map-side " +
       "WindowGroupLimit, never a full per-type sort of the distinct set") {
     // The distributed-KMV merge property: row_number ≤ k must plan as
