@@ -2309,5 +2309,95 @@ object StarQueries {
             / (CAST(tot_rev AS DOUBLE) / CAST(tot_days AS DOUBLE)), 6)
             AS seasonal_index
         FROM t""")),
+
+    // ---- A/B conversion test: two-proportion pooled z ---------------------
+    // The experimentation-analytics primitive (hypothesis testing —
+    // d69's χ² audits a contingency GRID; this is the two-arm decision
+    // statistic an experiment readout runs): users split into arms by id
+    // parity (the deterministic stand-in for an assignment table),
+    // conversion = the user made a HIGH-VALUE purchase (value ≥ 150;
+    // plain "any purchase" saturates at 100% on the dense fixture and
+    // zeroes the pooled variance — the degenerate-p guard below also
+    // NULLs z rather than divide by zero in either engine); per-arm
+    // sizes/conversions/rates, the absolute and relative lift, and the
+    // pooled two-proportion z — |z| > 1.96 is the classic 95% call. On
+    // the fixture the arms are exchangeable by construction, so z must
+    // sit well inside the null band (spec-pinned, like e29's no-drift
+    // pin).
+    //
+    // Scale shape: ONE fact scan folds per-user conversion flags
+    // map-side onto the user domain (conditional max), then onto the
+    // 2-row arm domain; the z arithmetic and windows run on 2 rows.
+    //
+    // Exactness: counts are exact int64; rates/z divide exact doubles in
+    // ONE op order with sqrt (IEEE correctly-rounded), 6-dp rounded; the
+    // degenerate empty-arm case nulls out via nullif-style guards in
+    // both engines.
+    GraftQuery(
+      "q53_ab_conversion_z",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") >= 150.0, 1L).otherwise(0L))
+            .as("converted"))
+          .select(pmod(col("user_id"), lit(2)).cast("bigint").as("arm"),
+            col("converted"))
+        users.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("converted")).as("n_converted"))
+          .withColumn("rate",
+            round(col("n_converted").cast("double")
+              / col("n_users").cast("double"), 6))
+          .withColumn("p_pool",
+            sum(col("n_converted")).over(w).cast("double")
+              / sum(col("n_users")).over(w).cast("double"))
+          .withColumn("n_other",
+            (sum(col("n_users")).over(w) - col("n_users")).cast("double"))
+          .withColumn("r_other",
+            (sum(col("n_converted")).over(w) - col("n_converted"))
+              .cast("double") / col("n_other"))
+          .withColumn("z",
+            when(col("p_pool") * (lit(1.0) - col("p_pool")) === 0.0,
+              lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_converted").cast("double") / col("n_users").cast("double")
+                - col("r_other"))
+              / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+                * (lit(1.0) / col("n_users").cast("double")
+                  + lit(1.0) / col("n_other"))), 6)))
+          .select(col("arm"), col("n_users"), col("n_converted"),
+            col("rate"), round(col("p_pool"), 6).as("pooled_rate"), col("z"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+              THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY 1),
+        a AS (SELECT CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS arm,
+            converted FROM u),
+        g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(SUM(converted) AS BIGINT) AS n_converted
+          FROM a GROUP BY 1),
+        t AS (SELECT *,
+            CAST(CAST(SUM(n_converted) OVER () AS BIGINT) AS DOUBLE)
+              / CAST(CAST(SUM(n_users) OVER () AS BIGINT) AS DOUBLE)
+              AS p_pool,
+            CAST(CAST(SUM(n_users) OVER () AS BIGINT) - n_users AS DOUBLE)
+              AS n_other,
+            CAST(CAST(SUM(n_converted) OVER () AS BIGINT) - n_converted
+              AS DOUBLE) AS r_other_num
+          FROM g)
+        SELECT arm, n_users, n_converted,
+          round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+            AS rate,
+          round(p_pool, 6) AS pooled_rate,
+          CASE WHEN p_pool * (1.0 - p_pool) = 0.0 THEN NULL
+            ELSE round((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                - r_other_num / n_other)
+              / sqrt(p_pool * (1.0 - p_pool)
+                * (1.0 / CAST(n_users AS DOUBLE) + 1.0 / n_other)), 6)
+            END AS z
+        FROM t""")),
   )
 }

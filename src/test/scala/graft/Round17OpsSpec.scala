@@ -888,6 +888,24 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q53 A/B z-test: antisymmetric arms and a null-band result on the " +
+      "exchangeable fixture") {
+    val rows = query("q53_ab_conversion_z").run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("arm") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    val (z0, z1) = (rows(0L).getAs[Double]("z"), rows(1L).getAs[Double]("z"))
+    // two-proportion z is antisymmetric in the arm roles
+    assert(math.abs(z0 + z1) < 1e-5, s"z not antisymmetric: $z0 vs $z1")
+    // id-parity arms of one generator are exchangeable: the test must
+    // NOT reject at 95% (a significant z here means broken pooling math)
+    assert(math.abs(z0) < 1.96, s"exchangeable arms read significant: $z0")
+    rows.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rate")
+        - math.floor(r.getAs[Long]("n_converted").toDouble
+          / r.getAs[Long]("n_users").toDouble * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
   test("e27 tombstones: probes are live, answers obey the fetch-filter " +
       "arithmetic, and recall is bounded") {
     val rows = query("e27_tombstone_recall").run(spark, sfDir).collect()

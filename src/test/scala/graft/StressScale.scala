@@ -199,7 +199,11 @@ object StressScale {
     // domain (the q28 envelope). d73: one scan onto the fixed
     // lang × source × 10-bucket grid (the d64/d69 envelope).
     "q52_dow_seasonality" -> ("orders" -> "o_orderkey"),
-    "d73_k_anonymity" -> ("documents" -> "doc_id"))
+    "d73_k_anonymity" -> ("documents" -> "doc_id"),
+    // q53: replicas shift event_id but keep user_id, so the per-user
+    // conversion frame — and the 2-row arm rollup — is FIXED; only the
+    // conditional-max fold's scan grows.
+    "q53_ab_conversion_z" -> ("events" -> "event_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
