@@ -203,7 +203,14 @@ object StressScale {
     // q53: replicas shift event_id but keep user_id, so the per-user
     // conversion frame — and the 2-row arm rollup — is FIXED; only the
     // conditional-max fold's scan grows.
-    "q53_ab_conversion_z" -> ("events" -> "event_id"))
+    "q53_ab_conversion_z" -> ("events" -> "event_id"),
+    // Pair family under quadratic-dup replication (the StressDup shape
+    // driven through the standard exponent harness): replicas duplicate
+    // text, so every minhash/band bucket gains a replica per rep — at
+    // 64× the buckets sit AT the 64-member cap, the adversarial corner
+    // of the capped-pair design.
+    "d12_minhash_lsh_pairs" -> ("documents" -> "doc_id"),
+    "d47_banded_lsh_md5" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
