@@ -2101,5 +2101,154 @@ object SimQueries {
               AS DECIMAL(38,6)) AS DOUBLE)
             / CAST(CAST(COUNT(*) OVER () AS BIGINT) AS DOUBLE) AS mean_abs_z
         FROM z""")),
+
+    // ---- pairwise-cosine isotropy histogram -------------------------------
+    // The embedding-space health check the drift monitor (e29) doesn't
+    // give: the DISTRIBUTION of similarities between unrelated vectors.
+    // An isotropic space concentrates random-pair cosine near 0; a
+    // collapsed/anisotropic one (the classic "all sentence embeddings
+    // look alike" failure) shifts the whole histogram right — the
+    // diagnostic to run BEFORE trusting any fixed similarity threshold
+    // (e04/d42's 0.9, e03's 0.4). Pairs are a deterministic bounded
+    // sample: (v, v+δ) for δ ∈ {1, 7, 49} — three id-offset families, no
+    // randomness, ~3n pairs.
+    //
+    // Scale shape: three narrow equi-joins on vec_id (each vector meets a
+    // CONSTANT number of partners — never a cross join), one map-side
+    // fold onto the fixed 20-bin grid; the share window runs on 20 rows.
+    //
+    // Exactness: the cosine fold is the documented bit-identical pair
+    // (strict left fold in both engines); bin flooring consumes those
+    // identical doubles; per-bin means round each cosine to 6 dp and sum
+    // as exact decimals.
+    GraftQuery(
+      "e30_pair_cos_histogram",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val e = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        val pairs = Seq(1L, 7L, 49L)
+          .map(o => a.withColumn("b_id", col("a_id") + lit(o)))
+          .reduce(_ unionAll _)
+          .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")),
+            Seq("b_id"))
+          .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+        pairs
+          .select(least(lit(19L), greatest(lit(0L),
+            floor((col("cos") + lit(1.0)) * lit(10.0)).cast("long")))
+            .as("bin"),
+            col("cos"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round(col("cos"), 6).cast("decimal(18,6)")).as("cos_sum"))
+          .withColumn("share", round(col("n_pairs").cast("double")
+            / sum(col("n_pairs")).over(w).cast("double"), 6))
+          .select(col("bin"), col("n_pairs"), col("share"),
+            round(col("cos_sum").cast("double")
+              / col("n_pairs").cast("double"), 6).as("mean_cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE $sqlValidEmb),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            ${sqlCos("a.emb", "b.emb")} AS cos
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+          UNION ALL
+          SELECT a.vec_id, b.vec_id, ${sqlCos("a.emb", "b.emb")}
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 7
+          UNION ALL
+          SELECT a.vec_id, b.vec_id, ${sqlCos("a.emb", "b.emb")}
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 49),
+        binned AS (SELECT least(19, greatest(0,
+            CAST(floor((cos + 1.0) * 10.0) AS BIGINT))) AS bin, cos
+          FROM p),
+        g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS cos_sum
+          FROM binned GROUP BY 1)
+        SELECT bin, n_pairs,
+          round(CAST(n_pairs AS DOUBLE) / CAST(CAST(SUM(n_pairs) OVER ()
+            AS BIGINT) AS DOUBLE), 6) AS share,
+          round(CAST(cos_sum AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+            AS mean_cos
+        FROM g""")),
+
+    // ---- hubness audit: who keeps showing up in top-k lists ---------------
+    // The known pathology of high-dimensional kNN (hub points appear in
+    // a disproportionate share of OTHER points' neighbor lists, dragging
+    // retrieval quality and dedup precision down with them): over the
+    // e18 probe sample, take each probe's top-10 neighbors and count how
+    // often each corpus vector is retrieved — the top-20 hubs with their
+    // share of all retrievals. A healthy space spreads hits; a hubby one
+    // concentrates them (monitor alongside e30's histogram).
+    //
+    // Scale shape: the probe side is the e18 contract (≥1% modulus
+    // sample, broadcast); per-probe top-10 is a rank window whose
+    // map-side group limit absorbs the corpus before the exchange; hit
+    // counts fold onto the neighbor-id domain; the final top-20 is an
+    // orderBy+limit → TakeOrderedAndProject (per-partition heads, never
+    // a global sort — the d68/e28 rule); the 1-row total broadcasts.
+    //
+    // Exactness: counts exact int64; the share divides exact int64s,
+    // 6-dp rounded; ranking keys are (count, vec_id) — all integers.
+    GraftQuery(
+      "e31_hubness_audit",
+      (s, d) => {
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+            col("label"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = emb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        val w = Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        val nn = emb.select(col("vec_id").as("b_id"),
+            col("emb").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("a_id"), col("b_id"))
+        val tot = broadcast(nn.agg(count(lit(1)).as("total")))
+        val hubs = nn.groupBy(col("b_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(tot)
+          .orderBy(col("n_hits").desc, col("b_id").asc)
+          .limit(20)
+        hubs
+          .join(emb.select(col("vec_id").as("b_id"), col("label")),
+            Seq("b_id"))
+          .select(col("b_id").as("vec_id"), col("label"), col("n_hits"),
+            round(col("n_hits").cast("double")
+              / col("total").cast("double"), 6).as("hit_share"))
+          .withColumn("hub_rank", row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(col("n_hits").desc, col("vec_id").asc))
+            .cast("bigint"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        nn AS (SELECT a_id, b_id FROM (
+          SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 10),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM nn),
+        h AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM nn GROUP BY 1),
+        top AS (SELECT b_id, n_hits FROM h
+          ORDER BY n_hits DESC, b_id ASC LIMIT 20)
+        SELECT t.b_id AS vec_id, b.label, t.n_hits,
+          round(CAST(t.n_hits AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+            AS hit_share,
+          CAST(row_number() OVER (ORDER BY t.n_hits DESC, t.b_id ASC)
+            AS BIGINT) AS hub_rank
+        FROM top t JOIN b ON t.b_id = b.vec_id, tot""")),
   )
 }

@@ -2399,5 +2399,273 @@ object StarQueries {
                 * (1.0 / CAST(n_users AS DOUBLE) + 1.0 / n_other)), 6)
             END AS z
         FROM t""")),
+
+    // ---- Benford first-digit audit -----------------------------------------
+    // The forensic data-quality primitive: naturally occurring monetary
+    // amounts follow Benford's law (P(d) = log10(1 + 1/d)); synthetic,
+    // fabricated, or truncated feeds don't. Per leading digit of
+    // o_totalprice: observed count/share, the Benford share, and the
+    // corpus-wide χ² against the Benford expectation — the single scalar
+    // an ingest monitor alarms on (the fixture's uniform generator is
+    // intentionally NOT Benford-ish, so the χ² is large and pinned by
+    // the oracle, not asserted small).
+    //
+    // Scale shape: ONE fact scan folds map-side onto the 9-digit domain;
+    // the χ² window runs on 9 rows. The q42/q52 fixed-domain envelope.
+    //
+    // Exactness: digit extraction is integer/string (floor of a 2-dp
+    // double < 2^53 is exact); counts are exact int64; the Benford share
+    // is rounded to 6 dp FIRST so every downstream term consumes the
+    // same 6-dp value in both engines; per-digit χ² terms round to 6 dp
+    // and sum as exact decimals before the final double cast.
+    GraftQuery(
+      "q54_benford_digits",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.orders(s, d)
+          .select(substring(floor(col("o_totalprice")).cast("bigint")
+            .cast("string"), 1, 1).cast("bigint").as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("total", sum(col("n_orders")).over(w))
+          .withColumn("benford_share",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
+              6))
+          .withColumn("exp_n",
+            col("total").cast("double") * col("benford_share"))
+          .withColumn("chi2_term",
+            round((col("n_orders").cast("double") - col("exp_n"))
+              * (col("n_orders").cast("double") - col("exp_n"))
+              / col("exp_n"), 6))
+          .withColumn("chi2",
+            sum(col("chi2_term").cast("decimal(18,6)")).over(w)
+              .cast("double"))
+          .select(col("digit"), col("n_orders"),
+            round(col("n_orders").cast("double")
+              / col("total").cast("double"), 6).as("share"),
+            col("benford_share"), col("chi2_term"), col("chi2"))
+      },
+      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+              AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders),
+        g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM dg GROUP BY 1),
+        t AS (SELECT *, CAST(SUM(n_orders) OVER () AS BIGINT) AS total,
+            round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+              AS benford_share
+          FROM g),
+        c AS (SELECT *, CAST(total AS DOUBLE) * benford_share AS exp_n
+          FROM t),
+        x AS (SELECT *,
+            round((CAST(n_orders AS DOUBLE) - exp_n)
+              * (CAST(n_orders AS DOUBLE) - exp_n) / exp_n, 6)
+              AS chi2_term
+          FROM c)
+        SELECT digit, n_orders,
+          round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
+            AS share,
+          benford_share, chi2_term,
+          CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+            AS chi2
+        FROM x""")),
+
+    // ---- CUSUM changepoint scan over daily revenue ------------------------
+    // The level-shift detector a revenue/ingest monitor runs: the
+    // cumulative sum of (day_rev − grand mean) drifts near zero under a
+    // stable level and turns into a tent whose PEAK sits at the
+    // changepoint when the level shifts (classic offline CUSUM; the
+    // argmax is the single most likely break day). Per day: revenue, the
+    // centered CUSUM, and an is_peak flag at the maximum |CUSUM|.
+    //
+    // Scale shape: groupBy(day) collapses the fact table map-side onto
+    // the calendar domain (~365×years rows) BEFORE the ordered windows
+    // run — the q28 envelope: the unpartitioned window is bounded by the
+    // calendar, never by the fact table.
+    //
+    // Exactness: daily revenue and its running sum are exact decimals
+    // (order-free); the centered CUSUM subtracts rn × mean in ONE double
+    // op order, 6-dp rounded; the peak flag compares two identically
+    // rounded doubles.
+    GraftQuery(
+      "q55_cusum_changepoint",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val wo = Window.partitionBy(lit(1)).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("cum", sum(col("rev")).over(wo))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(lit(1)).orderBy(col("day"))))
+          .withColumn("tot", sum(col("rev")).over(w))
+          .withColumn("nd", count(lit(1)).over(w))
+          .withColumn("cusum",
+            round(col("cum").cast("double") - col("rn").cast("double")
+              * (col("tot").cast("double") / col("nd").cast("double")), 6))
+          .withColumn("peak_abs", max(abs(col("cusum"))).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("order_date"),
+            col("rev").cast("double").as("day_rev"), col("cusum"),
+            (abs(col("cusum")) === col("peak_abs")).cast("int")
+              .as("is_peak"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        c AS (SELECT *,
+            SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cum,
+            row_number() OVER (ORDER BY day) AS rn,
+            CAST(SUM(rev) OVER () AS DECIMAL(38,2)) AS tot,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM daily),
+        x AS (SELECT *,
+            round(CAST(cum AS DOUBLE) - CAST(rn AS DOUBLE)
+              * (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS cusum
+          FROM c)
+        SELECT strftime(day, '%Y-%m-%d') AS order_date,
+          CAST(rev AS DOUBLE) AS day_rev, cusum,
+          CAST(CASE WHEN abs(cusum) = MAX(abs(cusum)) OVER ()
+            THEN 1 ELSE 0 END AS INT) AS is_peak
+        FROM x""")),
+
+    // ---- repeat-order survival curve (empirical Kaplan-Meier) -------------
+    // The retention-analytics primitive q25's cohort triangle doesn't
+    // give: the DISTRIBUTION of time-to-next-order. Every consecutive
+    // order pair contributes one fully observed gap (no censoring), so
+    // the Kaplan-Meier estimator collapses EXACTLY to the empirical
+    // survival function: S(w) = (at_risk(w) − events(w)) / total — an
+    // exact integer rational, no hazard products, no ln/exp. Per
+    // gap-week bucket (clamped at 52): events, at-risk count (gaps ≥ w
+    // weeks), the discrete hazard, and S(w).
+    //
+    // Scale shape: the per-customer lead() window shuffles on custkey
+    // (Spark's required partitioning for the order sequence), then folds
+    // map-side onto the ≤53-week grid; the at-risk reverse-cumulative
+    // window runs on that bounded grid. The q25/q43 envelope.
+    //
+    // Exactness: gaps/buckets are pure integer date arithmetic; all
+    // counts int64; hazard and survival divide exact int64s in one
+    // double op, 6-dp rounded.
+    GraftQuery(
+      "q56_order_gap_survival",
+      (s, d) => {
+        val wc = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"), col("o_orderkey"))
+        val wr = Window.partitionBy(lit(1)).orderBy(col("wk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w = Window.partitionBy(lit(1))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("day"))
+          .withColumn("nxt", lead(col("day"), 1).over(wc))
+          .filter(col("nxt").isNotNull)
+          .select(least(lit(52L),
+            floorDiv(datediff(col("nxt"), col("day")).cast("long"), 7L))
+            .as("wk"))
+          .groupBy(col("wk"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("n_at_risk", sum(col("n_events")).over(wr))
+          .withColumn("total", sum(col("n_events")).over(w))
+          .select(col("wk"), col("n_events"), col("n_at_risk"),
+            round(col("n_events").cast("double")
+              / col("n_at_risk").cast("double"), 6).as("hazard"),
+            round((col("n_at_risk") - col("n_events")).cast("double")
+              / col("total").cast("double"), 6).as("survival"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+            CAST(o_orderdate AS DATE) AS day FROM orders),
+        g AS (SELECT o_custkey, day,
+            lead(day) OVER (PARTITION BY o_custkey
+              ORDER BY day, o_orderkey) AS nxt
+          FROM o),
+        wk AS (SELECT least(52, date_diff('day', day, nxt) // 7) AS wk
+          FROM g WHERE nxt IS NOT NULL),
+        e AS (SELECT CAST(wk AS BIGINT) AS wk,
+            CAST(COUNT(*) AS BIGINT) AS n_events FROM wk GROUP BY 1),
+        t AS (SELECT *,
+            CAST(SUM(n_events) OVER (ORDER BY wk DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_at_risk,
+            CAST(SUM(n_events) OVER () AS BIGINT) AS total
+          FROM e)
+        SELECT wk, n_events, n_at_risk,
+          round(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6)
+            AS hazard,
+          round(CAST(n_at_risk - n_events AS DOUBLE)
+            / CAST(total AS DOUBLE), 6) AS survival
+        FROM t""")),
+
+    // ---- Theil inequality index of customer spend, per nation -------------
+    // The concentration diagnostic q49's Gini complements: Theil's T is
+    // ADDITIVELY DECOMPOSABLE (within-group + between-group), which is
+    // why mixture audits prefer it — T = mean((x/μ)·ln(x/μ)) over
+    // customers with orders, per nation. 0 = perfect equality,
+    // ln(n) = one customer holds everything.
+    //
+    // Scale shape: one shuffle folds orders onto the customer domain;
+    // nation stats collapse to a 25-row broadcast joined back (no second
+    // fact shuffle); the final fold is map-side onto 25 nations. The
+    // q49 envelope with a broadcast join-back instead of a sort.
+    //
+    // Exactness: spend is exact decimal; each customer's Theil term is
+    // computed in ONE double op order (ratio · ln(ratio)), 6-dp rounded,
+    // and summed as exact decimals; ln matches bit-for-bit across
+    // engines on identical doubles (the d32 precedent).
+    GraftQuery(
+      "q57_theil_index",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("sp"))
+        val cn = Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        val j = spend.join(cn, Seq("o_custkey"))
+        val stats = j.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("sp")).as("tot"))
+        j.join(broadcast(stats), Seq("c_nationkey"))
+          .withColumn("ratio", col("sp").cast("double")
+            / (col("tot").cast("double") / col("n_customers").cast("double")))
+          .withColumn("term",
+            round(col("ratio") * log(col("ratio")), 6)
+              .cast("decimal(18,6)"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"),
+            (max(col("tot")).cast("double")
+              / count(lit(1)).cast("double")).as("mean_spend_raw"),
+            sum(col("term")).as("term_sum"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("n_customers"),
+            round(col("mean_spend_raw"), 6).as("mean_spend"),
+            round(col("term_sum").cast("double")
+              / col("n_customers").cast("double"), 6).as("theil"))
+      },
+      Some("""WITH sp AS (SELECT o_custkey,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+          FROM orders GROUP BY 1),
+        j AS (SELECT c.c_nationkey, sp.sp FROM sp
+          JOIN customer c ON sp.o_custkey = c.c_custkey),
+        st AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(sp) AS DECIMAL(38,2)) AS tot
+          FROM j GROUP BY 1),
+        t AS (SELECT j.c_nationkey,
+            CAST(round(
+              (CAST(j.sp AS DOUBLE) / (CAST(st.tot AS DOUBLE)
+                / CAST(st.n_customers AS DOUBLE)))
+              * ln(CAST(j.sp AS DOUBLE) / (CAST(st.tot AS DOUBLE)
+                / CAST(st.n_customers AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS term
+          FROM j JOIN st USING (c_nationkey)),
+        g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(term) AS DECIMAL(38,6)) AS term_sum
+          FROM t GROUP BY 1)
+        SELECT n.n_name, g.n_customers,
+          round(CAST(st.tot AS DOUBLE) / CAST(g.n_customers AS DOUBLE), 6)
+            AS mean_spend,
+          round(CAST(g.term_sum AS DOUBLE)
+            / CAST(g.n_customers AS DOUBLE), 6) AS theil
+        FROM g JOIN st USING (c_nationkey)
+        JOIN nation n ON g.c_nationkey = n.n_nationkey""")),
   )
 }

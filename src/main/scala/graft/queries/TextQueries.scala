@@ -3479,6 +3479,261 @@ object TextQueries {
             / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE), 6)
             AS risky_share
         FROM f""")),
+
+    // ---- bag-of-words fingerprint dedup ------------------------------------
+    // The canonicalization layer between exact dedup (d04: byte-identical
+    // after squish) and shingle near-dup (d08: order-sensitive trigrams):
+    // hash the SORTED token list, so token-reorder mirrors (template
+    // fields swapped, list items shuffled — common in scraped boilerplate)
+    // collapse into one group even though no trigram survives the
+    // reorder. Per doc: the bag fingerprint, its group size, the
+    // keep-first flag, and `reorder_caught` — the docs ONLY this
+    // canonicalization catches (bag group strictly larger than the exact
+    // fingerprint group), i.e. the operator's marginal yield over d04.
+    //
+    // Scale shape: two narrow codegen'd hashes per doc, two window counts
+    // over 32-byte keys — the d04/d05 envelope (hash-partitioned, no
+    // payload wider than the fingerprints ever shuffles; array_sort is
+    // per-row CPU, not a shuffle).
+    //
+    // Exactness: md5 over ASCII-sorted tokens is byte-identical across
+    // engines (pure-ASCII corpus, both sort lexicographically by bytes);
+    // counts/flags are integers.
+    GraftQuery(
+      "d74_bow_fingerprint_dedup",
+      (s, d) => {
+        val wb = Window.partitionBy(col("bow_fp"))
+        val we = Window.partitionBy(col("exact_fp"))
+        Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(col("toks")))).as("bow_fp"),
+            fingerprint(col("text")).as("exact_fp"))
+          .withColumn("group_n", count(lit(1)).over(wb))
+          .withColumn("exact_n", count(lit(1)).over(we))
+          .withColumn("kept",
+            (min(col("doc_id")).over(wb) === col("doc_id")).cast("int"))
+          .select(col("doc_id"), col("bow_fp"), col("group_n"),
+            col("kept"),
+            (col("group_n") > col("exact_n")).cast("int")
+              .as("reorder_caught"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks
+          FROM documents),
+        f AS (SELECT doc_id,
+            md5(array_to_string(list_sort(toks), ' ')) AS bow_fp,
+            $sqlFingerprint AS exact_fp
+          FROM t),
+        g AS (SELECT doc_id, bow_fp,
+            CAST(COUNT(*) OVER (PARTITION BY bow_fp) AS BIGINT) AS group_n,
+            CAST(COUNT(*) OVER (PARTITION BY exact_fp) AS BIGINT) AS exact_n,
+            MIN(doc_id) OVER (PARTITION BY bow_fp) AS keeper
+          FROM f)
+        SELECT doc_id, bow_fp, group_n,
+          CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS INT) AS kept,
+          CAST(CASE WHEN group_n > exact_n THEN 1 ELSE 0 END AS INT)
+            AS reorder_caught
+        FROM g""")),
+
+    // ---- source admission ranking: Wilson lower bound ----------------------
+    // The "which domains do we crawl more of" primitive: ranking sources
+    // by raw gate pass-rate overrates tiny sources (2/2 beats 980/1000);
+    // the standard fix is the Wilson score interval's LOWER bound at 95%
+    // (z = 1.96) — a small-n source must EARN its rank with evidence.
+    // Per source: docs, gate passes, raw rate, the Wilson lower bound,
+    // and the admission rank by that bound.
+    //
+    // Scale shape: ONE scan folds map-side onto the source domain
+    // (thousands of hosts at corpus scale, 20 here); the Wilson algebra
+    // and the rank window run on that bounded grid. The d73 envelope.
+    //
+    // Exactness: counts exact int64; the Wilson formula evaluates in ONE
+    // shared op order on identical doubles, 6-dp rounded BEFORE the rank
+    // orders by it (tie-broken by source), so the rank consumes identical
+    // keys in both engines.
+    GraftQuery(
+      "d75_source_quality_wilson",
+      (s, d) => {
+        val z = 1.96
+        val g = Tables.documents(s, d)
+          .select(col("source"),
+            (qualityScore(col("text")) >= 0.5).cast("long").as("pass"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+          .withColumn("p", col("n_pass").cast("double")
+            / col("n_docs").cast("double"))
+          .withColumn("nn", col("n_docs").cast("double"))
+          .withColumn("wilson_lb", round(
+            (col("p") + lit(z * z) / (lit(2.0) * col("nn"))
+              - lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("nn")
+                + lit(z * z) / (lit(4.0) * col("nn") * col("nn"))))
+            / (lit(1.0) + lit(z * z) / col("nn")), 6))
+        g.select(col("source"), col("n_docs"), col("n_pass"),
+            round(col("p"), 6).as("pass_rate"), col("wilson_lb"))
+          .withColumn("admission_rank", row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(col("wilson_lb").desc, col("source").asc))
+            .cast("bigint"))
+      },
+      Some(s"""WITH sc AS (SELECT source,
+            CASE WHEN $sqlQualityOfText >= 0.5 THEN 1 ELSE 0 END AS pass
+          FROM documents),
+        g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(pass) AS BIGINT) AS n_pass
+          FROM sc GROUP BY 1),
+        w AS (SELECT *,
+            CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+            CAST(n_docs AS DOUBLE) AS nn FROM g),
+        x AS (SELECT source, n_docs, n_pass, round(p, 6) AS pass_rate,
+            round((p + (1.96 * 1.96) / (2.0 * nn)
+                - 1.96 * sqrt(p * (1.0 - p) / nn
+                  + (1.96 * 1.96) / (4.0 * nn * nn)))
+              / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb
+          FROM w)
+        SELECT source, n_docs, n_pass, pass_rate, wilson_lb,
+          CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
+            AS BIGINT) AS admission_rank
+        FROM x""")),
+
+    // ---- language-ID confusion matrix --------------------------------------
+    // The model-eval readout d06's per-doc predictions feed: the
+    // (label × prediction) contingency grid with row- and column-shares.
+    // On diagonal cells row_share IS the label's recall and col_share IS
+    // the prediction's precision — one grain carries the whole
+    // classifier report (the same marker heuristic a crawl triages with
+    // before spending a real LID model on ambiguous docs).
+    //
+    // Scale shape: the per-doc predictor is a narrow codegen'd regex
+    // pass; ONE map-side fold onto the |langs|² grid; share windows run
+    // on that bounded grid. The d69 χ² envelope.
+    //
+    // Exactness: cell counts exact int64; shares divide exact int64
+    // window sums as double, 6-dp rounded.
+    GraftQuery(
+      "d76_lang_confusion",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"), langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("row_share", round(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+              .cast("double"), 6))
+          .withColumn("col_share", round(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(Window.partitionBy(col("lang_pred")))
+              .cast("double"), 6))
+      },
+      Some {
+        val hits = langMarkers.map { case (code, pat) =>
+          s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
+        }.mkString(", ")
+        val g = langMarkers.map { case (code, _) => s"${code}_n" }
+          .mkString("greatest(", ", ", ")")
+        val cases = langMarkers.map { case (code, _) =>
+          s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
+        }.mkString(" ")
+        s"""WITH p AS (SELECT lang, CASE $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT lang, $g AS g, ${langMarkers.map(m => s"${m._1}_n").mkString(", ")}
+            FROM (SELECT lang, $hits FROM documents) h) s),
+        c AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM p GROUP BY 1, 2)
+        SELECT lang, lang_pred, n_docs,
+          round(CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs)
+            OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE), 6) AS row_share,
+          round(CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs)
+            OVER (PARTITION BY lang_pred) AS BIGINT) AS DOUBLE), 6)
+            AS col_share
+        FROM c"""
+      }),
+
+    // ---- dedup survivor-bias audit ------------------------------------------
+    // The governance question a dedup pass must answer before shipping a
+    // mix: does keep-FIRST (d53's min-id representative election)
+    // systematically keep worse text than it drops? Per source: docs,
+    // survivors, and the mean quality of kept vs dropped docs with the
+    // delta — a negative delta on a big source says switch that source to
+    // keep-BEST (d72) before training on it.
+    //
+    // Scale shape: rides d53's md5-band representative election
+    // unchanged (bounded band domain, window-min — the linear cluster
+    // form, no pair materialization), joins the 6-dp quality score on
+    // doc_id, then folds map-side onto the source domain.
+    //
+    // Exactness: quality rounds to 6 dp and sums as exact decimals;
+    // means divide by exact counts with CASE-guarded empty sides (a
+    // source with no drops yields NULL delta in both engines, never a
+    // divide-by-zero).
+    GraftQuery(
+      "d77_dedup_bias_audit",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), expr(sparkGrams).as("sh"))
+        val banded = sh.select(col("doc_id"),
+            explode(expr(sparkMd5Bands)).as("bk"))
+          .filter(col("bk.mh").isNotNull)
+        val bucketMin = banded.withColumn("bucket_rep",
+          min(col("doc_id")).over(Window.partitionBy(col("bk.t"),
+            col("bk.mh"))))
+        val reps = bucketMin.groupBy(col("doc_id"))
+          .agg(min(col("bucket_rep")).as("rep_id"))
+        val kq = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            round(qualityScore(col("text")), 6).cast("decimal(18,6)")
+              .as("q6"))
+          .join(reps, Seq("doc_id"), "left")
+          .withColumn("kept",
+            (coalesce(col("rep_id"), col("doc_id")) === col("doc_id"))
+              .cast("long"))
+        kq.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_kept"),
+            sum(when(col("kept") === 1L, col("q6"))).as("kq_sum"),
+            sum(when(col("kept") === 0L, col("q6"))).as("dq_sum"))
+          .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+          .withColumn("mean_kept_q",
+            when(col("n_kept") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("kq_sum").cast("double")
+                / col("n_kept").cast("double"), 6)))
+          .withColumn("mean_dropped_q",
+            when(col("n_dropped") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("dq_sum").cast("double")
+                / col("n_dropped").cast("double"), 6)))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("n_dropped"), col("mean_kept_q"), col("mean_dropped_q"),
+            round(col("mean_kept_q") - col("mean_dropped_q"), 6)
+              .as("quality_delta"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks
+          FROM documents),
+        g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
+        b AS (${sqlMd5Bands("g")}),
+        bm AS (SELECT t, mh, MIN(doc_id) AS mn FROM b GROUP BY 1, 2),
+        r AS (SELECT b.doc_id, MIN(bm.mn) AS rep
+          FROM b JOIN bm USING (t, mh) GROUP BY 1),
+        kq AS (SELECT d.source,
+            CAST(round($sqlQualityOfText, 6) AS DECIMAL(18,6)) AS q6,
+            CASE WHEN COALESCE(r.rep, d.doc_id) = d.doc_id
+              THEN 1 ELSE 0 END AS kept
+          FROM documents d LEFT JOIN r USING (doc_id)),
+        a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(kept) AS BIGINT) AS n_kept,
+            SUM(CASE WHEN kept = 1 THEN q6 END) AS kq_sum,
+            SUM(CASE WHEN kept = 0 THEN q6 END) AS dq_sum
+          FROM kq GROUP BY 1),
+        m AS (SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+            CASE WHEN n_kept = 0 THEN NULL
+              ELSE round(CAST(kq_sum AS DOUBLE)
+                / CAST(n_kept AS DOUBLE), 6) END AS mean_kept_q,
+            CASE WHEN n_docs - n_kept = 0 THEN NULL
+              ELSE round(CAST(dq_sum AS DOUBLE)
+                / CAST(n_docs - n_kept AS DOUBLE), 6) END
+              AS mean_dropped_q
+          FROM a)
+        SELECT source, n_docs, n_kept, n_dropped, mean_kept_q,
+          mean_dropped_q,
+          round(mean_kept_q - mean_dropped_q, 6) AS quality_delta
+        FROM m""")),
   )
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`
