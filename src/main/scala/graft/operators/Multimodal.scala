@@ -251,6 +251,28 @@ object Multimodal {
     * [[decodeStub]]'s masks exactly (0x3f ≡ %64, 0x0f ≡ %16). */
   def multimodalPack(media: DataFrame, patch: Int = 16,
       frameStride: Int = 4, budget: Int = 2048): DataFrame = {
+    val nMedia = mediaTokenCost(patch, frameStride)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("media_id"))
+    media.select(col("media_id"), col("source"), col("kind"),
+        col("n_text"), nMedia.as("n_media"))
+      .withColumn("n_tokens", col("n_text") + col("n_media"))
+      .withColumn("cum", sum(col("n_tokens")).over(wSrc))
+      .select(col("media_id"), col("source"), col("kind"), col("n_text"),
+        col("n_media"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))
+          .cast("bigint").as("pack_id"))
+  }
+
+  /** Per-row media token cost over (kind, payload) — the ONE cost model
+    * shared by [[multimodalPack]] (m07) and the m14 modality budget
+    * report, so the two can never disagree on what a sample costs:
+    * image = ViT patch count ([[patchGrid]]'s ceil-div geometry),
+    * video = strided sampled frames ([[sampleFrames]]'s stride) × patches
+    * per frame, audio = 1 s / 50%-hop chunk count ([[audioChunks]]'
+    * framing). All non-negative integer arithmetic (`div` is exact floor
+    * there); byte taps mirror [[decodeStub]]'s masks (0x3f ≡ %64,
+    * 0x0f ≡ %16). */
+  def mediaTokenCost(patch: Int = 16, frameStride: Int = 4): Column = {
     def byteAt(i: Int) =
       conv(substring(lower(hex(col("payload"))), 2 * i + 1, 2), 16, 10)
         .cast("int")
@@ -268,17 +290,8 @@ object Multimodal {
     val hop = call_function("div", sr, lit(2L))
     val chunks = when(nSamples <= sr, lit(1L))
       .otherwise(call_function("div", nSamples - sr, hop) + 1L)
-    val nMedia = when(col("kind") === "image", patches.cast("long"))
+    when(col("kind") === "image", patches.cast("long"))
       .when(col("kind") === "video", (sampledFrames * patches).cast("long"))
       .otherwise(chunks)
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("media_id"))
-    media.select(col("media_id"), col("source"), col("kind"),
-        col("n_text"), nMedia.as("n_media"))
-      .withColumn("n_tokens", col("n_text") + col("n_media"))
-      .withColumn("cum", sum(col("n_tokens")).over(wSrc))
-      .select(col("media_id"), col("source"), col("kind"), col("n_text"),
-        col("n_media"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))
-          .cast("bigint").as("pack_id"))
   }
 }

@@ -148,4 +148,27 @@ object Sketches {
       .agg(count(lit(1)).as("n"),
         sum(col(xCol).cast("decimal(18,6)")).as("s"),
         sum((col(xCol) * col(xCol)).cast("decimal(28,12)")).as("ss"))
+
+  /** Leading significant digit of a positive measure column — the
+    * Benford key. floor of a 2-dp double < 2^53 is exact, so the
+    * string round-trip is deterministic in both engines; ONE definition
+    * shared by q54's batch audit, its DuckDB oracle's structure, and the
+    * streaming maintenance below. */
+  def leadingDigit(amount: Column): Column =
+    substring(floor(amount).cast("bigint").cast("string"), 1, 1)
+      .cast("bigint")
+
+  /** Leading-digit counts of a measure column: ≤9 rows whatever the
+    * input size. Seventh member of the bounded-state sketch family
+    * (sum-merge, like [[cmsCells]] / [[qualityHistogram]]): a pure
+    * groupBy-count onto the fixed 1-9 digit domain, so batch map-side
+    * partials and Structured Streaming state both hold ≤9 rows however
+    * long the feed runs. This is the live half of a Benford ingest
+    * monitor (q54's audit): maintain digit counts on the stream, read
+    * the χ²-against-Benford alarm off the 9-row table whenever it
+    * evaluates. */
+  def benfordDigits(df: DataFrame, amountCol: String): DataFrame =
+    df.select(leadingDigit(col(amountCol)).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
 }

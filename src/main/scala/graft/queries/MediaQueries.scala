@@ -56,6 +56,36 @@ object MediaQueries {
       FROM documents
       WHERE text IS NOT NULL)"""
 
+  /** The m07/m14 shared cost chain: c (media rows + md5 hex + text
+    * tokens) → m (decoded stub metadata) → t exposing (media_id, source,
+    * kind, n_text, n_media) — ONE definition mirroring
+    * Multimodal.mediaTokenCost(patch = 16, frameStride = 4), so the pack
+    * and the budget report can never disagree on what a sample costs. */
+  private lazy val sqlMediaCostCtes: String =
+    s"""c AS (SELECT doc_id AS media_id, source,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+          md5(text) AS hx,
+          CAST(len(${TextQueries.sqlToks}) AS BIGINT) AS n_text
+        FROM documents WHERE text IS NOT NULL),
+        m AS (SELECT media_id, source, kind, n_text,
+          64 + (${hexByte("hx", 0)} % 64) AS w,
+          64 + (${hexByte("hx", 15)} % 64) AS h,
+          1 + (${hexByte("hx", 8)} % 16) AS nf,
+          CAST(8000 * (1 + ${hexByte("hx", 1)} % 4) AS BIGINT) AS sr,
+          1 + ${hexByte("hx", 2)} % 8 AS dur,
+          ${hexByte("hx", 3)} AS b3
+        FROM c),
+        t AS (SELECT media_id, source, kind, n_text,
+          CAST(CASE kind
+            WHEN 'image' THEN ((w + 15) // 16) * ((h + 15) // 16)
+            WHEN 'video' THEN ((nf - 1) // 4 + 1)
+              * ((w + 15) // 16) * ((h + 15) // 16)
+            ELSE CASE WHEN sr * dur + b3 * 100 <= sr THEN 1
+              ELSE (sr * dur + b3 * 100 - sr) // (sr // 2) + 1 END
+          END AS BIGINT) AS n_media
+        FROM m)"""
+
   val all: Seq[GraftQuery] = Seq(
 
     // decode + feature-extract over a binary media column (mapPartitions
@@ -209,29 +239,7 @@ object MediaQueries {
               graft.functions.TextFunctions.tokenCount(col("text"))
                 .cast("bigint").as("n_text")),
           patch = 16, frameStride = 4, budget = 2048),
-      Some(s"""WITH c AS (SELECT doc_id AS media_id, source,
-          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS kind,
-          md5(text) AS hx,
-          CAST(len(${TextQueries.sqlToks}) AS BIGINT) AS n_text
-        FROM documents WHERE text IS NOT NULL),
-        m AS (SELECT media_id, source, kind, n_text,
-          64 + (${hexByte("hx", 0)} % 64) AS w,
-          64 + (${hexByte("hx", 15)} % 64) AS h,
-          1 + (${hexByte("hx", 8)} % 16) AS nf,
-          CAST(8000 * (1 + ${hexByte("hx", 1)} % 4) AS BIGINT) AS sr,
-          1 + ${hexByte("hx", 2)} % 8 AS dur,
-          ${hexByte("hx", 3)} AS b3
-        FROM c),
-        t AS (SELECT media_id, source, kind, n_text,
-          CAST(CASE kind
-            WHEN 'image' THEN ((w + 15) // 16) * ((h + 15) // 16)
-            WHEN 'video' THEN ((nf - 1) // 4 + 1)
-              * ((w + 15) // 16) * ((h + 15) // 16)
-            ELSE CASE WHEN sr * dur + b3 * 100 <= sr THEN 1
-              ELSE (sr * dur + b3 * 100 - sr) // (sr // 2) + 1 END
-          END AS BIGINT) AS n_media
-        FROM m),
+      Some(s"""WITH $sqlMediaCostCtes,
         cum AS (SELECT media_id, source, kind, n_text, n_media,
           n_text + n_media AS n_tokens,
           SUM(n_text + n_media) OVER (PARTITION BY source
@@ -561,5 +569,113 @@ object MediaQueries {
             AS speech_ratio,
           n_segments
         FROM a""")),
+
+    // ---- pHash Hamming-neighborhood canonicalization -----------------------
+    // m04 groups media whose perceptual hashes are byte-identical; real
+    // near-dup images land one or two BITS apart. The scale-correct
+    // Hamming join is NOT a pairwise media join: the aHash domain is
+    // bounded (≤256 values per kind), so collapse to the (kind, phash)
+    // GROUP table first (≤768 rows with counts, map-side combinable) and
+    // run the Hamming-≤1 self-join on the DOMAIN — 768² tiny-row
+    // comparisons regardless of corpus size, the d56-style
+    // domain-vs-data separation. Each hash canonicalizes to the SMALLEST
+    // hash in its 1-bit neighborhood; n_merged sums media over the
+    // canonical group (window on the ≤768-row domain).
+    //
+    // Exactness: phash/xor/bit_count are pure integer ops in both
+    // engines; counts int64; no floats anywhere.
+    GraftQuery(
+      "m13_phash_hamming_merge",
+      (s, d) => {
+        val groups = Multimodal.perceptualHash(
+            Multimodal.syntheticMedia(Tables.documents(s, d)))
+          .groupBy(col("kind"), col("phash"))
+          .agg(count(lit(1)).as("n_media"))
+        val nbrs = groups.select(col("kind"), col("phash").as("pb"))
+        val canon = groups.join(nbrs, Seq("kind"))
+          .filter(bit_count(col("phash").bitwiseXOR(col("pb"))) <= 1)
+          .groupBy(col("kind"), col("phash"))
+          .agg(max(col("n_media")).as("n_media"),
+            min(col("pb")).as("canon_phash"))
+        canon
+          .withColumn("n_merged", sum(col("n_media")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("kind"), col("canon_phash"))))
+          .select(col("kind"), col("phash"), col("n_media"),
+            col("canon_phash"), col("n_merged"),
+            (col("canon_phash") =!= col("phash")).cast("int").as("merged"))
+      },
+      Some {
+        val byteCols = (0 until 8)
+          .map(j => s"${hexByte("hx", j)} AS b$j").mkString(", ")
+        val tot = (0 until 8).map(j => s"b$j").mkString(" + ")
+        val bits = (0 until 8)
+          .map(j => s"CASE WHEN b$j * 8 > tot THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH med AS (SELECT doc_id AS media_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            md5(text) AS hx FROM documents WHERE text IS NOT NULL),
+          byt AS (SELECT media_id, kind, $byteCols FROM med),
+          ph AS (SELECT media_id, kind, CAST($bits AS BIGINT) AS phash
+            FROM (SELECT *, $tot AS tot FROM byt)),
+          g AS (SELECT kind, phash, CAST(COUNT(*) AS BIGINT) AS n_media
+            FROM ph GROUP BY 1, 2),
+          nb AS (SELECT a.kind, a.phash, a.n_media,
+              MIN(b.phash) AS canon_phash
+            FROM g a JOIN g b ON a.kind = b.kind
+              AND bit_count(xor(a.phash, b.phash)) <= 1
+            GROUP BY 1, 2, 3)
+          SELECT kind, phash, n_media, canon_phash,
+            CAST(SUM(n_media) OVER (PARTITION BY kind, canon_phash)
+              AS BIGINT) AS n_merged,
+            CAST(CASE WHEN canon_phash <> phash THEN 1 ELSE 0 END AS INT)
+              AS merged
+          FROM nb"""
+      }),
+
+    // ---- modality token-budget report --------------------------------------
+    // The "what will this mix cost to train on" readout a multimodal run
+    // plans with: per modality, the sample count, total estimated
+    // training tokens under m07's cost model (ONE shared definition —
+    // Multimodal.mediaTokenCost / sqlMediaCostCtes — so the pack and the
+    // report can never disagree), the mean cost per sample, and each
+    // modality's share of the total budget. Media tokens routinely dwarf
+    // text tokens per sample; this is the readout that says by how much
+    // BEFORE the GPUs do.
+    //
+    // Scale shape: one narrow scan folds map-side onto the 3-kind
+    // domain; share windows run on 3 rows.
+    //
+    // Exactness: the cost model is all-integer; shares/means divide
+    // exact int64s as double, 6-dp rounded.
+    GraftQuery(
+      "m14_modality_token_budget",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        Multimodal.syntheticMedia(Tables.documents(s, d))
+          .select(col("kind"),
+            Multimodal.mediaTokenCost(patch = 16, frameStride = 4)
+              .as("n_media"))
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_samples"),
+            sum(col("n_media")).as("total_tokens"))
+          .withColumn("mean_tokens",
+            round(col("total_tokens").cast("double")
+              / col("n_samples").cast("double"), 6))
+          .withColumn("token_share",
+            round(col("total_tokens").cast("double")
+              / sum(col("total_tokens")).over(w).cast("double"), 6))
+      },
+      Some(s"""WITH $sqlMediaCostCtes,
+        g AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(SUM(n_media) AS BIGINT) AS total_tokens
+          FROM t GROUP BY 1)
+        SELECT kind, n_samples, total_tokens,
+          round(CAST(total_tokens AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+            AS mean_tokens,
+          round(CAST(total_tokens AS DOUBLE) / CAST(CAST(SUM(total_tokens)
+            OVER () AS BIGINT) AS DOUBLE), 6) AS token_share
+        FROM g""")),
   )
 }

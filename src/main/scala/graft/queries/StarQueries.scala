@@ -2422,11 +2422,11 @@ object StarQueries {
       "q54_benford_digits",
       (s, d) => {
         val w = Window.partitionBy(lit(1))
-        Tables.orders(s, d)
-          .select(substring(floor(col("o_totalprice")).cast("bigint")
-            .cast("string"), 1, 1).cast("bigint").as("digit"))
-          .groupBy(col("digit"))
-          .agg(count(lit(1)).as("n_orders"))
+        // shared substrate (operators/Sketches): the SAME ≤9-row frame
+        // StatefulOpsSpec maintains as a streaming aggregation
+        graft.operators.Sketches
+          .benfordDigits(Tables.orders(s, d), "o_totalprice")
+          .withColumnRenamed("n", "n_orders")
           .withColumn("total", sum(col("n_orders")).over(w))
           .withColumn("benford_share",
             round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),

@@ -3734,6 +3734,115 @@ object TextQueries {
           mean_dropped_q,
           round(mean_kept_q - mean_dropped_q, 6) AS quality_delta
         FROM m""")),
+
+    // ---- vocabulary growth curve + Heaps-law fit ---------------------------
+    // d62 fits the FREQUENCY law (Zipf); this fits the GROWTH law
+    // (Heaps: V(n) ≈ K·n^β) — the curve that answers "how much new
+    // vocabulary does the next crawl chunk buy", i.e. when scaling the
+    // corpus stops paying in diversity. Docs split into 10 id-range
+    // chunks (ingestion order); per chunk: token count, FIRST-SEEN new
+    // terms, cumulative tokens/vocab, and the corpus-wide Heaps β from
+    // the d62 OLS template over the 10 (ln cum_tokens, ln cum_vocab)
+    // points.
+    //
+    // Scale shape: the chunk key is closed-form integer arithmetic over
+    // (doc_id, broadcast min/max) — no global ordering window over docs
+    // anywhere; new-term attribution is ONE term-domain fold
+    // (groupBy(term).min(chunk), the d46 drift shape); everything after
+    // lives on the 10-row chunk grid.
+    //
+    // Exactness: chunking/counts are exact integers; ln consumes exact
+    // int64 casts (the d32/d62 precedent), 6-dp rounded; OLS moment sums
+    // are exact decimals over rounded terms; guards NULL the fit when
+    // the grid degenerates (ANSI-safe, mirrored).
+    GraftQuery(
+      "d78_vocab_growth",
+      (s, d) => {
+        val ids = broadcast(Tables.documents(s, d)
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")))
+        val terms = Tables.documents(s, d)
+          .crossJoin(ids)
+          .select(least(lit(9L), call_function("div",
+            (col("doc_id") - col("mn")) * 10L,
+            col("mx") - col("mn") + 1L)).as("chunk"),
+            explode(tokens(col("text"))).as("term"))
+        val tokCounts = terms.groupBy(col("chunk"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val newTerms = terms.groupBy(col("term"))
+          .agg(min(col("chunk")).as("chunk"))
+          .groupBy(col("chunk"))
+          .agg(count(lit(1)).as("new_terms"))
+        val wo = Window.partitionBy(lit(1)).orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w = Window.partitionBy(lit(1))
+        val grid = tokCounts
+          .join(newTerms, Seq("chunk"), "left")
+          .select(col("chunk"), col("n_tokens"),
+            coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(wo))
+          .withColumn("cum_vocab", sum(col("new_terms")).over(wo))
+          .withColumn("x", when(col("cum_tokens") > 0L,
+            round(log(col("cum_tokens").cast("double")), 6)))
+          .withColumn("y", when(col("cum_vocab") > 0L,
+            round(log(col("cum_vocab").cast("double")), 6)))
+        grid
+          .withColumn("n", count(col("x")).over(w).cast("double"))
+          .withColumn("sx", sum(col("x").cast("decimal(18,6)")).over(w)
+            .cast("double"))
+          .withColumn("sy", sum(col("y").cast("decimal(18,6)")).over(w)
+            .cast("double"))
+          .withColumn("sxy", sum(round(col("x") * col("y"), 6)
+            .cast("decimal(18,6)")).over(w).cast("double"))
+          .withColumn("sx2", sum(round(col("x") * col("x"), 6)
+            .cast("decimal(18,6)")).over(w).cast("double"))
+          .withColumn("heaps_beta", round(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              / nullif(col("n") * col("sx2") - col("sx") * col("sx"),
+                lit(0.0)), 6))
+          .select(col("chunk"), col("n_tokens"), col("new_terms"),
+            col("cum_tokens"), col("cum_vocab"), col("heaps_beta"))
+      },
+      Some(s"""WITH ids AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+          FROM documents),
+        tm AS (SELECT least(9, ((doc_id - mn) * 10) // (mx - mn + 1))
+            AS chunk, unnest($sqlToks) AS term
+          FROM documents, ids),
+        tc AS (SELECT CAST(chunk AS BIGINT) AS chunk,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tm GROUP BY 1),
+        ft AS (SELECT term, CAST(MIN(chunk) AS BIGINT) AS chunk
+          FROM tm GROUP BY 1),
+        nt AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS new_terms
+          FROM ft GROUP BY 1),
+        grid AS (SELECT tc.chunk, tc.n_tokens,
+            COALESCE(nt.new_terms, 0) AS new_terms
+          FROM tc LEFT JOIN nt USING (chunk)),
+        cum AS (SELECT *,
+            CAST(SUM(n_tokens) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+            CAST(SUM(new_terms) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+          FROM grid),
+        xy AS (SELECT *,
+            CASE WHEN cum_tokens > 0
+              THEN round(ln(CAST(cum_tokens AS DOUBLE)), 6) END AS x,
+            CASE WHEN cum_vocab > 0
+              THEN round(ln(CAST(cum_vocab AS DOUBLE)), 6) END AS y
+          FROM cum),
+        mm AS (SELECT *,
+            CAST(COUNT(x) OVER () AS DOUBLE) AS n,
+            CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER ()
+              AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+            CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER ()
+              AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+            CAST(CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) OVER ()
+              AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+            CAST(CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) OVER ()
+              AS DECIMAL(38,6)) AS DOUBLE) AS sx2
+          FROM xy)
+        SELECT chunk, n_tokens, new_terms, cum_tokens, cum_vocab,
+          round((n * sxy - sx * sy)
+            / NULLIF(n * sx2 - sx * sx, 0.0), 6) AS heaps_beta
+        FROM mm""")),
   )
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`

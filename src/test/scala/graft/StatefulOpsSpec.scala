@@ -330,4 +330,35 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.contains((0L, 3L, 0.75, 1.0625)))
     } finally q.stop()
   }
+
+  test("streaming Benford digit counts: maintenance equals the batch " +
+      "build, state bounded by the 9-digit domain") {
+    // q54's substrate (Sketches.benfordDigits) as a streaming
+    // aggregation — the seventh bounded-state sketch (sum-merge onto the
+    // fixed 1-9 leading-digit domain): state is ≤9 rows however long the
+    // amount feed runs. The live half of a Benford ingest monitor: keep
+    // this frame on the stream, evaluate q54's χ²-against-Benford alarm
+    // off the 9-row table.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Double]
+    val digits = graft.operators.Sketches.benfordDigits(
+      in.toDF().toDF("amt"), "amt")
+    val q = digits.writeStream.format("memory").queryName("benford")
+      .outputMode("complete").start()
+    try {
+      in.addData(12.34, 19.99, 250.0, 3.5)
+      q.processAllAvailable()
+      in.addData(111.0, 95000.25, 1.01)
+      q.processAllAvailable()
+      val streamed = spark.table("benford").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.benfordDigits(
+        Seq(12.34, 19.99, 250.0, 3.5, 111.0, 95000.25, 1.01).toDF("amt"),
+        "amt").as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed Benford digits diverge from the batch build")
+      assert(streamed.size <= 9, "state must stay on the 1-9 digit domain")
+      assert(streamed.contains((1L, 4L)), // 12.34, 19.99, 111.0, 1.01
+        "digit-1 count must fold all four leading-1 amounts")
+    } finally q.stop()
+  }
 }
