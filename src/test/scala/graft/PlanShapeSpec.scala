@@ -88,7 +88,11 @@ class PlanShapeSpec extends SparkSpec {
       // q51 cross-joins the 1-row distinct-order total (the q41 pattern);
       // d71 rides d32's shared scoring lineage (the d70 case).
       "e28_centroid_outliers", "q51_copurchase_lift",
-      "d71_signal_agreement")
+      "d71_signal_agreement",
+      // e31 broadcasts the bounded probe sample (the e18 harness) plus
+      // the 1-row retrieval total; d78 cross-joins the 1-row id-range
+      // aggregate (the d60 totals pattern).
+      "e31_hubness_audit", "d78_vocab_growth")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

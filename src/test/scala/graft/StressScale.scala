@@ -210,7 +210,36 @@ object StressScale {
     // 64× the buckets sit AT the 64-member cap, the adversarial corner
     // of the capped-pair design.
     "d12_minhash_lsh_pairs" -> ("documents" -> "doc_id"),
-    "d47_banded_lsh_md5" -> ("documents" -> "doc_id"))
+    "d47_banded_lsh_md5" -> ("documents" -> "doc_id"),
+    // Round-18 additions: q54 folds onto the 9-digit domain (the d64
+    // envelope); q55/q52 share the calendar pre-agg envelope; q56's
+    // replicas multiply each customer's same-day orders (8× rows per
+    // custkey partition, gap-0 events — linear window growth onto the
+    // fixed 53-week grid); q57 keeps the customer/nation frame fixed
+    // beyond the fact scan. d74 is two hash windows over 32-byte keys;
+    // d75/d76 fold onto source / lang-grid domains; d77 rides d53's
+    // band election; d78's replicas duplicate text, so vocab (and the
+    // first-chunk domain) is FIXED — growth is the explode scan.
+    "q54_benford_digits" -> ("orders" -> "o_orderkey"),
+    "q55_cusum_changepoint" -> ("orders" -> "o_orderkey"),
+    "q56_order_gap_survival" -> ("orders" -> "o_orderkey"),
+    "q57_theil_index" -> ("orders" -> "o_orderkey"),
+    "d74_bow_fingerprint_dedup" -> ("documents" -> "doc_id"),
+    "d75_source_quality_wilson" -> ("documents" -> "doc_id"),
+    "d76_lang_confusion" -> ("documents" -> "doc_id"),
+    "d77_dedup_bias_audit" -> ("documents" -> "doc_id"),
+    "d78_vocab_growth" -> ("documents" -> "doc_id"),
+    // e30: each vector meets a constant number of offset partners —
+    // pair count is 3n, pure join-scan linearity onto the 20-bin grid.
+    // e31 is the e18 probe harness (probes ~n/100 DO grow with the
+    // corpus here, so work is probes × corpus — expected ~quadratic-ish
+    // in the harness; at fixed probe count it's corpus-linear).
+    // m13's Hamming join runs on the ≤768-row hash DOMAIN regardless of
+    // media count; m14 folds the cost model onto 3 kinds.
+    "e30_pair_cos_histogram" -> ("embeddings" -> "vec_id"),
+    "e31_hubness_audit" -> ("embeddings" -> "vec_id"),
+    "m13_phash_hamming_merge" -> ("documents" -> "doc_id"),
+    "m14_modality_token_budget" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
