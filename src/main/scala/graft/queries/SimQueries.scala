@@ -2250,5 +2250,70 @@ object SimQueries {
           CAST(row_number() OVER (ORDER BY t.n_hits DESC, t.b_id ASC)
             AS BIGINT) AS hub_rank
         FROM top t JOIN b ON t.b_id = b.vec_id, tot""")),
+
+    // ---- LSH bucket-balance audit (the shard straggler readout) -----------
+    // Every bucketed plan in the e-family (e02/e03, the IVF cells, e24's
+    // shards) assumes buckets stay near TargetBucket-sized; a skewed
+    // hash family or a degenerate corpus (all vectors in one orthant)
+    // silently turns one bucket into the straggler that bounds every
+    // stage. This audits the assumption: bucket-size histogram on a
+    // log2 grid plus the two scalars a capacity review reads — max
+    // bucket size and the max/mean imbalance factor.
+    //
+    // Scale shape: one fold onto the ≤2^MaxBits bucket domain (map-side
+    // partials), then a fold onto the ≤64-bin log2 grid; the scalar
+    // windows run on the bounded grid. log2 is INTEGER-exact via
+    // length(bin(sz))−1 — never a libm log2 at a power-of-two boundary.
+    //
+    // Exactness: all counts int64; shares/imbalance divide exact int64s
+    // as double, 6-dp rounded.
+    GraftQuery(
+      "e32_bucket_balance",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        bucketed(s, d)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("sz"))
+          .select((length(bin(col("sz"))) - 1).cast("bigint")
+            .as("size_log2"), col("sz"))
+          .groupBy(col("size_log2"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("sz")).as("n_vectors"),
+            max(col("sz")).as("bin_max"))
+          .withColumn("tot_vec", sum(col("n_vectors")).over(w))
+          .withColumn("tot_bkt", sum(col("n_buckets")).over(w))
+          .withColumn("max_size", max(col("bin_max")).over(w))
+          .select(col("size_log2"), col("n_buckets"), col("n_vectors"),
+            round(col("n_vectors").cast("double")
+              / col("tot_vec").cast("double"), 6).as("vector_share"),
+            col("max_size"),
+            round(col("max_size").cast("double")
+              / (col("tot_vec").cast("double")
+                / col("tot_bkt").cast("double")), 6).as("imbalance"))
+      },
+      Some(s"""WITH $sqlBitsCte,
+        bk AS (SELECT ${sqlSignBucket("embedding", "bits")} AS bucket
+          FROM embeddings, nb WHERE $sqlValidEmb),
+        sz AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM bk GROUP BY 1),
+        lg AS (SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_log2,
+            sz FROM sz),
+        g AS (SELECT size_log2, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+            CAST(SUM(sz) AS BIGINT) AS n_vectors,
+            CAST(MAX(sz) AS BIGINT) AS bin_max
+          FROM lg GROUP BY 1),
+        t AS (SELECT *,
+            CAST(SUM(n_vectors) OVER () AS BIGINT) AS tot_vec,
+            CAST(SUM(n_buckets) OVER () AS BIGINT) AS tot_bkt,
+            CAST(MAX(bin_max) OVER () AS BIGINT) AS max_size
+          FROM g)
+        SELECT size_log2, n_buckets, n_vectors,
+          round(CAST(n_vectors AS DOUBLE) / CAST(tot_vec AS DOUBLE), 6)
+            AS vector_share,
+          max_size,
+          round(CAST(max_size AS DOUBLE)
+            / (CAST(tot_vec AS DOUBLE) / CAST(tot_bkt AS DOUBLE)), 6)
+            AS imbalance
+        FROM t""")),
   )
 }

@@ -2667,5 +2667,62 @@ object StarQueries {
             / CAST(g.n_customers AS DOUBLE), 6) AS theil
         FROM g JOIN st USING (c_nationkey)
         JOIN nation n ON g.c_nationkey = n.n_nationkey""")),
+
+    // ---- new vs returning customers per month ------------------------------
+    // The growth readout q25's cohort triangle doesn't surface directly:
+    // per calendar month, how many active customers are in their FIRST
+    // month vs returning — the new/returning split every revenue review
+    // opens with. Month key is arithmetic (year·12 + month−1), never an
+    // engine-specific truncation.
+    //
+    // Scale shape: one fold onto the (custkey, month) activity domain
+    // (map-side combinable), a custkey-domain min for the first month,
+    // one custkey-partitioned join back (no broadcast needed — both
+    // sides already live on the custkey partitioning), then a fold onto
+    // the calendar-month grid. The q47 envelope.
+    //
+    // Exactness: month arithmetic and counts are exact integers; the
+    // share divides exact int64s, 6-dp rounded.
+    GraftQuery(
+      "q58_new_vs_returning",
+      (s, d) => {
+        val act = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+              .cast("bigint").as("month_idx"))
+          .groupBy(col("o_custkey"), col("month_idx"))
+          .agg(count(lit(1)).as("n_orders"))
+        val first = act.groupBy(col("o_custkey"))
+          .agg(min(col("month_idx")).as("first_m"))
+        act.join(first, Seq("o_custkey"))
+          .groupBy(col("month_idx"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("month_idx") === col("first_m"), 1L)
+              .otherwise(0L)).as("n_new"),
+            sum(col("n_orders")).as("n_orders"))
+          .select(col("month_idx"), col("n_active"), col("n_new"),
+            (col("n_active") - col("n_new")).as("n_returning"),
+            col("n_orders"),
+            round(col("n_new").cast("double")
+              / col("n_active").cast("double"), 6).as("new_share"))
+      },
+      Some("""WITH act AS (SELECT o_custkey,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+              AS month_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1, 2),
+        f AS (SELECT o_custkey, MIN(month_idx) AS first_m
+          FROM act GROUP BY 1)
+        SELECT month_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_active,
+          CAST(SUM(CASE WHEN month_idx = first_m THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          CAST(COUNT(*) - SUM(CASE WHEN month_idx = first_m
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+          CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+          round(CAST(SUM(CASE WHEN month_idx = first_m THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
+        FROM act JOIN f USING (o_custkey)
+        GROUP BY 1""")),
   )
 }

@@ -3843,6 +3843,74 @@ object TextQueries {
           round((n * sxy - sx * sy)
             / NULLIF(n * sx2 - sx * sx, 0.0), 6) AS heaps_beta
         FROM mm""")),
+
+    // ---- per-source boilerplate chunk extraction ----------------------------
+    // d22 scores each DOC's duplicated-chunk fraction; this answers the
+    // inverse curation question — WHICH chunks are the boilerplate
+    // (cookie banners, license headers, nav text), per source, so a
+    // scrub rule can target them. Per source: the top-3 10-token chunks
+    // by document coverage, with the share of the source's docs
+    // containing each — the cleanup worklist a crawl triage reads.
+    //
+    // Scale shape: d22's chunk explode collapses to the (source, chunk)
+    // domain via a distinct-doc pre-fold (a doc repeating its own banner
+    // counts once); the top-3 is a rank window partitioned by source —
+    // map-side WindowGroupLimit, never a per-source sort of the chunk
+    // table; per-source doc totals ride a tiny broadcast join-back.
+    //
+    // Exactness: all counts int64; coverage divides exact int64s, 6-dp
+    // rounded; ranking keys are (count desc, hash asc) — deterministic.
+    GraftQuery(
+      "d79_boilerplate_chunks",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("chunks",
+            when(size(col("toks")) >= 10,
+              expr("transform(sequence(0, size(toks) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+        val occ = docs
+          .select(col("source"), col("doc_id"),
+            explode(col("chunks")).as("c"))
+          .select(col("source"), col("doc_id"), md5(col("c")).as("ch"))
+          .distinct()
+          .groupBy(col("source"), col("ch"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("src_docs"))
+        occ
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("n_docs").desc, col("ch").asc)).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .join(broadcast(totals), Seq("source"))
+          .select(col("source"), col("rank"), col("ch").as("chunk_hash"),
+            col("n_docs"),
+            round(col("n_docs").cast("double")
+              / col("src_docs").cast("double"), 6).as("doc_coverage"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $sqlToks AS toks
+          FROM documents),
+        ck AS (SELECT doc_id, source,
+            CASE WHEN len(toks) >= 10 THEN
+              list_transform(range(0, len(toks) // 10),
+                i -> array_to_string(toks[i*10 + 1 : i*10 + 10], ' '))
+            ELSE CAST([] AS VARCHAR[]) END AS chunks
+          FROM toks),
+        occ AS (SELECT DISTINCT source, doc_id, md5(unnest(chunks)) AS ch
+          FROM ck),
+        g AS (SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM occ GROUP BY 1, 2),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_docs DESC, ch ASC) AS BIGINT) AS rank
+          FROM g),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs
+          FROM documents GROUP BY 1)
+        SELECT source, rank, ch AS chunk_hash, n_docs,
+          round(CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE), 6)
+            AS doc_coverage
+        FROM r JOIN tot USING (source) WHERE rank <= 3""")),
   )
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`

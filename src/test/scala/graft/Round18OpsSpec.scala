@@ -250,6 +250,60 @@ class Round18OpsSpec extends SparkSpec {
       - 1.0) < 1e-5, "11 hubs absorb every one of the 50 retrievals")
   }
 
+  test("e32 bucket balance: a degenerate one-orthant corpus is ONE " +
+      "bucket at imbalance exactly 1") {
+    // 100 identical all-positive vectors hash to a single sign bucket:
+    // the histogram is one row (size 100 → log2 bin 6), and max/mean
+    // imbalance collapses to 1.0 — the audit's lower bound.
+    val got = query("e32_bucket_balance").run(spark, onesEmbDir(100))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("size_log2") == 6L)
+    assert(got.head.getAs[Long]("n_buckets") == 1L)
+    assert(got.head.getAs[Long]("n_vectors") == 100L)
+    assert(got.head.getAs[Double]("vector_share") == 1.0)
+    assert(got.head.getAs[Long]("max_size") == 100L)
+    assert(got.head.getAs[Double]("imbalance") == 1.0)
+  }
+
+  test("q58 new vs returning: a customer's first month is new, the next " +
+      "is returning") {
+    // Cust 1 orders in Jan and Feb 2024; cust 2 only in Feb: Jan = 1
+    // active/1 new, Feb = 2 active / 1 new / 1 returning.
+    val dir = ordersDir(Seq(
+      (1L, 1L, 100.0, 0),   // Jan 2024
+      (2L, 1L, 100.0, 40),  // Feb 2024
+      (3L, 2L, 100.0, 41))) // Feb 2024
+    val got = query("q58_new_vs_returning").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("month_idx") -> r).toMap
+    val jan = 2024L * 12
+    assert(got.keySet == Set(jan, jan + 1))
+    assert(got(jan).getAs[Long]("n_active") == 1L)
+    assert(got(jan).getAs[Long]("n_new") == 1L)
+    assert(got(jan + 1).getAs[Long]("n_active") == 2L)
+    assert(got(jan + 1).getAs[Long]("n_new") == 1L)
+    assert(got(jan + 1).getAs[Long]("n_returning") == 1L)
+    assert(got(jan + 1).getAs[Double]("new_share") == 0.5)
+  }
+
+  test("d79 boilerplate: a chunk shared by every doc of a source tops " +
+      "its worklist at full coverage") {
+    val banner = (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, banner + " " + (1 to 10).map(i => s"x$i").mkString(" "), "en", "s1"),
+      (2L, banner + " " + (1 to 10).map(i => s"y$i").mkString(" "), "en", "s1"),
+      (3L, banner + " " + (1 to 10).map(i => s"z$i").mkString(" "), "en", "s1")))
+    val got = query("d79_boilerplate_chunks").run(spark, dir).collect()
+    val top = got.filter(_.getAs[Long]("rank") == 1L)
+    assert(top.length == 1)
+    assert(top.head.getAs[String]("source") == "s1")
+    assert(top.head.getAs[Long]("n_docs") == 3L)
+    assert(top.head.getAs[Double]("doc_coverage") == 1.0)
+    // the tails are unique chunks — every other row covers exactly 1 doc
+    assert(got.filter(_.getAs[Long]("rank") > 1L)
+      .forall(_.getAs[Long]("n_docs") == 1L))
+  }
+
   test("m13 Hamming merge: canon is within 1 bit, counts conserve, and " +
       "merged groups dominate their members") {
     val got = query("m13_phash_hamming_merge").run(spark, sfDir).collect()

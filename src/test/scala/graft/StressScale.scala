@@ -239,7 +239,15 @@ object StressScale {
     "e30_pair_cos_histogram" -> ("embeddings" -> "vec_id"),
     "e31_hubness_audit" -> ("embeddings" -> "vec_id"),
     "m13_phash_hamming_merge" -> ("documents" -> "doc_id"),
-    "m14_modality_token_budget" -> ("documents" -> "doc_id"))
+    "m14_modality_token_budget" -> ("documents" -> "doc_id"),
+    // e32 folds onto the bucket domain then a ≤64-bin grid; q58's
+    // replicas shift o_orderkey on a fixed custkey/calendar frame (the
+    // q47 activity shape); d79's replicas duplicate text, so the
+    // (source, chunk) domain is FIXED — growth is the chunk explode
+    // into the distinct pre-fold.
+    "e32_bucket_balance" -> ("embeddings" -> "vec_id"),
+    "q58_new_vs_returning" -> ("orders" -> "o_orderkey"),
+    "d79_boilerplate_chunks" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
