@@ -3911,6 +3911,37 @@ object TextQueries {
           round(CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE), 6)
             AS doc_coverage
         FROM r JOIN tot USING (source) WHERE rank <= 3""")),
+
+    // ---- BPE tokenizer training (k greedy merges) ---------------------------
+    // The iterative flagship d68 pins step 0 of: Sennrich-2016 BPE at the
+    // word-frequency-table grain. The corpus collapses ONCE to
+    // (word, cnt) — a vocabulary-sized domain fold — then each of the 5
+    // merge steps scans only that bounded table: weighted pair counts →
+    // lexicographically tie-broken argmax (one bounded driver action per
+    // step, the e05-seed class — the merge RULE is driver-resident by
+    // algorithm design) → native aggregate-lambda rewrite of every
+    // word's symbol sequence (greedy left-to-right non-overlap by
+    // construction; see operators/Bpe). Output: the 5-row merge table.
+    //
+    // Rows-only (an iterative driver loop has no single-statement SQL
+    // analog — the e05/e13 pattern): d68 hash-pins step 0's pair-count
+    // semantics, Round18OpsSpec pins the full merge sequence on the
+    // Sennrich corpus, PropertySpec-style non-increasing-count law and
+    // GOLDEN.json pin the fixture output.
+    GraftQuery(
+      "d80_bpe_train",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val merges = graft.operators.Bpe.train(words, k = 5)
+        import s.implicits._
+        merges.map(m => (m.step, m.left, m.right, m.pairCount))
+          .toDF("step", "left", "right", "pair_count")
+          .select(col("step").cast("bigint").as("step"), col("left"),
+            col("right"), col("pair_count"))
+      },
+      None),
   )
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`

@@ -32,7 +32,10 @@ object GoldenHash {
   val pinned: Seq[String] = Seq(
     "d10_simhash", "d11_simhash_pairs", "d12_minhash_lsh_pairs",
     "d15_neardup_clusters", "e05_ivf_topk", "e13_pq_adc_recall",
-    "e19_ivfpq_topk", "q17_events_approx_users", "q33_percentiles_sketch")
+    "e19_ivfpq_topk", "q17_events_approx_users", "q33_percentiles_sketch",
+    // round 18: the BPE merge loop (iterative driver loop, no
+    // single-statement SQL analog; d68 hash-pins its step 0)
+    "d80_bpe_train")
 
   val sfDir = "/root/testdata/sf0.01"
   val file = "GOLDEN.json"

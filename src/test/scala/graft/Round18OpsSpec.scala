@@ -304,6 +304,36 @@ class Round18OpsSpec extends SparkSpec {
       .forall(_.getAs[Long]("n_docs") == 1L))
   }
 
+  test("d80 BPE reproduces the Sennrich merge sequence exactly, with " +
+      "non-increasing pair counts") {
+    // The classic corpus: low×5, lower×2, newest×6, widest×3. Hand-run:
+    //   (e,s) 9  →  (es,t) 9  →  (l,o) 7  →  (lo,w) 7  →  (e,w) 6
+    // with every tie broken lexicographically ((e,s) over (s,t);
+    // (l,o) over (o,w); (e,w) over (n,e)/(w,est)).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = query("d80_bpe_train")
+      .run(spark, docsDir(Seq((1L, text, "en", "s1")))).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L)))
+    // the greedy-max law: no later merge can beat an earlier one
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+  }
+
+  test("BPE mergePair fold is greedy left-to-right non-overlapping") {
+    import graft.operators.Bpe
+    val df = Seq(Seq("a", "a", "a", "a"), Seq("b", "a", "a", "b"))
+      .toDF("syms")
+    val got = df.select(Bpe.mergePair(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toSet
+    assert(got == Set(List("aa", "aa"), List("b", "aa", "b")))
+  }
+
   test("m13 Hamming merge: canon is within 1 bit, counts conserve, and " +
       "merged groups dominate their members") {
     val got = query("m13_phash_hamming_merge").run(spark, sfDir).collect()

@@ -247,7 +247,11 @@ object StressScale {
     // into the distinct pre-fold.
     "e32_bucket_balance" -> ("embeddings" -> "vec_id"),
     "q58_new_vs_returning" -> ("orders" -> "o_orderkey"),
-    "d79_boilerplate_chunks" -> ("documents" -> "doc_id"))
+    "d79_boilerplate_chunks" -> ("documents" -> "doc_id"),
+    // d80: replicas duplicate text, so the (word, cnt) table — the ONLY
+    // thing the 5 merge steps ever scan — is FIXED; growth is the one
+    // corpus fold feeding it.
+    "d80_bpe_train" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
