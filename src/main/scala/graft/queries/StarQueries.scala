@@ -2724,5 +2724,76 @@ object StarQueries {
               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
         FROM act JOIN f USING (o_custkey)
         GROUP BY 1""")),
+
+    // ---- robust daily-revenue outlier flags (median + MAD) -----------------
+    // q55's CUSUM finds LEVEL SHIFTS; this finds POINT anomalies — the
+    // other half of a revenue monitor. Robust z per day against the
+    // median/MAD of the daily series (mean/stddev would let one spike
+    // inflate its own yardstick); |z| > 3.5 is the classic flag. q29
+    // runs this per GROUP over values; this runs it over the CALENDAR.
+    //
+    // Scale shape: the fact table folds map-side onto the day domain
+    // first; both median rank passes and the z arithmetic run on that
+    // calendar-bounded grid (the q28/q55 envelope), with the two 1-row
+    // medians broadcast back.
+    //
+    // Exactness: daily revenue is an exact decimal cast to double once;
+    // medians average the two middle ranks in one double op order; z
+    // computes in one shared op order, 6-dp rounded, NULL-guarded when
+    // MAD = 0 (a constant series has no yardstick — both engines).
+    GraftQuery(
+      "q59_daily_robust_outliers",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        def median(df: org.apache.spark.sql.DataFrame, v: String,
+            tie: String, out: String) = {
+          val ranked = df
+            .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
+              .orderBy(col(v).asc, col(tie).asc)))
+            .withColumn("n", count(lit(1)).over(w))
+          broadcast(ranked
+            .filter(col("rn") === expr("(n + 1) div 2") ||
+              col("rn") === expr("(n + 2) div 2"))
+            .agg(((min(col(v)) + max(col(v))) / 2.0).as(out)))
+        }
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+        val med = median(daily, "rev", "day", "med")
+        val withDev = daily.crossJoin(med)
+          .withColumn("dev", abs(col("rev") - col("med")))
+        val mad = median(withDev, "dev", "day", "mad")
+        withDev.crossJoin(mad)
+          .withColumn("robust_z",
+            when(col("mad") === 0.0, lit(null).cast("double"))
+              .otherwise(round((col("rev") - col("med"))
+                / (lit(1.4826) * col("mad")), 6)))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("order_date"),
+            col("rev").as("day_rev"), round(col("med"), 6).as("median_rev"),
+            col("robust_z"),
+            coalesce((abs(col("robust_z")) > 3.5).cast("int"), lit(0))
+              .as("is_outlier"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders GROUP BY 1),
+        r1 AS (SELECT *, row_number() OVER (ORDER BY rev ASC, day ASC)
+            AS rn, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM daily),
+        med AS (SELECT (MIN(rev) + MAX(rev)) / 2.0 AS med FROM r1
+          WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+        dv AS (SELECT day, rev, med, abs(rev - med) AS dev
+          FROM daily, med),
+        r2 AS (SELECT *, row_number() OVER (ORDER BY dev ASC, day ASC)
+            AS rn, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM dv),
+        mad AS (SELECT (MIN(dev) + MAX(dev)) / 2.0 AS mad FROM r2
+          WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+        SELECT strftime(day, '%Y-%m-%d') AS order_date, rev AS day_rev,
+          round(med, 6) AS median_rev,
+          CASE WHEN mad = 0.0 THEN NULL
+            ELSE round((rev - med) / (1.4826 * mad), 6) END AS robust_z,
+          CAST(COALESCE(CASE WHEN mad = 0.0 THEN NULL
+            ELSE abs(round((rev - med) / (1.4826 * mad), 6)) > 3.5 END,
+            FALSE) AS INT) AS is_outlier
+        FROM dv, mad""")),
   )
 }

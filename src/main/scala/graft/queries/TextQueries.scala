@@ -3942,6 +3942,146 @@ object TextQueries {
             col("right"), col("pair_count"))
       },
       None),
+
+    // ---- code-switching / language-purity detector --------------------------
+    // d06 assigns ONE language per doc; real crawls carry mixed-language
+    // pages (boilerplate in one language wrapping content in another),
+    // and a mixed doc poisons both per-language corpora. Per doc: marker
+    // hits per language, the winner's purity share, the Shannon entropy
+    // of the hit distribution, and the is_mixed flag (enough evidence,
+    // low purity) a router sends to a real LID model.
+    //
+    // Scale shape: four native CountWordsIn passes in ONE codegen'd
+    // projection — zero exchanges, the d48 gate-battery envelope.
+    //
+    // Exactness: hit counts are exact int64; purity divides exact ints;
+    // the entropy is a FIXED-ORDER four-term sum (langMarkerWords
+    // declaration order, written identically in both engines), 6-dp
+    // rounded — no data-dependent summation order anywhere.
+    GraftQuery(
+      "d81_code_switch",
+      (s, d) => {
+        import graft.functions.TextExprs
+        import graft.functions.TextFunctions.langMarkerWords
+        val lowered = lower(col("text"))
+        val hits = langMarkerWords.map { case (code, ws) =>
+          coalesce(TextExprs.countWordsIn(lowered, ws).cast("bigint"),
+            lit(0L)).as(s"${code}_hits")
+        }
+        val hitCols = langMarkerWords.map(m => col(s"${m._1}_hits"))
+        val tot = hitCols.reduce(_ + _)
+        val entTerms = hitCols.map { c =>
+          when(c > 0L, (c.cast("double") / col("n_hits").cast("double"))
+            * log(c.cast("double") / col("n_hits").cast("double")))
+            .otherwise(lit(0.0))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id") +: hits: _*)
+          .withColumn("n_hits", tot)
+          .withColumn("purity",
+            when(col("n_hits") === 0L, lit(null).cast("double"))
+              .otherwise(round(greatest(hitCols: _*).cast("double")
+                / col("n_hits").cast("double"), 6)))
+          .withColumn("mix_entropy",
+            when(col("n_hits") === 0L, lit(null).cast("double"))
+              .otherwise(round(-entTerms.reduce(_ + _), 6)))
+          .withColumn("is_mixed",
+            (col("n_hits") >= 5L && coalesce(col("purity") < 0.8,
+              lit(false))).cast("int"))
+      },
+      Some {
+        val hits = langMarkers.map { case (code, pat) =>
+          s"CAST(COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS BIGINT) AS ${code}_hits"
+        }.mkString(", ")
+        val cols = langMarkers.map(m => s"${m._1}_hits")
+        val tot = cols.mkString(" + ")
+        val g = cols.mkString("greatest(", ", ", ")")
+        val ent = cols.map { c =>
+          s"""(CASE WHEN $c > 0 THEN (CAST($c AS DOUBLE) / CAST(n_hits AS DOUBLE))
+               * ln(CAST($c AS DOUBLE) / CAST(n_hits AS DOUBLE)) ELSE 0.0 END)"""
+        }.mkString(" + ")
+        s"""WITH h AS (SELECT doc_id, $hits FROM documents),
+          t AS (SELECT *, $tot AS n_hits FROM h)
+          SELECT doc_id, ${cols.mkString(", ")}, n_hits,
+            CASE WHEN n_hits = 0 THEN NULL
+              ELSE round(CAST($g AS DOUBLE) / CAST(n_hits AS DOUBLE), 6) END
+              AS purity,
+            CASE WHEN n_hits = 0 THEN NULL
+              ELSE round(-($ent), 6) END AS mix_entropy,
+            CAST(CASE WHEN n_hits >= 5 AND COALESCE(
+              CASE WHEN n_hits = 0 THEN NULL
+                ELSE round(CAST($g AS DOUBLE) / CAST(n_hits AS DOUBLE), 6)
+              END < 0.8, FALSE) THEN 1 ELSE 0 END AS INT) AS is_mixed
+          FROM t"""
+      }),
+
+    // ---- quality-gate threshold calibration sweep ----------------------------
+    // d14 applies ONE gate threshold; this answers how the threshold was
+    // chosen: for every cut t ∈ {0.0 … 0.9}, the kept fraction and the
+    // mean quality/token-count of the kept set — the calibration curve a
+    // data lead reads before burning a crawl. Computed the scale-right
+    // way: NOT nine scans, and not a 9× row fan-out — ONE fold onto
+    // Sketches.qualityBin's fixed 10-bin domain carrying (n, Σq, Σtoks),
+    // then reverse-cumulative windows on the 10-row grid (kept-at-t =
+    // everything in bins ≥ t·10). The d82↔d64 bin rule is shared by
+    // construction (one qualityBin definition).
+    //
+    // Exactness: bin counts/token sums are exact int64; quality sums are
+    // 6-dp-rounded decimals; means divide exact sums as double, 6-dp
+    // rounded, NULL when a cut keeps nothing.
+    GraftQuery(
+      "d82_gate_threshold_sweep",
+      (s, d) => {
+        val wr = Window.partitionBy(lit(1)).orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w = Window.partitionBy(lit(1))
+        Tables.documents(s, d)
+          .select(qualityScore(col("text")).as("q"),
+            tokenCount(col("text")).cast("bigint").as("n_toks"))
+          .filter(col("q").isNotNull)
+          .groupBy(graft.operators.Sketches.qualityBin(col("q")).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("q"), 6).cast("decimal(18,6)")).as("q_sum"),
+            sum(col("n_toks")).as("tok_sum"))
+          .withColumn("n_kept", sum(col("n")).over(wr))
+          .withColumn("qk", sum(col("q_sum")).over(wr))
+          .withColumn("tk", sum(col("tok_sum")).over(wr))
+          .withColumn("n_total", sum(col("n")).over(w))
+          .select(
+            round(col("bin").cast("double") / 10.0, 1).as("threshold"),
+            col("n_kept"),
+            round(col("n_kept").cast("double")
+              / col("n_total").cast("double"), 6).as("kept_frac"),
+            round(col("qk").cast("double")
+              / col("n_kept").cast("double"), 6).as("mean_quality_kept"),
+            round(col("tk").cast("double")
+              / col("n_kept").cast("double"), 6).as("mean_tokens_kept"))
+      },
+      Some(s"""WITH sc AS (SELECT $sqlQualityOfText AS q,
+            CAST(len($sqlToks) AS BIGINT) AS n_toks
+          FROM documents),
+        b AS (SELECT least(9, CAST(floor(q * 10) AS BIGINT)) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS q_sum,
+            CAST(SUM(n_toks) AS BIGINT) AS tok_sum
+          FROM sc WHERE q IS NOT NULL GROUP BY 1),
+        c AS (SELECT *,
+            CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS n_kept,
+            CAST(SUM(q_sum) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS qk,
+            CAST(SUM(tok_sum) OVER (ORDER BY bin DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tk,
+            CAST(SUM(n) OVER () AS BIGINT) AS n_total
+          FROM b)
+        SELECT round(CAST(bin AS DOUBLE) / 10.0, 1) AS threshold, n_kept,
+          round(CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+            AS kept_frac,
+          round(CAST(qk AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+            AS mean_quality_kept,
+          round(CAST(tk AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+            AS mean_tokens_kept
+        FROM c""")),
   )
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`

@@ -304,6 +304,69 @@ class Round18OpsSpec extends SparkSpec {
       .forall(_.getAs[Long]("n_docs") == 1L))
   }
 
+  test("q59 robust outliers: a lone spike is flagged, normal days are not") {
+    // Nine days drifting 100..108 plus one 1000-spike: median 104.5,
+    // MAD 2.5 → the spike's robust z ≈ 241.6; every normal day |z| < 2.
+    val dir = ordersDir(
+      (0 until 9).map(i => (i.toLong, 1L, 100.0 + i, i)) :+
+      (9L, 1L, 1000.0, 9))
+    val got = query("q59_daily_robust_outliers").run(spark, dir).collect()
+    val outliers = got.filter(_.getAs[Int]("is_outlier") == 1)
+    assert(outliers.length == 1)
+    assert(outliers.head.getAs[String]("order_date") == "2024-01-10")
+    assert(outliers.head.getAs[Double]("robust_z") > 200.0)
+    assert(got.head.getAs[Double]("median_rev") == 104.5)
+    assert(got.filter(_.getAs[Int]("is_outlier") == 0)
+      .forall(r => math.abs(r.getAs[Double]("robust_z")) < 2.0))
+  }
+
+  test("q59 NULL-guards the z when MAD is zero (constant series)") {
+    val dir = ordersDir((0 until 5).map(i => (i.toLong, 1L, 100.0, i)))
+    val got = query("q59_daily_robust_outliers").run(spark, dir).collect()
+    assert(got.forall(_.isNullAt(got.head.fieldIndex("robust_z"))))
+    assert(got.forall(_.getAs[Int]("is_outlier") == 0))
+  }
+
+  test("d81 code-switch: pure docs score purity 1, a 50/50 mix flags " +
+      "with entropy ln 2") {
+    val dir = docsDir(Seq(
+      (1L, "the of and to in", "en", "s1"),               // pure en
+      // 5 en + 5 es markers, chosen OUTSIDE the fr/de lists ("que" is
+      // in both the es and fr marker sets and would double-count)
+      (2L, "the of and to in de la el los por", "en", "s1"),
+      (3L, "zz yy xx", "en", "s1")))                      // no markers
+    val got = query("d81_code_switch").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Double]("purity") == 1.0)
+    assert(got(1L).getAs[Double]("mix_entropy") == 0.0)
+    assert(got(1L).getAs[Int]("is_mixed") == 0)
+    assert(got(2L).getAs[Long]("n_hits") == 10L)
+    assert(got(2L).getAs[Double]("purity") == 0.5)
+    assert(math.abs(got(2L).getAs[Double]("mix_entropy")
+      - math.log(2.0)) < 1e-5)
+    assert(got(2L).getAs[Int]("is_mixed") == 1)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("purity")))
+    assert(got(3L).getAs[Int]("is_mixed") == 0)
+  }
+
+  test("d82 threshold sweep: kept counts are a reverse-cumulative of the " +
+      "quality bins") {
+    // Four 149-char clean docs (quality 0.745 → bin 7) + one junk doc
+    // (bin 0): the t=0.7 cut keeps 4/5, the t=0.0 cut keeps everything.
+    val pass = ("word " * 30).trim
+    val dir = docsDir(
+      (1L to 4L).map(i => (i, pass, "en", "s1")) :+
+      (5L, "xy", "en", "s1"))
+    val got = query("d82_gate_threshold_sweep").run(spark, dir).collect()
+      .map(r => r.getAs[Double]("threshold") -> r).toMap
+    assert(got.keySet == Set(0.0, 0.7))
+    assert(got(0.7).getAs[Long]("n_kept") == 4L)
+    assert(got(0.7).getAs[Double]("kept_frac") == 0.8)
+    assert(got(0.0).getAs[Long]("n_kept") == 5L)
+    assert(got(0.0).getAs[Double]("kept_frac") == 1.0)
+    assert(got(0.7).getAs[Double]("mean_quality_kept") == 0.745)
+  }
+
   test("d80 BPE reproduces the Sennrich merge sequence exactly, with " +
       "non-increasing pair counts") {
     // The classic corpus: low×5, lower×2, newest×6, widest×3. Hand-run:

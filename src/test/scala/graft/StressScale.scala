@@ -251,7 +251,13 @@ object StressScale {
     // d80: replicas duplicate text, so the (word, cnt) table — the ONLY
     // thing the 5 merge steps ever scan — is FIXED; growth is the one
     // corpus fold feeding it.
-    "d80_bpe_train" -> ("documents" -> "doc_id"))
+    "d80_bpe_train" -> ("documents" -> "doc_id"),
+    // q59 rides the q55 calendar envelope (fold to days, then bounded
+    // rank passes); d81 is a d48-shaped zero-exchange scan; d82 folds
+    // onto the fixed 10-bin quality grid (the d64 envelope).
+    "q59_daily_robust_outliers" -> ("orders" -> "o_orderkey"),
+    "d81_code_switch" -> ("documents" -> "doc_id"),
+    "d82_gate_threshold_sweep" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
