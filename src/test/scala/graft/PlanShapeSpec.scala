@@ -91,8 +91,10 @@ class PlanShapeSpec extends SparkSpec {
       "d71_signal_agreement",
       // e31 broadcasts the bounded probe sample (the e18 harness) plus
       // the 1-row retrieval total; d78 cross-joins the 1-row id-range
-      // aggregate (the d60 totals pattern).
-      "e31_hubness_audit", "d78_vocab_growth")
+      // aggregate (the d60 totals pattern); q59 cross-joins its two
+      // 1-row median/MAD aggregates (the q41 witness pattern).
+      "e31_hubness_audit", "d78_vocab_growth",
+      "q59_daily_robust_outliers")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
