@@ -70,11 +70,18 @@ object Bpe {
         .as("syms"),
       col("cnt"))
     val merges = Seq.newBuilder[Merge]
-    for (step <- 1 to k) {
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val top = pairCounts(words)
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) {
+        // no adjacent pair left (tiny or fully merged vocabulary):
+        // every later step would rerun the same provably empty
+        // pair-count job — stop instead
+        exhausted = true
+      } else {
         val row = top.head
         val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(step, l, r, n)
@@ -83,6 +90,7 @@ object Bpe {
         words = Checkpoints.barrier(
           words.select(mergePair(col("syms"), l, r).as("syms"), col("cnt")))
       }
+      step += 1
     }
     merges.result()
   }

@@ -582,6 +582,14 @@ object MediaQueries {
     // hash in its 1-bit neighborhood; n_merged sums media over the
     // canonical group (window on the ≤768-row domain).
     //
+    // ONE-STEP canonicalization, deliberately not transitive: {00, 01,
+    // 11} maps 11→01 while 01→00, so chained neighborhoods do NOT close
+    // into equivalence classes (the same one-hop contract as d53's
+    // bucket representatives). When closure over multi-bit chains is
+    // required, feed the (phash, canon_phash) edges — a ≤768-row edge
+    // list — to ConnectedComponents (the d27 form); at this domain size
+    // that is a driver-trivial loop.
+    //
     // Exactness: phash/xor/bit_count are pure integer ops in both
     // engines; counts int64; no floats anywhere.
     GraftQuery(

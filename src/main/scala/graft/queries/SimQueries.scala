@@ -2135,6 +2135,10 @@ object SimQueries {
             Seq("b_id"))
           .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
         pairs
+          // a zero-norm vector has NO cosine (NULL): without this filter
+          // greatest(0, NULL) files the pair into bin 0's anti-aligned
+          // mass in BOTH engines — undefined pairs carry no signal
+          .filter(col("cos").isNotNull)
           .select(least(lit(19L), greatest(lit(0L),
             floor((col("cos") + lit(1.0)) * lit(10.0)).cast("long")))
             .as("bin"),
@@ -2162,7 +2166,7 @@ object SimQueries {
           FROM e a JOIN e b ON b.vec_id = a.vec_id + 49),
         binned AS (SELECT least(19, greatest(0,
             CAST(floor((cos + 1.0) * 10.0) AS BIGINT))) AS bin, cos
-          FROM p),
+          FROM p WHERE cos IS NOT NULL),
         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
             CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6)))
               AS DECIMAL(38,6)) AS cos_sum
@@ -2211,8 +2215,12 @@ object SimQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("a_id"), col("b_id"))
-        val tot = broadcast(nn.agg(count(lit(1)).as("total")))
-        val hubs = nn.groupBy(col("b_id"))
+        // two consumers (total + hit counts) branch off nn: without a
+        // barrier Spark re-evaluates the probes × corpus rank lineage
+        // once per branch — the dominant cost, paid twice
+        val nnb = graft.operators.Checkpoints.barrier(nn)
+        val tot = broadcast(nnb.agg(count(lit(1)).as("total")))
+        val hubs = nnb.groupBy(col("b_id"))
           .agg(count(lit(1)).as("n_hits"))
           .crossJoin(tot)
           .orderBy(col("n_hits").desc, col("b_id").asc)

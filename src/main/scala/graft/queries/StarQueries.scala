@@ -2423,16 +2423,28 @@ object StarQueries {
       (s, d) => {
         val w = Window.partitionBy(lit(1))
         // shared substrate (operators/Sketches): the SAME ≤9-row frame
-        // StatefulOpsSpec maintains as a streaming aggregation
+        // StatefulOpsSpec maintains as a streaming aggregation. The
+        // observed counts FULL-join the fixed 1-9 domain: a digit with
+        // ZERO observations is the loudest Benford violation and must
+        // contribute its (0−E)²/E term — dropping absent digits would
+        // understate χ² exactly on the most anomalous feeds. (Degenerate
+        // sub-1 amounts produce digit 0 outside the law's domain: kept
+        // as rows, excluded from the χ² via the digit ≥ 1 guard.)
+        val domain = s.range(1, 10).select(col("id").as("digit"))
         graft.operators.Sketches
           .benfordDigits(Tables.orders(s, d), "o_totalprice")
           .withColumnRenamed("n", "n_orders")
+          .join(domain, Seq("digit"), "full_outer")
+          .select(col("digit"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
           .withColumn("total", sum(col("n_orders")).over(w))
           .withColumn("benford_share",
-            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
-              6))
+            when(col("digit") >= 1L,
+              round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
+                6)))
           .withColumn("exp_n",
-            col("total").cast("double") * col("benford_share"))
+            when(col("total") > 0L,
+              col("total").cast("double") * col("benford_share")))
           .withColumn("chi2_term",
             round((col("n_orders").cast("double") - col("exp_n"))
               * (col("n_orders").cast("double") - col("exp_n"))
@@ -2441,20 +2453,26 @@ object StarQueries {
             sum(col("chi2_term").cast("decimal(18,6)")).over(w)
               .cast("double"))
           .select(col("digit"), col("n_orders"),
-            round(col("n_orders").cast("double")
-              / col("total").cast("double"), 6).as("share"),
+            when(col("total") > 0L, round(col("n_orders").cast("double")
+              / col("total").cast("double"), 6)).as("share"),
             col("benford_share"), col("chi2_term"), col("chi2"))
       },
       Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
           FROM orders),
-        g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+        g0 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
           FROM dg GROUP BY 1),
+        dom AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+        g AS (SELECT COALESCE(g0.digit, dom.digit) AS digit,
+            COALESCE(g0.n_orders, 0) AS n_orders
+          FROM g0 FULL OUTER JOIN dom ON g0.digit = dom.digit),
         t AS (SELECT *, CAST(SUM(n_orders) OVER () AS BIGINT) AS total,
-            round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+            CASE WHEN digit >= 1 THEN
+              round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) END
               AS benford_share
           FROM g),
-        c AS (SELECT *, CAST(total AS DOUBLE) * benford_share AS exp_n
+        c AS (SELECT *, CASE WHEN total > 0 THEN
+            CAST(total AS DOUBLE) * benford_share END AS exp_n
           FROM t),
         x AS (SELECT *,
             round((CAST(n_orders AS DOUBLE) - exp_n)
@@ -2462,7 +2480,8 @@ object StarQueries {
               AS chi2_term
           FROM c)
         SELECT digit, n_orders,
-          round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
+          CASE WHEN total > 0 THEN
+            round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6) END
             AS share,
           benford_share, chi2_term,
           CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) OVER () AS DOUBLE)

@@ -57,6 +57,36 @@ object TextQueries {
     expr("try_cast(substr(source, 4) as int)")
   private val sqlSnap = "TRY_CAST(substr(source, 4) AS INT)"
 
+  /** The d06 language-ID argmax in DuckDB SQL, ONE definition: the
+    * marker-hit select list, the greatest() over per-lang counts, and
+    * the tie-broken CASE chain. Interpolated by the d06 AND d76 oracles
+    * (via [[sqlLangPredOver]]) and by [[sqlGatedCte]] — a drifted copy
+    * of the hit pattern or the tie order would silently decouple the
+    * gate from the classifier it claims to share. */
+  private lazy val sqlLangHits: String =
+    graft.functions.TextFunctions.langMarkers.map { case (code, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
+    }.mkString(", ")
+  private lazy val sqlLangHitCols: String =
+    graft.functions.TextFunctions.langMarkers.map(m => s"${m._1}_n")
+      .mkString(", ")
+  private lazy val sqlLangMax: String =
+    graft.functions.TextFunctions.langMarkers.map(m => s"${m._1}_n")
+      .mkString("greatest(", ", ", ")")
+  private lazy val sqlLangCase: String = {
+    val cases = graft.functions.TextFunctions.langMarkers.map {
+      case (code, _) => s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  /** Subquery computing (`carry`, lang_pred) over documents from the
+    * shared pieces above. */
+  private def sqlLangPredOver(carry: String): String =
+    s"""(SELECT $carry, $sqlLangCase AS lang_pred
+      FROM (SELECT $carry, $sqlLangMax AS g, $sqlLangHitCols
+        FROM (SELECT $carry, $sqlLangHits FROM documents) h) s)"""
+
   /** doc_id, toks, minhash (min md5 of the word-3-gram shingles — the
     * native one-pass [[graft.functions.MinHashExprs.minMd5Shingle]],
     * byte-identical to the historical
@@ -295,19 +325,8 @@ object TextQueries {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"), langId(col("text")).as("lang_pred")),
-      Some {
-        val hits = langMarkers.map { case (code, pat) =>
-          s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
-        }.mkString(", ")
-        val g = langMarkers.map { case (code, _) => s"${code}_n" }
-          .mkString("greatest(", ", ", ")")
-        val cases = langMarkers.map { case (code, _) =>
-          s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
-        }.mkString(" ")
-        s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-          FROM (SELECT doc_id, $g AS g, ${langMarkers.map(m => s"${m._1}_n").mkString(", ")}
-            FROM (SELECT doc_id, $hits FROM documents) h) s"""
-      }),
+      Some(s"""SELECT doc_id, lang_pred
+        FROM ${sqlLangPredOver("doc_id")} t""")),
 
     // ---- stopword density -------------------------------------------------
     GraftQuery(
@@ -3506,8 +3525,15 @@ object TextQueries {
         val we = Window.partitionBy(col("exact_fp"))
         Tables.documents(s, d)
           .withColumn("toks", tokens(col("text")))
+          // NULL text must yield a NULL fingerprint in BOTH engines, the
+          // d04 rule: concat_ws never returns NULL in Spark while
+          // DuckDB's array_to_string propagates it, so the null must be
+          // re-injected BEFORE the md5 (null docs then group together
+          // under the window's single null partition, identically in
+          // both engines)
           .select(col("doc_id"),
-            md5(concat_ws(" ", array_sort(col("toks")))).as("bow_fp"),
+            md5(when(col("toks").isNotNull,
+              concat_ws(" ", array_sort(col("toks"))))).as("bow_fp"),
             fingerprint(col("text")).as("exact_fp"))
           .withColumn("group_n", count(lit(1)).over(wb))
           .withColumn("exact_n", count(lit(1)).over(we))
@@ -3623,18 +3649,8 @@ object TextQueries {
             / sum(col("n_docs")).over(Window.partitionBy(col("lang_pred")))
               .cast("double"), 6))
       },
-      Some {
-        val hits = langMarkers.map { case (code, pat) =>
-          s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
-        }.mkString(", ")
-        val g = langMarkers.map { case (code, _) => s"${code}_n" }
-          .mkString("greatest(", ", ", ")")
-        val cases = langMarkers.map { case (code, _) =>
-          s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
-        }.mkString(" ")
-        s"""WITH p AS (SELECT lang, CASE $cases ELSE 'und' END AS lang_pred
-          FROM (SELECT lang, $g AS g, ${langMarkers.map(m => s"${m._1}_n").mkString(", ")}
-            FROM (SELECT lang, $hits FROM documents) h) s),
+      Some(s"""WITH p AS (SELECT lang, lang_pred
+          FROM ${sqlLangPredOver("lang")} t),
         c AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
           FROM p GROUP BY 1, 2)
         SELECT lang, lang_pred, n_docs,
@@ -3643,8 +3659,7 @@ object TextQueries {
           round(CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs)
             OVER (PARTITION BY lang_pred) AS BIGINT) AS DOUBLE), 6)
             AS col_share
-        FROM c"""
-      }),
+        FROM c""")),
 
     // ---- dedup survivor-bias audit ------------------------------------------
     // The governance question a dedup pass must answer before shipping a
@@ -4279,14 +4294,6 @@ object TextQueries {
   /** The same gate in DuckDB SQL, ending in a `gated` CTE that also
     * carries `text`. ONE definition for d14 and d25. */
   private lazy val sqlGatedCte: String = {
-    val hits = langMarkers.map { case (code, pat) =>
-      s"len(regexp_extract_all(lower(text), '$pat')) AS ${code}_n"
-    }.mkString(", ")
-    val g = langMarkers.map { case (code, _) => s"${code}_n" }
-      .mkString("greatest(", ", ", ")")
-    val cases = langMarkers.map { case (code, _) =>
-      s"WHEN ${code}_n = g AND ${code}_n > 0 THEN '$code'"
-    }.mkString(" ")
     s"""WITH sig AS (
         SELECT doc_id, text,
           CAST(len($sqlToks) AS BIGINT) AS n_tokens,
@@ -4294,11 +4301,11 @@ object TextQueries {
           CASE WHEN len($sqlToks) = 0 THEN 0.0
             ELSE CAST(len(regexp_extract_all(lower(text), '$englishStopwordPattern')) AS DOUBLE)
               / CAST(len($sqlToks) AS DOUBLE) END AS stopword_ratio,
-          $hits
+          $sqlLangHits
         FROM documents),
       scored AS (SELECT doc_id, text, n_tokens, quality_score, stopword_ratio,
-          CASE $cases ELSE 'und' END AS lang_pred
-        FROM (SELECT *, $g AS g FROM sig) t),
+          $sqlLangCase AS lang_pred
+        FROM (SELECT *, $sqlLangMax AS g FROM sig) t),
       gated AS (SELECT * FROM scored
         WHERE n_tokens >= 30 AND quality_score >= 0.5
           AND stopword_ratio >= 0.05 AND lang_pred = 'en')"""

@@ -58,10 +58,17 @@ class Round18OpsSpec extends SparkSpec {
       (3L, 1L, 29.99, 0), (4L, 1L, 3.50, 0)))
     val got = query("q54_benford_digits").run(spark, dir).collect()
       .map(r => r.getAs[Long]("digit") -> r).toMap
-    assert(got.keySet == Set(1L, 2L, 3L))
+    // the FULL 1-9 domain must be present: an absent digit is the
+    // loudest Benford violation and owes its (0-E)^2/E term
+    assert(got.keySet == (1L to 9L).toSet)
     assert(got(1L).getAs[Long]("n_orders") == 1L)
     assert(got(2L).getAs[Long]("n_orders") == 2L)
     assert(got(2L).getAs[Double]("share") == 0.5)
+    assert((4L to 9L).forall(d => got(d).getAs[Long]("n_orders") == 0L))
+    // a zero-observation digit contributes exactly its expectation
+    // (0 - E)^2 / E = E = total * benford_share
+    assert(math.abs(got(9L).getAs[Double]("chi2_term")
+      - 4.0 * got(9L).getAs[Double]("benford_share")) < 1e-5)
     assert(math.abs(got(1L).getAs[Double]("benford_share")
       - math.log10(2.0)) < 1e-6)
     val chi2s = got.values.map(_.getAs[Double]("chi2")).toSet

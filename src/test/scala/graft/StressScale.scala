@@ -231,9 +231,10 @@ object StressScale {
     "d78_vocab_growth" -> ("documents" -> "doc_id"),
     // e30: each vector meets a constant number of offset partners —
     // pair count is 3n, pure join-scan linearity onto the 20-bin grid.
-    // e31 is the e18 probe harness (probes ~n/100 DO grow with the
-    // corpus here, so work is probes × corpus — expected ~quadratic-ish
-    // in the harness; at fixed probe count it's corpus-linear).
+    // e31 is the e18 probe harness: the modulus is corpus-derived
+    // (max(20, n/100)), so the probe PANEL stays ~100 as the corpus
+    // grows — work is a fixed panel × the scan, corpus-LINEAR (measured
+    // 0.60 at 64×; anything super-linear here is a real leak).
     // m13's Hamming join runs on the ≤768-row hash DOMAIN regardless of
     // media count; m14 folds the cost model onto 3 kinds.
     "e30_pair_cos_histogram" -> ("embeddings" -> "vec_id"),
