@@ -2215,14 +2215,22 @@ object SimQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("a_id"), col("b_id"))
-        // two consumers (total + hit counts) branch off nn: without a
-        // barrier Spark re-evaluates the probes × corpus rank lineage
-        // once per branch — the dominant cost, paid twice
-        val nnb = graft.operators.Checkpoints.barrier(nn)
-        val tot = broadcast(nnb.agg(count(lit(1)).as("total")))
-        val hubs = nnb.groupBy(col("b_id"))
+        // the retrieval total is ANALYTIC — every probe emits exactly
+        // min(10, n−1) rows — so it never re-evaluates the expensive
+        // probes × corpus lineage as a second consumer (a
+        // count-the-frame branch was tried: differently-pruned subtrees
+        // defeat ReuseExchange and the scan ran twice; a localCheckpoint
+        // barrier was tried too and measured SLOWER, 64× stress
+        // 11.5 s → 16.8 s, than just letting the one consumer pipeline).
+        // n is the memoized corpus size; the probe count is one pruned
+        // id-column count — both bounded construction-time actions of
+        // the established e-family class.
+        val n = ivfCorpusSize(s, d)
+        val nProbes = Tables.validEmbeddings(s, d)
+          .filter(col("vec_id") % mod === 0).count()
+        val total = nProbes * math.min(10L, math.max(n - 1, 0L))
+        val hubs = nn.groupBy(col("b_id"))
           .agg(count(lit(1)).as("n_hits"))
-          .crossJoin(tot)
           .orderBy(col("n_hits").desc, col("b_id").asc)
           .limit(20)
         hubs
@@ -2230,7 +2238,7 @@ object SimQueries {
             Seq("b_id"))
           .select(col("b_id").as("vec_id"), col("label"), col("n_hits"),
             round(col("n_hits").cast("double")
-              / col("total").cast("double"), 6).as("hit_share"))
+              / lit(total).cast("double"), 6).as("hit_share"))
           .withColumn("hub_rank", row_number().over(
             Window.partitionBy(lit(1))
               .orderBy(col("n_hits").desc, col("vec_id").asc))
@@ -2247,7 +2255,9 @@ object SimQueries {
             row_number() OVER (PARTITION BY p.a_id
               ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rn
           FROM probes p JOIN b c ON p.a_id <> c.vec_id) t WHERE rn <= 10),
-        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM nn),
+        tot AS (SELECT CAST((SELECT COUNT(*) FROM probes)
+            * least(10, greatest((SELECT COUNT(*) FROM b) - 1, 0))
+            AS BIGINT) AS total),
         h AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_hits
           FROM nn GROUP BY 1),
         top AS (SELECT b_id, n_hits FROM h

@@ -123,6 +123,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e31 hubness: exactly ONE rank window consumes the probes x " +
+      "corpus scan (the total is analytic, never a second consumer)") {
+    // A count-the-frame total branch was tried (differently-pruned
+    // subtrees defeat ReuseExchange — the cosine scan ran twice) and a
+    // localCheckpoint barrier was tried (measured slower, 64x stress
+    // 11.5 s -> 16.8 s). The shipped form derives the retrieval total
+    // analytically, so the expensive lineage must appear ONCE.
+    val p = plan("e31_hubness_audit")
+    assert("RunningWindowFunction|Window\\b".r.findAllIn(p).length
+      <= 2, // the rank window + the 20-row hub_rank window
+      "e31: an extra window consumer re-entered the plan")
+  }
+
   test("q36 KMV sketch build: per-type top-k is a map-side " +
       "WindowGroupLimit, never a full per-type sort of the distinct set") {
     // The distributed-KMV merge property: row_number ≤ k must plan as
