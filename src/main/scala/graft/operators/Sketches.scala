@@ -171,4 +171,27 @@ object Sketches {
     df.select(leadingDigit(col(amountCol)).as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-language marker-hit totals over a text column: ≤ |langs| rows
+    * (4) whatever the corpus size. Eighth member of the bounded-state
+    * sketch family (sum-merge): each text contributes one fixed-width
+    * hit vector (native CountWordsIn per language, one codegen'd
+    * projection), exploded onto the fixed language domain and folded
+    * with map-side partials — so batch partials and Structured
+    * Streaming state both hold ≤4 rows however long the ingest runs.
+    * This is the live half of a language-mix monitor (d83's readout):
+    * maintain these totals on the stream, read the mix shares off the
+    * 4-row table whenever the alarm evaluates. */
+  def langHitTotals(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.{TextExprs, TextFunctions}
+    val lowered = lower(col(textCol))
+    val pairs = TextFunctions.langMarkerWords.map { case (code, ws) =>
+      struct(lit(code).as("lang"),
+        coalesce(TextExprs.countWordsIn(lowered, ws).cast("bigint"),
+          lit(0L)).as("hits"))
+    }
+    df.select(explode(array(pairs: _*)).as("p"))
+      .groupBy(col("p.lang").as("lang"))
+      .agg(sum(col("p.hits")).as("hits"))
+  }
 }

@@ -2333,5 +2333,62 @@ object SimQueries {
             / (CAST(tot_vec AS DOUBLE) / CAST(tot_bkt AS DOUBLE)), 6)
             AS imbalance
         FROM t""")),
+
+    // ---- embedding L2-norm distribution audit ------------------------------
+    // The third embedding-space health check next to e30 (pair cosine)
+    // and e29 (per-dim drift): the NORM distribution. A healthy encoder
+    // emits norms in a tight band; zero-norm rows (padding, failed
+    // inference) poison every cosine downstream (they're exactly the
+    // NULL-cosine rows e30 has to filter), and a drifting norm band
+    // breaks dot-product shortcuts. Per integer norm bin (clamped at
+    // 19+): vector count, share, exact mean norm — plus the corpus-wide
+    // zero-norm count, the single scalar the ingest alarm fires on.
+    //
+    // Scale shape: one narrow codegen'd norm pass folds map-side onto
+    // the ≤20-bin grid; share/zero windows run on that grid.
+    //
+    // Exactness: the norm fold is the documented bit-identical pair
+    // (strict left fold + IEEE sqrt); flooring consumes identical
+    // doubles; per-bin means round each norm to 6 dp and sum as exact
+    // decimals.
+    GraftQuery(
+      "e33_norm_audit",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.validEmbeddings(s, d)
+          .select(norm(asDouble(col("embedding"))).as("nrm"))
+          .groupBy(least(lit(19L), greatest(lit(0L),
+            floor(col("nrm")).cast("long"))).as("norm_bin"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(round(col("nrm"), 6).cast("decimal(18,6)")).as("nrm_sum"),
+            sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+          .withColumn("share", round(col("n_vectors").cast("double")
+            / sum(col("n_vectors")).over(w).cast("double"), 6))
+          .withColumn("zero_norm_total", sum(col("n_zero")).over(w))
+          .select(col("norm_bin"), col("n_vectors"), col("share"),
+            round(col("nrm_sum").cast("double")
+              / col("n_vectors").cast("double"), 6).as("mean_norm"),
+            col("zero_norm_total"))
+      },
+      Some(s"""WITH e AS (SELECT
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+          FROM embeddings WHERE $sqlValidEmb),
+        nm AS (SELECT ${graft.functions.VectorFunctions.sqlNorm("xs")}
+            AS nrm FROM e),
+        g AS (SELECT least(19, greatest(0,
+              CAST(floor(nrm) AS BIGINT))) AS norm_bin,
+            CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            CAST(SUM(CAST(round(nrm, 6) AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS nrm_sum,
+            CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero
+          FROM nm GROUP BY 1)
+        SELECT norm_bin, n_vectors,
+          round(CAST(n_vectors AS DOUBLE) / CAST(CAST(SUM(n_vectors)
+            OVER () AS BIGINT) AS DOUBLE), 6) AS share,
+          round(CAST(nrm_sum AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)
+            AS mean_norm,
+          CAST(SUM(n_zero) OVER () AS BIGINT) AS zero_norm_total
+        FROM g""")),
   )
 }

@@ -3859,6 +3859,51 @@ object TextQueries {
             / NULLIF(n * sx2 - sx * sx, 0.0), 6) AS heaps_beta
         FROM mm""")),
 
+    // ---- corpus language-mix totals ------------------------------------------
+    // The corpus-level readout d76's per-doc confusion grid rolls into:
+    // per language, the total marker-hit mass and its share of all hits —
+    // the 4-row table a language-mix alarm watches (d67 monitors the
+    // SOURCE mix by tokens; this monitors the LANGUAGE mix by marker
+    // evidence, robust to unlabeled docs because it never needs an
+    // argmax). Shared substrate: Sketches.langHitTotals, the EIGHTH
+    // bounded-state streaming sketch (≤4-row sum-merge state,
+    // StatefulOpsSpec) — batch query, oracle, and stream maintenance all
+    // read the same frame.
+    //
+    // Scale shape: one codegen'd four-counter projection per doc,
+    // exploded onto the FIXED language domain with map-side partials;
+    // the share window runs on ≤4 rows.
+    //
+    // Exactness: hit counts exact int64; shares divide exact int64s,
+    // 6-dp rounded, guarded for a zero-evidence corpus.
+    GraftQuery(
+      "d83_lang_mix_totals",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        graft.operators.Sketches
+          .langHitTotals(Tables.documents(s, d), "text")
+          .withColumn("total", sum(col("hits")).over(w))
+          .select(col("lang"), col("hits"),
+            when(col("total") > 0L, round(col("hits").cast("double")
+              / col("total").cast("double"), 6)).as("hit_share"))
+      },
+      Some {
+        val arms = graft.functions.TextFunctions.langMarkers.map {
+          case (code, _) =>
+            s"""SELECT '$code' AS lang,
+              CAST(COALESCE(SUM(${code}_n), 0) AS BIGINT) AS hits FROM h"""
+        }.mkString("\n          UNION ALL ")
+        s"""WITH h AS (SELECT $sqlLangHits FROM documents),
+          t AS ($arms),
+          g AS (SELECT *, CAST(SUM(hits) OVER () AS BIGINT) AS total
+            FROM t)
+          SELECT lang, hits,
+            CASE WHEN total > 0 THEN
+              round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 6) END
+              AS hit_share
+          FROM g"""
+      }),
+
     // ---- per-source boilerplate chunk extraction ----------------------------
     // d22 scores each DOC's duplicated-chunk fraction; this answers the
     // inverse curation question — WHICH chunks are the boilerplate

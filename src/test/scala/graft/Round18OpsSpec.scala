@@ -374,6 +374,35 @@ class Round18OpsSpec extends SparkSpec {
     assert(got(0.7).getAs[Double]("mean_quality_kept") == 0.745)
   }
 
+  test("d83 language-mix totals: hits land per language and shares sum " +
+      "to one") {
+    val dir = docsDir(Seq(
+      (1L, "the of and to in", "en", "s1"),  // 5 en hits
+      (2L, "de la el", "es", "s1"),          // 3 es hits
+      (3L, "zz yy", "en", "s1")))            // no evidence
+    val got = query("d83_lang_mix_totals").run(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got.keySet == Set("es", "en", "fr", "de"))
+    assert(got("en").getAs[Long]("hits") == 5L)
+    assert(got("es").getAs[Long]("hits") == 3L)
+    assert(got("fr").getAs[Long]("hits") == 0L)
+    assert(got("en").getAs[Double]("hit_share") == 0.625)
+    assert(math.abs(got.values.map(_.getAs[Double]("hit_share")).sum
+      - 1.0) < 1e-6)
+  }
+
+  test("e33 norm audit: identical all-ones vectors land in one bin at " +
+      "norm exactly 8, zero zero-norms") {
+    // ||1⃗||₂ over 64 dims = 8 exactly (sum of ones = 64, sqrt exact).
+    val got = query("e33_norm_audit").run(spark, onesEmbDir(50)).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("norm_bin") == 8L)
+    assert(got.head.getAs[Long]("n_vectors") == 50L)
+    assert(got.head.getAs[Double]("share") == 1.0)
+    assert(got.head.getAs[Double]("mean_norm") == 8.0)
+    assert(got.head.getAs[Long]("zero_norm_total") == 0L)
+  }
+
   test("d80 BPE reproduces the Sennrich merge sequence exactly, with " +
       "non-increasing pair counts") {
     // The classic corpus: low×5, lower×2, newest×6, widest×3. Hand-run:

@@ -361,4 +361,33 @@ class StatefulOpsSpec extends SparkSpec {
         "digit-1 count must fold all four leading-1 amounts")
     } finally q.stop()
   }
+
+  test("streaming language-mix totals: maintenance equals the batch " +
+      "build, state bounded by the 4-language domain") {
+    // d83's substrate (Sketches.langHitTotals) as a streaming
+    // aggregation — the eighth bounded-state sketch (sum-merge onto the
+    // fixed language domain): state is ≤4 rows however long the text
+    // feed runs. The live half of a language-mix monitor.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val totals = graft.operators.Sketches.langHitTotals(
+      in.toDF().toDF("text"), "text")
+    val q = totals.writeStream.format("memory").queryName("langmix")
+      .outputMode("complete").start()
+    try {
+      in.addData("the of and", "de la el")
+      q.processAllAvailable()
+      in.addData("the the the", "zz yy")
+      q.processAllAvailable()
+      val streamed = spark.table("langmix").as[(String, Long)].collect().toSet
+      val batch = graft.operators.Sketches.langHitTotals(
+        Seq("the of and", "de la el", "the the the", "zz yy").toDF("text"),
+        "text").as[(String, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed language totals diverge from the batch build")
+      assert(streamed.size <= 4, "state must stay on the language domain")
+      assert(streamed.contains(("en", 6L)), // the×4, of, and
+        "en total must fold hits across batches")
+    } finally q.stop()
+  }
 }

@@ -258,7 +258,12 @@ object StressScale {
     // onto the fixed 10-bin quality grid (the d64 envelope).
     "q59_daily_robust_outliers" -> ("orders" -> "o_orderkey"),
     "d81_code_switch" -> ("documents" -> "doc_id"),
-    "d82_gate_threshold_sweep" -> ("documents" -> "doc_id"))
+    "d82_gate_threshold_sweep" -> ("documents" -> "doc_id"),
+    // d83 explodes a four-counter projection onto the fixed language
+    // domain (map-side partials); e33 is a narrow norm pass onto the
+    // ≤20-bin grid — both the d64 fixed-domain envelope.
+    "d83_lang_mix_totals" -> ("documents" -> "doc_id"),
+    "e33_norm_audit" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
