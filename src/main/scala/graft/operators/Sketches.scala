@@ -149,13 +149,18 @@ object Sketches {
         sum(col(xCol).cast("decimal(18,6)")).as("s"),
         sum((col(xCol) * col(xCol)).cast("decimal(28,12)")).as("ss"))
 
-  /** Leading significant digit of a positive measure column — the
-    * Benford key. floor of a 2-dp double < 2^53 is exact, so the
-    * string round-trip is deterministic in both engines; ONE definition
-    * shared by q54's batch audit, its DuckDB oracle's structure, and the
-    * streaming maintenance below. */
+  /** Leading significant digit of a measure column — the Benford key,
+    * taken on the ABSOLUTE value (the Benford convention, and the
+    * dirty-data guard: a negative amount's leading character is '-',
+    * which an ANSI cast turns into a task failure). floor of a 2-dp
+    * double < 2^53 is exact, so the string round-trip is deterministic
+    * in both engines; sub-1 amounts floor to digit 0, outside the 1-9
+    * law domain (q54 carries them as rows, excluded from χ²); NULL
+    * amounts yield a NULL digit. ONE definition shared by q54's batch
+    * audit, its DuckDB oracle's structure, and the streaming
+    * maintenance below. */
   def leadingDigit(amount: Column): Column =
-    substring(floor(amount).cast("bigint").cast("string"), 1, 1)
+    substring(floor(abs(amount)).cast("bigint").cast("string"), 1, 1)
       .cast("bigint")
 
   /** Leading-digit counts of a measure column: ≤9 rows whatever the

@@ -2457,7 +2457,7 @@ object StarQueries {
               / col("total").cast("double"), 6)).as("share"),
             col("benford_share"), col("chi2_term"), col("chi2"))
       },
-      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))
               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
           FROM orders),
         g0 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders

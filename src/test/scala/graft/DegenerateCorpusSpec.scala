@@ -67,4 +67,40 @@ class DegenerateCorpusSpec extends SparkSpec {
     val failures = sweepFailures(dir, q => eventQueries(q.name))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("star queries survive null, zero, sub-1, and negative order rows") {
+    // The dirty-ORDERS axis the first two sweeps don't cover: null
+    // custkey/price/date, a zero price, a sub-1 price (leading digit 0,
+    // outside the Benford law domain), and a negative price (whose
+    // leading CHARACTER is '-' — an ANSI cast task-killer unless the
+    // digit key takes abs() first, the bug this sweep was written to
+    // catch). Other tables are copied clean: dirty rows arrive in one
+    // feed at a time in practice, and the join behavior under a null
+    // key is exactly what this pins.
+    val dir = Files.createTempDirectory("graft-degen-ord").toString
+    graft.sources.Tables.names.filter(_ != "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val ordSchema = graft.sources.Tables.orders(spark, sfDir).schema
+    val isNtz = ordSchema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    def ts(day: Int): Any = {
+      val t = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .plusDays(day.toLong)
+      if (isNtz) t else java.sql.Timestamp.valueOf(t)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 7L, "F", 111.0, ts(0), "1-URGENT"),
+      org.apache.spark.sql.Row(2L, null, "O", null, null, null),
+      org.apache.spark.sql.Row(3L, 8L, "", 0.0, ts(1), ""),
+      org.apache.spark.sql.Row(4L, 8L, "F", 0.49, ts(1), "2-HIGH"),
+      org.apache.spark.sql.Row(5L, 9L, "F", -50.25, ts(2), "3-MEDIUM"),
+      org.apache.spark.sql.Row(6L, 9L, "F", 9.9e12, ts(3), "4-LOW"))
+    spark.createDataFrame(rows.asJava, ordSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val failures = sweepFailures(dir, q => q.name.head == 'q')
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
