@@ -86,6 +86,62 @@ object MediaQueries {
           END AS BIGINT) AS n_media
         FROM m)"""
 
+  /** m08/m15's shared frame ↔ caption alignment (Spark side): the m02
+    * frame grid at 4 fps as-of joined onto deterministic 8-token
+    * transcript chunks — ONE definition so the per-frame view (m08) and
+    * the per-media coverage rollup (m15) can never disagree on the
+    * alignment rule. */
+  private def frameCaptionAligned(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{Multimodal, TemporalJoins}
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeFeatures(
+        Multimodal.syntheticMedia(Tables.documents(s, d))), every = 4)
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        (col("frame_idx") * 250).cast("bigint").as("ts_ms"))
+    val caps = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("hx", md5(col("text")))
+      .select(col("doc_id").as("media_id"), explode(expr(
+        s"""transform(sequence(0, (size(toks)-1) div 8), k -> named_struct(
+           'cap_idx', CAST(k AS BIGINT),
+           'ts_ms', CAST(k * 900 + ${hexByteAt("hx", "k % 16")} * 3 AS BIGINT)))"""))
+        .as("cap"))
+      .select(col("media_id"), col("cap.cap_idx").as("cap_idx"),
+        col("cap.ts_ms").as("ts_ms"))
+    TemporalJoins.asOfJoin(frames, caps, "media_id", "ts_ms")
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        col("ts_ms"), col("asof.cap_idx").as("cap_idx"),
+        col("asof.ts_ms").as("cap_start_ms"))
+  }
+
+  /** The same alignment as DuckDB CTEs ending in `al` — ONE definition
+    * interpolated into the m08 AND m15 oracles. */
+  private lazy val sqlFrameCaptionCtes: String =
+    s"""$sqlDecodedCte,
+        frames AS (SELECT media_id, kind,
+          CAST(unnest(CASE WHEN kind = 'video'
+            THEN generate_series(0, n_frames - 1, 4)
+            ELSE [CAST(0 AS BIGINT)] END) AS INT) AS frame_idx
+        FROM dec),
+        f AS (SELECT media_id, kind, frame_idx,
+          CAST(frame_idx * 250 AS BIGINT) AS ts_ms FROM frames),
+        tk AS (SELECT doc_id, md5(text) AS hx,
+            ${TextQueries.sqlToks} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        caps AS (SELECT doc_id AS media_id,
+            unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+              k -> {'ci': CAST(k AS BIGINT),
+                'st': CAST(k * 900 + ${hexByteAt("hx", "k % 16")} * 3 AS BIGINT)})) AS u
+          FROM tk WHERE len(toks) >= 1),
+        c AS (SELECT media_id, u.ci AS cap_idx, u.st AS ts_ms FROM caps),
+        al AS (SELECT f.media_id, f.kind, f.frame_idx, f.ts_ms,
+            c.cap_idx, c.ts_ms AS cap_start_ms
+          FROM f ASOF LEFT JOIN c
+            ON f.media_id = c.media_id AND f.ts_ms >= c.ts_ms)"""
+
   val all: Seq[GraftQuery] = Seq(
 
     // decode + feature-extract over a binary media column (mapPartitions
@@ -268,51 +324,10 @@ object MediaQueries {
     // oracle's native mirror of the same semantics).
     GraftQuery(
       "m08_caption_align",
-      (s, d) => {
-        import graft.operators.{Multimodal, TemporalJoins}
-        val frames = Multimodal.sampleFrames(
-          Multimodal.decodeFeatures(
-            Multimodal.syntheticMedia(Tables.documents(s, d))), every = 4)
-          .select(col("media_id"), col("kind"), col("frame_idx"),
-            (col("frame_idx") * 250).cast("bigint").as("ts_ms"))
-        val caps = Tables.documents(s, d)
-          .filter(col("text").isNotNull)
-          .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
-          .filter(size(col("toks")) >= 1)
-          .withColumn("hx", md5(col("text")))
-          .select(col("doc_id").as("media_id"), explode(expr(
-            s"""transform(sequence(0, (size(toks)-1) div 8), k -> named_struct(
-               'cap_idx', CAST(k AS BIGINT),
-               'ts_ms', CAST(k * 900 + ${hexByteAt("hx", "k % 16")} * 3 AS BIGINT)))"""))
-            .as("cap"))
-          .select(col("media_id"), col("cap.cap_idx").as("cap_idx"),
-            col("cap.ts_ms").as("ts_ms"))
-        TemporalJoins.asOfJoin(frames, caps, "media_id", "ts_ms")
-          .select(col("media_id"), col("kind"), col("frame_idx"),
-            col("ts_ms"), col("asof.cap_idx").as("cap_idx"),
-            col("asof.ts_ms").as("cap_start_ms"))
-      },
-      Some(s"""WITH $sqlDecodedCte,
-        frames AS (SELECT media_id, kind,
-          CAST(unnest(CASE WHEN kind = 'video'
-            THEN generate_series(0, n_frames - 1, 4)
-            ELSE [CAST(0 AS BIGINT)] END) AS INT) AS frame_idx
-        FROM dec),
-        f AS (SELECT media_id, kind, frame_idx,
-          CAST(frame_idx * 250 AS BIGINT) AS ts_ms FROM frames),
-        tk AS (SELECT doc_id, md5(text) AS hx,
-            ${TextQueries.sqlToks} AS toks
-          FROM documents WHERE text IS NOT NULL),
-        caps AS (SELECT doc_id AS media_id,
-            unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
-              k -> {'ci': CAST(k AS BIGINT),
-                'st': CAST(k * 900 + ${hexByteAt("hx", "k % 16")} * 3 AS BIGINT)})) AS u
-          FROM tk WHERE len(toks) >= 1),
-        c AS (SELECT media_id, u.ci AS cap_idx, u.st AS ts_ms FROM caps)
-        SELECT f.media_id, f.kind, f.frame_idx, f.ts_ms,
-          c.cap_idx, c.ts_ms AS cap_start_ms
-        FROM f ASOF LEFT JOIN c
-          ON f.media_id = c.media_id AND f.ts_ms >= c.ts_ms""")),
+      (s, d) => frameCaptionAligned(s, d),
+      Some(s"""WITH $sqlFrameCaptionCtes
+        SELECT media_id, kind, frame_idx, ts_ms, cap_idx, cap_start_ms
+        FROM al""")),
 
     // ---- caption reuse: same visual, different text ----------------------
     // The image-text-pair curation check m04 can't make alone: a phash
@@ -685,5 +700,43 @@ object MediaQueries {
           round(CAST(total_tokens AS DOUBLE) / CAST(CAST(SUM(total_tokens)
             OVER () AS BIGINT) AS DOUBLE), 6) AS token_share
         FROM g""")),
+
+    // ---- caption coverage per media ----------------------------------------
+    // The curation rollup of m08's per-frame alignment: per media, how
+    // much of the sampled frame grid actually has a transcript caption
+    // under it — the yield number a video-text pair pipeline reads
+    // before training (uncaptioned frames are the as-of's cold-open
+    // NULLs; a low-coverage video wastes its decode budget). ONE shared
+    // alignment definition (frameCaptionAligned / sqlFrameCaptionCtes)
+    // keeps m08 and this rollup in lockstep.
+    //
+    // Scale shape: m08's one media_id exchange, then a map-side fold
+    // back onto the media domain — no second alignment pass, no window.
+    //
+    // Exactness: counts exact int64; coverage divides exact int64s,
+    // 6-dp rounded; first_caption_ms is an exact integer min (NULL when
+    // nothing aligned, both engines).
+    GraftQuery(
+      "m15_caption_coverage",
+      (s, d) =>
+        frameCaptionAligned(s, d)
+          .groupBy(col("media_id"), col("kind"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("cap_idx").isNotNull, 1L).otherwise(0L))
+              .as("n_captioned"),
+            min(col("cap_start_ms")).as("first_caption_ms"))
+          .select(col("media_id"), col("kind"), col("n_frames"),
+            col("n_captioned"),
+            round(col("n_captioned").cast("double")
+              / col("n_frames").cast("double"), 6).as("coverage"),
+            col("first_caption_ms")),
+      Some(s"""WITH $sqlFrameCaptionCtes
+        SELECT media_id, kind, CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(SUM(CASE WHEN cap_idx IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_captioned,
+          round(CAST(SUM(CASE WHEN cap_idx IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+          CAST(MIN(cap_start_ms) AS BIGINT) AS first_caption_ms
+        FROM al GROUP BY 1, 2""")),
   )
 }

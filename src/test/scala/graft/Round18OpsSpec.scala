@@ -450,6 +450,27 @@ class Round18OpsSpec extends SparkSpec {
     assert(media == m04, "hash-group counts must cover every media row")
   }
 
+  test("m15 coverage reconciles exactly with m08's per-frame alignment") {
+    val m08 = query("m08_caption_align").run(spark, sfDir)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cap_idx").isNotNull, 1L).otherwise(0L)).as("c"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    val m15 = query("m15_caption_coverage").run(spark, sfDir).collect()
+    assert(m15.nonEmpty)
+    m15.foreach { r =>
+      val (n, c) = m08(r.getAs[Long]("media_id"))
+      assert(r.getAs[Long]("n_frames") == n)
+      assert(r.getAs[Long]("n_captioned") == c,
+        "m15 and m08 must agree on the alignment (shared definition)")
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+      if (c == 0L)
+        assert(r.isNullAt(r.fieldIndex("first_caption_ms")))
+    }
+  }
+
   test("m14 token budget reconciles exactly with m07's per-sample costs") {
     val m14 = query("m14_modality_token_budget").run(spark, sfDir).collect()
     assert(m14.map(_.getAs[String]("kind")).toSet ==

@@ -263,7 +263,9 @@ object StressScale {
     // domain (map-side partials); e33 is a narrow norm pass onto the
     // ≤20-bin grid — both the d64 fixed-domain envelope.
     "d83_lang_mix_totals" -> ("documents" -> "doc_id"),
-    "e33_norm_audit" -> ("embeddings" -> "vec_id"))
+    "e33_norm_audit" -> ("embeddings" -> "vec_id"),
+    // m15 rides m08's one media_id exchange + a media-domain fold.
+    "m15_caption_coverage" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
