@@ -2390,5 +2390,81 @@ object SimQueries {
             AS mean_norm,
           CAST(SUM(n_zero) OVER () AS BIGINT) AS zero_norm_total
         FROM g""")),
+
+    // ---- metric-choice agreement: cosine vs raw dot-product top-10 ---------
+    // The follow-up question e33's norm spread raises: does the metric
+    // CHOICE matter on this corpus? If norms are near-constant, cosine
+    // and inner-product rankings coincide and the cheaper dot (no norm
+    // divide, MIPS-friendly index layouts) is safe; a low overlap says
+    // normalization is load-bearing and every dot-trained index needs
+    // re-normalized vectors. Per e18-panel probe: the top-10 overlap
+    // count between the two rankings and its Jaccard, plus the
+    // panel-mean overlap scalar.
+    //
+    // Scale shape: ONE broadcast-probe scan computes both scores; the
+    // two rank windows share the same a_id exchange (the e22
+    // dual-ranking harness); the overlap fold and the mean window run
+    // on the bounded probe panel.
+    //
+    // Exactness: both scores are the documented bit-identical folds;
+    // ranking keys tie-break on b_id; overlap counts are exact int64,
+    // the mean sums them as exact decimals over the panel.
+    GraftQuery(
+      "e34_metric_agreement",
+      (s, d) => {
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = emb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        val wc = Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        val wd = Window.partitionBy(col("a_id"))
+          .orderBy(col("dot_sim").desc, col("b_id").asc)
+        val ranked = emb.select(col("vec_id").as("b_id"),
+            col("emb").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .withColumn("dot_sim", dot(col("a_emb"), col("b_emb")))
+          .withColumn("rc", row_number().over(wc))
+          .withColumn("rd", row_number().over(wd))
+          .filter(col("rc") <= 10 || col("rd") <= 10)
+        val w = Window.partitionBy(lit(1))
+        ranked.groupBy(col("a_id"))
+          .agg(sum(when(col("rc") <= 10 && col("rd") <= 10, 1L)
+            .otherwise(0L)).as("n_overlap"))
+          .withColumn("jaccard10",
+            round(col("n_overlap").cast("double")
+              / (lit(20.0) - col("n_overlap").cast("double")), 6))
+          .withColumn("mean_overlap",
+            round(sum(col("n_overlap")).over(w).cast("double")
+              / count(lit(1)).over(w).cast("double"), 6))
+          .select(col("a_id").as("probe_id"), col("n_overlap"),
+            col("jaccard10"), col("mean_overlap"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        sc AS (SELECT p.a_id, c.vec_id AS b_id,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlCos("p.ae", "c.e")} DESC, c.vec_id ASC) AS rc,
+            row_number() OVER (PARTITION BY p.a_id
+              ORDER BY ${sqlDot("p.ae", "c.e")} DESC, c.vec_id ASC) AS rd
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        ov AS (SELECT a_id,
+            CAST(SUM(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+          FROM sc WHERE rc <= 10 OR rd <= 10 GROUP BY 1)
+        SELECT a_id AS probe_id, n_overlap,
+          round(CAST(n_overlap AS DOUBLE)
+            / (20.0 - CAST(n_overlap AS DOUBLE)), 6) AS jaccard10,
+          round(CAST(CAST(SUM(n_overlap) OVER () AS BIGINT) AS DOUBLE)
+            / CAST(CAST(COUNT(*) OVER () AS BIGINT) AS DOUBLE), 6)
+            AS mean_overlap
+        FROM ov""")),
   )
 }

@@ -2814,5 +2814,69 @@ object StarQueries {
             ELSE abs(round((rev - med) / (1.4826 * mad), 6)) > 3.5 END,
             FALSE) AS INT) AS is_outlier
         FROM dv, mad""")),
+
+    // ---- basket-size distribution + Poisson dispersion test ----------------
+    // The order-composition diagnostic: lines-per-order histogram plus
+    // the variance/mean dispersion index — under a Poisson arrival model
+    // the index sits near 1, and a materially larger value (clumped
+    // baskets) changes how inventory and co-purchase models (q51) should
+    // be read. Per basket-size: order count and share; the dispersion
+    // index and mean ride every row as corpus scalars.
+    //
+    // Scale shape: one lineitem fold onto the order domain (map-side
+    // combinable count), then a fold onto the ≤|max basket| size grid;
+    // scalar windows run on that bounded grid.
+    //
+    // Exactness: counts exact int64; mean/variance assemble from exact
+    // integer sums (Σk·n, Σk²·n over the size grid) in ONE double op
+    // order, 6-dp rounded; the index NULL-guards a zero-variance corpus.
+    GraftQuery(
+      "q60_basket_dispersion",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("tot_orders", sum(col("n_orders")).over(w))
+          .withColumn("s1", sum(col("k") * col("n_orders")).over(w))
+          .withColumn("s2", sum(col("k") * col("k") * col("n_orders"))
+            .over(w))
+          .withColumn("mean_k",
+            col("s1").cast("double") / col("tot_orders").cast("double"))
+          .withColumn("var_k",
+            col("s2").cast("double") / col("tot_orders").cast("double")
+              - col("mean_k") * col("mean_k"))
+          .select(col("k").as("basket_size"), col("n_orders"),
+            round(col("n_orders").cast("double")
+              / col("tot_orders").cast("double"), 6).as("share"),
+            round(col("mean_k"), 6).as("mean_size"),
+            when(col("mean_k") === 0.0, lit(null).cast("double"))
+              .otherwise(round(col("var_k") / col("mean_k"), 6))
+              .as("dispersion_index"))
+      },
+      Some("""WITH b AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+          FROM lineitem GROUP BY 1),
+        g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM b GROUP BY 1),
+        t AS (SELECT *,
+            CAST(SUM(n_orders) OVER () AS BIGINT) AS tot_orders,
+            CAST(SUM(k * n_orders) OVER () AS BIGINT) AS s1,
+            CAST(SUM(k * k * n_orders) OVER () AS BIGINT) AS s2
+          FROM g),
+        m AS (SELECT *,
+            CAST(s1 AS DOUBLE) / CAST(tot_orders AS DOUBLE) AS mean_k,
+            CAST(s2 AS DOUBLE) / CAST(tot_orders AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(tot_orders AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(tot_orders AS DOUBLE)) AS var_k
+          FROM t)
+        SELECT k AS basket_size, n_orders,
+          round(CAST(n_orders AS DOUBLE) / CAST(tot_orders AS DOUBLE), 6)
+            AS share,
+          round(mean_k, 6) AS mean_size,
+          CASE WHEN mean_k = 0.0 THEN NULL
+            ELSE round(var_k / mean_k, 6) END AS dispersion_index
+        FROM m""")),
   )
 }

@@ -94,7 +94,10 @@ class PlanShapeSpec extends SparkSpec {
       // aggregate (the d60 totals pattern); q59 cross-joins its two
       // 1-row median/MAD aggregates (the q41 witness pattern).
       "e31_hubness_audit", "d78_vocab_growth",
-      "q59_daily_robust_outliers")
+      "q59_daily_robust_outliers",
+      // e34 broadcasts the bounded probe sample (the e22 dual-ranking
+      // harness with a cosine/dot rank pair).
+      "e34_metric_agreement")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

@@ -403,6 +403,44 @@ class Round18OpsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("zero_norm_total") == 0L)
   }
 
+  test("q60 dispersion: closed form on constructed baskets of 1,1,2,4") {
+    // mean 2, variance 1.5 → dispersion index 0.75 (under-dispersed).
+    val dir = java.nio.file.Files.createTempDirectory("graft-r18l").toString
+    val schema = Tables.lineitem(spark, sfDir).schema
+    val isNtz = schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val ts: Any =
+      if (isNtz) java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      else java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 4).flatMap {
+      case (ok, n) => (1 to n).map(i => Row(ok, 1L, 1L, i, 1.0, 10.0,
+        0.0, 0.0, "N", "O", ts))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = query("q60_basket_dispersion").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("basket_size") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L).getAs[Long]("n_orders") == 2L)
+    assert(got(1L).getAs[Double]("share") == 0.5)
+    assert(got(1L).getAs[Double]("mean_size") == 2.0)
+    assert(got(1L).getAs[Double]("dispersion_index") == 0.75)
+  }
+
+  test("e34 metric agreement: identical vectors make cosine and dot " +
+      "rankings coincide exactly") {
+    // every pairwise cosine is 1 and every dot is 64 — both rankings
+    // fall back to the b_id tiebreak, so the top-10s are identical.
+    val got = query("e34_metric_agreement").run(spark, onesEmbDir(100))
+      .collect()
+    assert(got.length == 5) // probes 0,20,40,60,80
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") == 10L)
+      assert(r.getAs[Double]("jaccard10") == 1.0)
+      assert(r.getAs[Double]("mean_overlap") == 10.0)
+    }
+  }
+
   test("d80 BPE reproduces the Sennrich merge sequence exactly, with " +
       "non-increasing pair counts") {
     // The classic corpus: low×5, lower×2, newest×6, widest×3. Hand-run:

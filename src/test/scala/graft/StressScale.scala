@@ -265,7 +265,11 @@ object StressScale {
     "d83_lang_mix_totals" -> ("documents" -> "doc_id"),
     "e33_norm_audit" -> ("embeddings" -> "vec_id"),
     // m15 rides m08's one media_id exchange + a media-domain fold.
-    "m15_caption_coverage" -> ("documents" -> "doc_id"))
+    "m15_caption_coverage" -> ("documents" -> "doc_id"),
+    // q60 folds lineitem onto the order domain then the basket-size
+    // grid; e34 is the e22 dual-ranking probe harness.
+    "q60_basket_dispersion" -> ("lineitem" -> "l_orderkey"),
+    "e34_metric_agreement" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
