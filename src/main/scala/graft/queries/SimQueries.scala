@@ -2431,12 +2431,18 @@ object SimQueries {
           .withColumn("rd", row_number().over(wd))
           .filter(col("rc") <= 10 || col("rd") <= 10)
         val w = Window.partitionBy(lit(1))
+        // The union size derives from the ACTUAL list lengths (a corpus
+        // with ≤ 10 valid partners yields identical (n−1)-item lists —
+        // a hard-coded 20 would mislabel that perfect agreement).
         ranked.groupBy(col("a_id"))
           .agg(sum(when(col("rc") <= 10 && col("rd") <= 10, 1L)
-            .otherwise(0L)).as("n_overlap"))
+            .otherwise(0L)).as("n_overlap"),
+            sum(when(col("rc") <= 10, 1L).otherwise(0L)).as("n_c"),
+            sum(when(col("rd") <= 10, 1L).otherwise(0L)).as("n_d"))
           .withColumn("jaccard10",
             round(col("n_overlap").cast("double")
-              / (lit(20.0) - col("n_overlap").cast("double")), 6))
+              / (col("n_c") + col("n_d") - col("n_overlap"))
+                .cast("double"), 6))
           .withColumn("mean_overlap",
             round(sum(col("n_overlap")).over(w).cast("double")
               / count(lit(1)).over(w).cast("double"), 6))
@@ -2457,11 +2463,15 @@ object SimQueries {
           FROM probes p JOIN b c ON p.a_id <> c.vec_id),
         ov AS (SELECT a_id,
             CAST(SUM(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_overlap
+              AS BIGINT) AS n_overlap,
+            CAST(SUM(CASE WHEN rc <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_c,
+            CAST(SUM(CASE WHEN rd <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_d
           FROM sc WHERE rc <= 10 OR rd <= 10 GROUP BY 1)
         SELECT a_id AS probe_id, n_overlap,
           round(CAST(n_overlap AS DOUBLE)
-            / (20.0 - CAST(n_overlap AS DOUBLE)), 6) AS jaccard10,
+            / CAST(n_c + n_d - n_overlap AS DOUBLE), 6) AS jaccard10,
           round(CAST(CAST(SUM(n_overlap) OVER () AS BIGINT) AS DOUBLE)
             / CAST(CAST(COUNT(*) OVER () AS BIGINT) AS DOUBLE), 6)
             AS mean_overlap

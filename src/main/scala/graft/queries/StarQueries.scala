@@ -2428,8 +2428,10 @@ object StarQueries {
         // ZERO observations is the loudest Benford violation and must
         // contribute its (0−E)²/E term — dropping absent digits would
         // understate χ² exactly on the most anomalous feeds. (Degenerate
-        // sub-1 amounts produce digit 0 outside the law's domain: kept
-        // as rows, excluded from the χ² via the digit ≥ 1 guard.)
+        // sub-1 amounts produce digit 0, NULL amounts a NULL digit —
+        // both outside the law's domain: kept as rows, excluded from the
+        // χ² terms AND from the total via the same digit ≥ 1 guard, so
+        // observed and expected masses reconcile on dirty feeds.)
         val domain = s.range(1, 10).select(col("id").as("digit"))
         graft.operators.Sketches
           .benfordDigits(Tables.orders(s, d), "o_totalprice")
@@ -2437,7 +2439,9 @@ object StarQueries {
           .join(domain, Seq("digit"), "full_outer")
           .select(col("digit"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-          .withColumn("total", sum(col("n_orders")).over(w))
+          .withColumn("total",
+            sum(when(col("digit") >= 1L, col("n_orders")).otherwise(0L))
+              .over(w))
           .withColumn("benford_share",
             when(col("digit") >= 1L,
               round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
@@ -2466,7 +2470,8 @@ object StarQueries {
         g AS (SELECT COALESCE(g0.digit, dom.digit) AS digit,
             COALESCE(g0.n_orders, 0) AS n_orders
           FROM g0 FULL OUTER JOIN dom ON g0.digit = dom.digit),
-        t AS (SELECT *, CAST(SUM(n_orders) OVER () AS BIGINT) AS total,
+        t AS (SELECT *, CAST(SUM(CASE WHEN digit >= 1 THEN n_orders
+              ELSE 0 END) OVER () AS BIGINT) AS total,
             CASE WHEN digit >= 1 THEN
               round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) END
               AS benford_share
@@ -2504,7 +2509,11 @@ object StarQueries {
     // Exactness: daily revenue and its running sum are exact decimals
     // (order-free); the centered CUSUM subtracts rn × mean in ONE double
     // op order, 6-dp rounded; the peak flag compares two identically
-    // rounded doubles.
+    // rounded doubles. NULL order dates are filtered pre-window in BOTH
+    // engines (Spark sorts NULLs first, DuckDB last — an unfiltered NULL
+    // day would shift every rn and diverge the series); the +0.0 folds
+    // DuckDB's signed-zero round(-ε, 6) = -0.0 onto Spark's BigDecimal
+    // +0.0 so a near-zero CUSUM hashes identically.
     GraftQuery(
       "q55_cusum_changepoint",
       (s, d) => {
@@ -2512,6 +2521,7 @@ object StarQueries {
         val wo = Window.partitionBy(lit(1)).orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
           .groupBy(col("o_orderdate").cast("date").as("day"))
           .agg(sum(dec(col("o_totalprice"))).as("rev"))
           .withColumn("cum", sum(col("rev")).over(wo))
@@ -2521,7 +2531,8 @@ object StarQueries {
           .withColumn("nd", count(lit(1)).over(w))
           .withColumn("cusum",
             round(col("cum").cast("double") - col("rn").cast("double")
-              * (col("tot").cast("double") / col("nd").cast("double")), 6))
+              * (col("tot").cast("double") / col("nd").cast("double")), 6)
+              + lit(0.0))
           .withColumn("peak_abs", max(abs(col("cusum"))).over(w))
           .select(date_format(col("day"), "yyyy-MM-dd").as("order_date"),
             col("rev").cast("double").as("day_rev"), col("cusum"),
@@ -2530,7 +2541,7 @@ object StarQueries {
       },
       Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-          FROM orders GROUP BY 1),
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
         c AS (SELECT *,
             SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
               AND CURRENT ROW) AS cum,
@@ -2540,7 +2551,8 @@ object StarQueries {
           FROM daily),
         x AS (SELECT *,
             round(CAST(cum AS DOUBLE) - CAST(rn AS DOUBLE)
-              * (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS cusum
+              * (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)), 6) + 0.0
+              AS cusum
           FROM c)
         SELECT strftime(day, '%Y-%m-%d') AS order_date,
           CAST(rev AS DOUBLE) AS day_rev, cusum,
@@ -2574,7 +2586,12 @@ object StarQueries {
         val wr = Window.partitionBy(lit(1)).orderBy(col("wk").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val w = Window.partitionBy(lit(1))
+        // NULL dates are dropped BEFORE the lead() window: Spark sorts a
+        // NULL day first in the partition, so lead() would hand it a real
+        // nxt, datediff(nxt, NULL) = NULL, and least(52, NULL) = 52 —
+        // fabricating a 52-week gap event DuckDB (NULLS LAST) never sees.
         Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
           .select(col("o_custkey"), col("o_orderkey"),
             col("o_orderdate").cast("date").as("day"))
           .withColumn("nxt", lead(col("day"), 1).over(wc))
@@ -2593,7 +2610,8 @@ object StarQueries {
               / col("total").cast("double"), 6).as("survival"))
       },
       Some("""WITH o AS (SELECT o_custkey, o_orderkey,
-            CAST(o_orderdate AS DATE) AS day FROM orders),
+            CAST(o_orderdate AS DATE) AS day FROM orders
+          WHERE o_orderdate IS NOT NULL),
         g AS (SELECT o_custkey, day,
             lead(day) OVER (PARTITION BY o_custkey
               ORDER BY day, o_orderkey) AS nxt
@@ -2775,7 +2793,11 @@ object StarQueries {
               col("rn") === expr("(n + 2) div 2"))
             .agg(((min(col(v)) + max(col(v))) / 2.0).as(out)))
         }
+        // NULL dates filtered pre-fold: a NULL day row would order first
+        // in Spark's rank windows but last in DuckDB's, shifting both
+        // median ranks (q55's divergence, same fix).
         val daily = Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
           .groupBy(col("o_orderdate").cast("date").as("day"))
           .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"))
         val med = median(daily, "rev", "day", "med")
@@ -2786,7 +2808,7 @@ object StarQueries {
           .withColumn("robust_z",
             when(col("mad") === 0.0, lit(null).cast("double"))
               .otherwise(round((col("rev") - col("med"))
-                / (lit(1.4826) * col("mad")), 6)))
+                / (lit(1.4826) * col("mad")), 6) + lit(0.0)))
           .select(date_format(col("day"), "yyyy-MM-dd").as("order_date"),
             col("rev").as("day_rev"), round(col("med"), 6).as("median_rev"),
             col("robust_z"),
@@ -2795,7 +2817,7 @@ object StarQueries {
       },
       Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-          FROM orders GROUP BY 1),
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
         r1 AS (SELECT *, row_number() OVER (ORDER BY rev ASC, day ASC)
             AS rn, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM daily),
         med AS (SELECT (MIN(rev) + MAX(rev)) / 2.0 AS med FROM r1
@@ -2809,7 +2831,8 @@ object StarQueries {
         SELECT strftime(day, '%Y-%m-%d') AS order_date, rev AS day_rev,
           round(med, 6) AS median_rev,
           CASE WHEN mad = 0.0 THEN NULL
-            ELSE round((rev - med) / (1.4826 * mad), 6) END AS robust_z,
+            ELSE round((rev - med) / (1.4826 * mad), 6) + 0.0 END
+            AS robust_z,
           CAST(COALESCE(CASE WHEN mad = 0.0 THEN NULL
             ELSE abs(round((rev - med) / (1.4826 * mad), 6)) > 3.5 END,
             FALSE) AS INT) AS is_outlier
@@ -2878,5 +2901,349 @@ object StarQueries {
           CASE WHEN mean_k = 0.0 THEN NULL
             ELSE round(var_k / mean_k, 6) END AS dispersion_index
         FROM m""")),
+
+    // ---- truncated EWMA anomaly band over daily revenue --------------------
+    // The online-monitor smoother next to q55's offline CUSUM: a
+    // 30-term truncated EWMA (α = 0.25) of daily revenue, normalized by
+    // the weight mass actually available in the warm-up, plus the
+    // rev/EWMA ratio an alerting rule thresholds. Truncation is the
+    // scale/exactness move: the infinite recurrence needs either a
+    // sequential fold (non-parallel) or data-dependent pow() (libm
+    // drift across engines); 30 terms cover 1 − 0.75³⁰ ≈ 99.98% of the
+    // mass, and the weights become DRIVER-SIDE 6-dp literals inlined
+    // into BOTH plans (the e16 rpSigns precedent) — no engine ever
+    // calls pow().
+    //
+    // Scale shape: the fact table folds map-side onto the calendar
+    // domain first; the 30 lag() terms share ONE ordered window over
+    // that bounded grid (the q28/q55 envelope).
+    //
+    // Exactness: the whole EWMA is EXACT arithmetic until one final
+    // identical double op. Each term is DECIMAL revenue × a 6-dp
+    // DECIMAL weight literal — an exact 8-dp decimal, never rounded.
+    // (round(·, 6) on these products is the ONE rounding shape that
+    // splits the engines: 2-dp × 6-dp products land EXACTLY on the
+    // 1e-6 half-boundary ~1% of the time, where Spark's BigDecimal
+    // HALF_UP and DuckDB's scaled-nearbyint ties-to-even disagree —
+    // measured 561/71535 terms on the sf0.01 fixture. Quotients and
+    // logs have effectively-infinite expansions, so the 6-dp rounds
+    // elsewhere in this file never tie; exact short decimals DO.)
+    // The 6-dp EWMA is an exact half-up INTEGER division —
+    // floor((2x+y)/(2y)) in decimal(38,0), pmod-floor in Spark, `//`
+    // on HUGEINT in DuckDB — and the only double ops left (÷1e6
+    // display scale, the rev/ewma ratio) run on bit-identical inputs.
+    GraftQuery(
+      "q61_ewma_anomaly",
+      (s, d) => {
+        val wo = Window.partitionBy(lit(1)).orderBy(col("day"))
+        val zero0 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+        // Integer terms from the start (cents × µweight) — a decimal(38,8)
+        // × 1e12 multiply would trip Spark's precision-loss scale cut
+        // (scale 8 → 6) and silently round; integer × integer never does.
+        val terms = ewmaWeights.zipWithIndex.map { case (wk, k) =>
+          val lagged = if (k == 0) col("rev") else lag(col("rev"), k).over(wo)
+          val cents = (lagged * lit(100)).cast("decimal(38,0)")
+          coalesce(cents * lit((wk * BigDecimal(1000000)).toLongExact), zero0)
+        }
+        // x = num·1e4 (exact 1e-12$·µweight), y = prefix-Σw·1e6;
+        // ewma_µ$ = floor((2x+y)/(2y)) = half-up(num·1e6 / Σw).
+        val x = (terms.reduce(_ + _) * lit(10000L)).cast("decimal(38,0)")
+        val y = element_at(
+          array(ewmaPrefix.map(p =>
+            lit((p * BigDecimal(1000000)).toLongExact)): _*),
+          least(col("rn"), lit(30L)).cast("int")).cast("decimal(38,0)")
+        val t = x * lit(2L).cast("decimal(38,0)") + y
+        val u = y * lit(2L).cast("decimal(38,0)")
+        val ewmaMicro = ((t - pmod(t, u)) / u).cast("decimal(38,0)")
+        Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("revd", col("rev").cast("double"))
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("ewma", ewmaMicro.cast("double") / lit(1000000.0))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("order_date"),
+            col("revd").as("day_rev"), col("ewma"),
+            round(col("revd") / col("ewma"), 6).as("ratio"),
+            (col("revd") / col("ewma") > 2.0 ||
+              col("revd") / col("ewma") < 0.5).cast("int").as("is_anomaly"))
+      },
+      Some {
+        val terms = ewmaWeights.zipWithIndex.map { case (wk, k) =>
+          val lagged = if (k == 0) "rev"
+            else s"lag(rev, $k) OVER (ORDER BY day)"
+          val wMicro = (wk * BigDecimal(1000000)).toLongExact
+          s"COALESCE(CAST($lagged * 100 AS HUGEINT) * $wMicro, " +
+            "CAST(0 AS HUGEINT))"
+        }.mkString(" + ")
+        val prefix = ewmaPrefix
+          .map(p => (p * BigDecimal(1000000)).toLongExact)
+          .mkString("[", ", ", "]")
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+          t AS (SELECT day, CAST(rev AS DOUBLE) AS revd,
+              row_number() OVER (ORDER BY day) AS rn,
+              $terms AS num
+            FROM daily),
+          i AS (SELECT *, num * 10000 AS x,
+              CAST(($prefix)[CAST(least(rn, 30) AS INT)] AS HUGEINT) AS y
+            FROM t),
+          x AS (SELECT *,
+              CAST((2 * x + y) // (2 * y) AS DOUBLE) / 1000000.0 AS ewma
+            FROM i)
+          SELECT strftime(day, '%Y-%m-%d') AS order_date, revd AS day_rev,
+            ewma, round(revd / ewma, 6) AS ratio,
+            CAST(CASE WHEN revd / ewma > 2.0 OR revd / ewma < 0.5
+              THEN 1 ELSE 0 END AS INT) AS is_anomaly
+          FROM x"""
+      }),
+
+    // ---- autocorrelation function of daily revenue (lags 0–14) ------------
+    // The periodicity diagnostic behind q52's weekday indices: r_l =
+    // Σ(x_t−μ)(x_{t−l}−μ) / Σ(x_t−μ)² over the INDEX-ordered daily
+    // series — a weekly cycle shows as a spike at lag 7. Per lag:
+    // pair count and the ACF value.
+    //
+    // Scale shape: one fact fold onto the calendar; the lag alignment
+    // is an equi-join of the bounded day grid against itself through a
+    // 15-row broadcast lag domain (grid × 15 rows total — never a
+    // fact-table self-join); the final fold is onto the 15-lag domain.
+    //
+    // Exactness: the numerators are EXACT end to end — the floating
+    // mean never appears. Multiplying the deviation through by n:
+    // n²·r_l ∝ Σ(n·x_t − S)(n·x_{t−l} − S) over integer CENTS, all in
+    // decimal(38,0) (DuckDB HUGEINT) — products ~1e23 on the fixture,
+    // comfortably exact, and the n² factor cancels in the ratio. The
+    // only double op is the final num/den division, whose operands are
+    // identical exact integers in both engines and whose value lives
+    // in [−1, 1] (6-dp rounding never ties on a quotient's
+    // effectively-infinite expansion — see q61's tie note). NULL on a
+    // constant series (den = 0).
+    GraftQuery(
+      "q62_daily_acf",
+      (s, d) => {
+        val wo = Window.partitionBy(lit(1)).orderBy(col("day"))
+        val w = Window.partitionBy(lit(1))
+        val t = Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("cents", (col("rev") * lit(100)).cast("decimal(38,0)"))
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("a",
+            count(lit(1)).over(w).cast("decimal(38,0)") * col("cents")
+              - sum(col("cents")).over(w).cast("decimal(38,0)"))
+          .select(col("rn"), col("a"))
+        val lags = s.range(0, 15).select(col("id").as("lag_d"))
+        val wl = Window.partitionBy(lit(1))
+        t.select(col("rn").as("arn"), col("a").as("adev"))
+          .crossJoin(broadcast(lags))
+          .withColumn("brn", col("arn") - col("lag_d"))
+          .join(t.select(col("rn").as("brn"), col("a").as("bdev")),
+            Seq("brn"))
+          .groupBy(col("lag_d"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("adev") * col("bdev")).cast("decimal(38,0)")).as("num"))
+          .withColumn("den",
+            max(when(col("lag_d") === 0L, col("num"))).over(wl))
+          .select(col("lag_d"), col("n_pairs"),
+            when(col("den") === 0, lit(null).cast("double"))
+              .otherwise(round(col("num").cast("double")
+                / col("den").cast("double"), 6)).as("acf"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        t AS (SELECT row_number() OVER (ORDER BY day) AS rn,
+            CAST(COUNT(*) OVER () AS HUGEINT)
+                * CAST(rev * 100 AS HUGEINT)
+              - CAST(SUM(CAST(rev * 100 AS HUGEINT)) OVER () AS HUGEINT)
+              AS a
+          FROM daily),
+        lags AS (SELECT CAST(unnest(range(0, 15)) AS BIGINT) AS lag_d),
+        p AS (SELECT l.lag_d, x.a AS adev, b.a AS bdev
+          FROM t x CROSS JOIN lags l JOIN t b ON b.rn = x.rn - l.lag_d),
+        g AS (SELECT lag_d, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(adev * bdev) AS HUGEINT) AS num
+          FROM p GROUP BY 1),
+        x AS (SELECT *, MAX(CASE WHEN lag_d = 0 THEN num END) OVER ()
+            AS den FROM g)
+        SELECT lag_d, n_pairs,
+          CASE WHEN den = 0 THEN NULL
+            ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END
+            AS acf
+        FROM x""")),
+
+    // ---- inter-order gap burstiness histogram ------------------------------
+    // The arrival-process diagnostic q60 runs on basket SIZE, applied to
+    // TIMING: per customer with ≥ 2 gaps, the burstiness index
+    // B = (σ−μ)/(σ+μ) of inter-order gaps (Goh & Barabási) — −1 =
+    // clockwork, 0 = Poisson, →1 = bursty — folded onto a fixed 10-bin
+    // histogram. Bursty ordering changes how q56's survival curve and
+    // retention alerts should be read.
+    //
+    // Scale shape: the per-customer lead() window shuffles on custkey
+    // once (q56's envelope); moments fold map-side per customer; the
+    // final fold is onto the 10-bin domain.
+    //
+    // Exactness: gaps are integer days; n·Σg² − (Σg)² is exact int64
+    // (gaps ≤ ~2.4k days, ≤ ~10² per customer, far under 2⁶³); σ is
+    // one IEEE sqrt (correctly rounded in both engines); B is one
+    // shared op order, 6-dp; bin floors the shifted double.
+    GraftQuery(
+      "q63_gap_burstiness",
+      (s, d) => {
+        val wc = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"), col("o_orderkey"))
+        val w = Window.partitionBy(lit(1))
+        Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("day"))
+          .withColumn("nxt", lead(col("day"), 1).over(wc))
+          .filter(col("nxt").isNotNull)
+          .select(col("o_custkey"),
+            datediff(col("nxt"), col("day")).cast("long").as("g"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("g")).as("s1"),
+            sum(col("g") * col("g")).as("s2"))
+          .filter(col("n") >= 2L)
+          .withColumn("mu", col("s1").cast("double") / col("n").cast("double"))
+          .withColumn("sigma",
+            sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+              .cast("double")) / col("n").cast("double"))
+          .filter(col("sigma") + col("mu") > 0.0)
+          .withColumn("b", round((col("sigma") - col("mu"))
+            / (col("sigma") + col("mu")), 6))
+          .groupBy(least(lit(9L), greatest(lit(0L),
+            floor((col("b") + 1.0) * 5.0).cast("long"))).as("bin"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("b").cast("decimal(18,6)")).as("b_sum"))
+          .withColumn("share", round(col("n_customers").cast("double")
+            / sum(col("n_customers")).over(w).cast("double"), 6))
+          .select(col("bin"), col("n_customers"), col("share"),
+            round(col("b_sum").cast("double")
+              / col("n_customers").cast("double"), 6).as("mean_b"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+            CAST(o_orderdate AS DATE) AS day FROM orders
+          WHERE o_orderdate IS NOT NULL),
+        gp AS (SELECT o_custkey, CAST(date_diff('day', day,
+            lead(day) OVER (PARTITION BY o_custkey
+              ORDER BY day, o_orderkey)) AS BIGINT) AS g
+          FROM o),
+        m AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(g) AS BIGINT) AS s1, CAST(SUM(g * g) AS BIGINT) AS s2
+          FROM gp WHERE g IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+        sg AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+            sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE)
+              AS sigma
+          FROM m),
+        b AS (SELECT round((sigma - mu) / (sigma + mu), 6) AS b
+          FROM sg WHERE sigma + mu > 0.0),
+        g AS (SELECT least(9, greatest(0,
+              CAST(floor((b + 1.0) * 5.0) AS BIGINT))) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(CAST(b AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS b_sum
+          FROM b GROUP BY 1)
+        SELECT bin, n_customers,
+          round(CAST(n_customers AS DOUBLE) / CAST(CAST(SUM(n_customers)
+            OVER () AS BIGINT) AS DOUBLE), 6) AS share,
+          round(CAST(b_sum AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+            AS mean_b
+        FROM g""")),
+
+    // ---- Lorenz curve decile points (q49's Gini, drawn) --------------------
+    // The concentration CURVE under q49's scalar: customers ranked
+    // ascending by spend, per-decile revenue share, the cumulative
+    // Lorenz ordinate L(p), and the equality gap p − L(p) whose
+    // integral is the Gini — the table a mixture/revenue audit plots.
+    //
+    // Scale shape: one fact fold onto the customer domain, then q27's
+    // exact distributed ranking (GlobalRank range-sort + partition-
+    // offset zip — never a single-partition window over customers);
+    // everything after lives on the 10-row decile grid.
+    //
+    // Exactness: spends and all revenue sums stay exact decimals
+    // through the cumulative window; shares divide as double once,
+    // 6-dp; the gap subtracts two identically-derived doubles in one
+    // shared op order.
+    GraftQuery(
+      "q64_lorenz_deciles",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spend"))
+        val n = math.max(spend.count(), 1L)
+        val wo = Window.partitionBy(lit(1)).orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w = Window.partitionBy(lit(1))
+        graft.operators.GlobalRank.withRowNumber(spend,
+            Seq(col("spend").asc, col("o_custkey").asc))
+          .withColumn("decile",
+            floorDiv((col("rn") - 1L) * 10L, n) + 1L)
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
+          .withColumn("cum_rev", sum(col("rev")).over(wo))
+          .withColumn("cum_n", sum(col("n_customers")).over(wo))
+          .withColumn("tot", sum(col("rev")).over(w))
+          .withColumn("ntot", sum(col("n_customers")).over(w))
+          .select(col("decile"), col("n_customers"),
+            round(col("rev").cast("double") / col("tot").cast("double"), 6)
+              .as("rev_share"),
+            round(col("cum_rev").cast("double")
+              / col("tot").cast("double"), 6).as("cum_rev_share"),
+            round(col("cum_n").cast("double")
+              / col("ntot").cast("double"), 6).as("cum_pop_share"),
+            round(col("cum_n").cast("double") / col("ntot").cast("double")
+              - col("cum_rev").cast("double") / col("tot").cast("double"), 6)
+              .as("equality_gap"))
+      },
+      Some(s"""WITH spend AS (SELECT o_custkey,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY 1),
+        r AS (SELECT spend,
+            row_number() OVER (ORDER BY spend ASC, o_custkey ASC) AS rn,
+            COUNT(*) OVER () AS n FROM spend),
+        g AS (SELECT ((rn - 1) * 10) // n + 1 AS decile,
+            CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(spend) AS DECIMAL(38,2)) AS rev
+          FROM r GROUP BY 1),
+        c AS (SELECT *,
+            CAST(SUM(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum_rev,
+            CAST(SUM(n_customers) OVER (ORDER BY decile ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+            CAST(SUM(rev) OVER () AS DECIMAL(38,2)) AS tot,
+            CAST(SUM(n_customers) OVER () AS BIGINT) AS ntot
+          FROM g)
+        SELECT decile, n_customers,
+          round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
+          round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS cum_rev_share,
+          round(CAST(cum_n AS DOUBLE) / CAST(ntot AS DOUBLE), 6)
+            AS cum_pop_share,
+          round(CAST(cum_n AS DOUBLE) / CAST(ntot AS DOUBLE)
+            - CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS equality_gap
+        FROM c""")),
   )
+
+  /** q61's truncated-EWMA weights w_k = round(α(1−α)^k, 6), α = 0.25,
+    * k < 30 — computed ONCE driver-side in exact BigDecimal and inlined
+    * into BOTH engines' plans as literals (the e16 rpSigns move), so no
+    * engine ever evaluates pow() on data. */
+  private lazy val ewmaWeights: IndexedSeq[BigDecimal] = {
+    val alpha = BigDecimal("0.25")
+    val decay = BigDecimal("0.75")
+    (0 until 30).map { k =>
+      (alpha * decay.pow(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+  }
+
+  /** Prefix sums of [[ewmaWeights]] (exact 6-dp multiples): entry i is the
+    * warm-up normalizer when only i+1 terms exist. */
+  private lazy val ewmaPrefix: IndexedSeq[BigDecimal] =
+    ewmaWeights.scanLeft(BigDecimal(0))(_ + _).tail
 }

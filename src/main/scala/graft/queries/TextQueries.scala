@@ -2766,8 +2766,10 @@ object TextQueries {
               * (cast(n as double) * cast(sy2 as double)
                 - cast(sy as double) * cast(sy as double)),
               cast(0 as double))""").as("r2"))
+        // +0.0 folds DuckDB's signed-zero round(-0.0, 6) = -0.0 onto
+        // Spark's BigDecimal +0.0 (a flat fit has beta = 0 exactly).
         k.select(col("n").as("n_terms"),
-          round(-col("beta"), 6).as("alpha"),
+          (round(-col("beta"), 6) + lit(0.0)).as("alpha"),
           round((col("syd") - col("beta") * col("sxd")) /
             col("n").cast("double"), 6).as("intercept"),
           round(col("r2"), 6).as("r_squared"))
@@ -2805,7 +2807,7 @@ object TextQueries {
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
                 CAST(0 AS DOUBLE)) AS r2
           FROM m)
-        SELECT n AS n_terms, round(-beta, 6) AS alpha,
+        SELECT n AS n_terms, round(-beta, 6) + 0.0 AS alpha,
           round((syd - beta * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
           round(r2, 6) AS r_squared
         FROM k""")),
@@ -3111,7 +3113,8 @@ object TextQueries {
             col("n_tokens").cast("double") / col("tot").cast("double"))
           .withColumn("ent_term",
             when(col("n_tokens") === 0, lit(0.0))
-              .otherwise(round(-col("p") * round(log(col("p")), 6), 6)))
+              .otherwise(round(-col("p") * round(log(col("p")), 6), 6)
+                + lit(0.0)))
           .withColumn("entropy",
             sum(col("ent_term").cast("decimal(18,6)")).over(w).cast("double"))
           .select(col("source"), col("n_tokens"),
@@ -3131,7 +3134,8 @@ object TextQueries {
             CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p FROM t),
         e AS (SELECT source, n_tokens, k, p,
             CASE WHEN n_tokens = 0 THEN 0.0
-              ELSE round(-p * round(ln(p), 6), 6) END AS ent_term FROM p),
+              ELSE round(-p * round(ln(p), 6), 6) + 0.0 END
+              AS ent_term FROM p),
         se AS (SELECT *, CAST(CAST(SUM(CAST(ent_term AS DECIMAL(18,6)))
             OVER () AS DECIMAL(38,6)) AS DOUBLE) AS entropy FROM e)
         SELECT source, n_tokens, round(p, 6) AS share, ent_term, entropy,
@@ -4017,7 +4021,10 @@ object TextQueries {
     // Exactness: hit counts are exact int64; purity divides exact ints;
     // the entropy is a FIXED-ORDER four-term sum (langMarkerWords
     // declaration order, written identically in both engines), 6-dp
-    // rounded — no data-dependent summation order anywhere.
+    // rounded — no data-dependent summation order anywhere. The +0.0 on
+    // mix_entropy folds DuckDB's signed zero: a pure one-language doc
+    // has term sum +0.0, and round(-(+0.0), 6) is -0.0 in DuckDB but
+    // +0.0 under Spark's BigDecimal round (the r18 d81 hash mismatch).
     GraftQuery(
       "d81_code_switch",
       (s, d) => {
@@ -4044,7 +4051,7 @@ object TextQueries {
                 / col("n_hits").cast("double"), 6)))
           .withColumn("mix_entropy",
             when(col("n_hits") === 0L, lit(null).cast("double"))
-              .otherwise(round(-entTerms.reduce(_ + _), 6)))
+              .otherwise(round(-entTerms.reduce(_ + _), 6) + lit(0.0)))
           .withColumn("is_mixed",
             (col("n_hits") >= 5L && coalesce(col("purity") < 0.8,
               lit(false))).cast("int"))
@@ -4067,7 +4074,7 @@ object TextQueries {
               ELSE round(CAST($g AS DOUBLE) / CAST(n_hits AS DOUBLE), 6) END
               AS purity,
             CASE WHEN n_hits = 0 THEN NULL
-              ELSE round(-($ent), 6) END AS mix_entropy,
+              ELSE round(-($ent), 6) + 0.0 END AS mix_entropy,
             CAST(CASE WHEN n_hits >= 5 AND COALESCE(
               CASE WHEN n_hits = 0 THEN NULL
                 ELSE round(CAST($g AS DOUBLE) / CAST(n_hits AS DOUBLE), 6)

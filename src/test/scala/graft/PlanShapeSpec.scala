@@ -97,7 +97,10 @@ class PlanShapeSpec extends SparkSpec {
       "q59_daily_robust_outliers",
       // e34 broadcasts the bounded probe sample (the e22 dual-ranking
       // harness with a cosine/dot rank pair).
-      "e34_metric_agreement")
+      "e34_metric_agreement",
+      // q62 cross-joins the 15-row broadcast lag domain against the
+      // calendar grid (bounded × bounded, never the fact table).
+      "q62_daily_acf")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

@@ -43,6 +43,23 @@ for name in names:
         eq = e.equals(o.astype(e.dtypes.to_dict()))
     except Exception:
         eq = False
+    # strict signed-zero check: pandas equals() treats -0.0 == 0.0, but the
+    # driver hashes FORMATTED values, where "-0.0" != "0.0" (the r18
+    # q55/d81 mismatch: DuckDB round(-eps, 6) keeps the sign bit, Spark's
+    # BigDecimal round does not). Compare sign bits on float columns too.
+    if eq:
+        import numpy as np
+        for c in e.columns:
+            if e[c].dtype.kind == "f":
+                ev, ov = e[c].to_numpy(), o[c].astype(e[c].dtype).to_numpy()
+                both = ~(pd.isna(ev) | pd.isna(ov))
+                if (np.signbit(ev[both]) != np.signbit(ov[both])).any():
+                    i = int(np.nonzero(both)[0][
+                        (np.signbit(ev[both]) != np.signbit(ov[both])).argmax()])
+                    print(f"{name}: SIGNED-ZERO MISMATCH col={c} row{i}: "
+                          f"eng={ev[i]!r} ora={ov[i]!r}")
+                    eq = False
+                    break
     if eq:
         print(f"{name}: OK rows={len(eng)}")
     else:
