@@ -738,5 +738,148 @@ object MediaQueries {
               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
           CAST(MIN(cap_start_ms) AS BIGINT) AS first_caption_ms
         FROM al GROUP BY 1, 2""")),
+
+    // ---- resolution / aspect-ratio audit over the decode seam --------------
+    // The pre-train image/video filter every multimodal pipeline runs
+    // before paying for pixels: per (kind, aspect class), media count,
+    // share within kind, mean pixel count, and the dimension envelope —
+    // the table a "drop tiny/extreme-aspect media" gate is calibrated
+    // from (m03's resize plan decides HOW to shrink; this decides WHAT
+    // is worth keeping).
+    //
+    // Scale shape: one narrow pass over the decode seam folds map-side
+    // onto the ≤ 9-row (kind × aspect) domain; the share window runs on
+    // that domain.
+    //
+    // Exactness: dims are exact ints from the stub; pixel sums exact
+    // int64; mean divides exact int64s, 6-dp rounded (≤ 1e4 magnitude,
+    // non-terminating — no tie exposure).
+    GraftQuery(
+      "m16_resolution_audit",
+      (s, d) => {
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("kind"))
+        Multimodal.decodeFeatures(
+            Multimodal.syntheticMedia(Tables.documents(s, d)))
+          .select(col("media_id"), col("kind"), col("width"), col("height"))
+          .withColumn("aspect",
+            when(col("width") < col("height"), lit("portrait"))
+              .when(col("width") > col("height"), lit("landscape"))
+              .otherwise(lit("square")))
+          .groupBy(col("kind"), col("aspect"))
+          .agg(count(lit(1)).as("n_media"),
+            sum((col("width") * col("height")).cast("bigint"))
+              .as("px_sum"),
+            min(col("width")).cast("bigint").as("min_width"),
+            max(col("width")).cast("bigint").as("max_width"))
+          .withColumn("kind_share", round(col("n_media").cast("double")
+            / sum(col("n_media")).over(wk).cast("double"), 6))
+          .select(col("kind"), col("aspect"), col("n_media"),
+            col("kind_share"),
+            round(col("px_sum").cast("double")
+              / col("n_media").cast("double"), 6).as("mean_pixels"),
+            col("min_width"), col("max_width"))
+      },
+      Some(s"""WITH $sqlDecodedCte,
+        a AS (SELECT kind,
+            CASE WHEN width < height THEN 'portrait'
+              WHEN width > height THEN 'landscape'
+              ELSE 'square' END AS aspect,
+            width, height
+          FROM dec),
+        g AS (SELECT kind, aspect, CAST(COUNT(*) AS BIGINT) AS n_media,
+            CAST(SUM(CAST(width AS BIGINT) * CAST(height AS BIGINT))
+              AS BIGINT) AS px_sum,
+            CAST(MIN(width) AS BIGINT) AS min_width,
+            CAST(MAX(width) AS BIGINT) AS max_width
+          FROM a GROUP BY 1, 2)
+        SELECT kind, aspect, n_media,
+          round(CAST(n_media AS DOUBLE) / CAST(CAST(SUM(n_media)
+            OVER (PARTITION BY kind) AS BIGINT) AS DOUBLE), 6)
+            AS kind_share,
+          round(CAST(px_sum AS DOUBLE) / CAST(n_media AS DOUBLE), 6)
+            AS mean_pixels,
+          min_width, max_width
+        FROM g""")),
+
+    // ---- loudness-normalization gain per audio clip -------------------------
+    // The audio-conditioning step between m12's VAD gate and any ASR/
+    // training consumer: per clip, the mean chunk energy and the linear
+    // gain that would bring it to the 0.5 target, capped at 4× (the
+    // limiter — a near-silent clip amplified without a cap just
+    // amplifies noise), plus the limited flag a curation report counts.
+    // Energy rides m12's stub seam (byte 0 of md5(media_id ~ chunk_idx)
+    // scaled to [0,1)) so the whole chain is oracle-checkable.
+    //
+    // Scale shape: m05's bounded chunk explode, ONE media_id fold —
+    // no window at all.
+    //
+    // Exactness: per-chunk energies are exact 1/256 multiples summed as
+    // exact DECIMAL(18,8); mean/gain are identical double ops on those
+    // exact sums, emitted UNROUNDED (identical inputs → identical
+    // doubles; rounding is the only op that could disagree, so it is
+    // simply not applied); the cap compares and the flag derives from
+    // the same doubles in both engines.
+    GraftQuery(
+      "m17_loudness_gain",
+      (s, d) => {
+        val ch = Multimodal.audioChunks(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))
+        ch.withColumn("energy",
+            expr("""cast(conv(substr(md5(concat(cast(media_id as string),
+              '~', cast(chunk_idx as string))), 1, 2), 16, 10) as int)""")
+              .cast("double") / lit(256.0))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("energy").cast("decimal(18,8)")).as("esum"))
+          .withColumn("mean_energy",
+            col("esum").cast("double") / col("n_chunks").cast("double"))
+          // Zero mean energy happens (a 1-chunk clip whose md5 byte is
+          // 0x00 — present at sf0.1): every division sits behind the
+          // zero guard, or ANSI mode kills the task (DIVIDE_BY_ZERO
+          // fires even on doubles in Spark 4).
+          .select(col("media_id"), col("n_chunks"), col("mean_energy"),
+            when(col("mean_energy") === 0.0, lit(null).cast("double"))
+              .otherwise(least(lit(4.0), lit(0.5) / col("mean_energy")))
+              .as("gain"),
+            when(col("mean_energy") === 0.0, lit(0))
+              .otherwise((lit(0.5) / col("mean_energy") > 4.0).cast("int"))
+              .as("limited"))
+      },
+      Some(s"""WITH aud AS (SELECT doc_id AS media_id,
+            8000 * (1 + (${hexByte("md5(text)", 1)} % 4)) AS sample_rate,
+            (1 + (${hexByte("md5(text)", 2)} % 8)) AS dur_s,
+            ${hexByte("md5(text)", 3)} AS b3
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 1),
+        base AS (SELECT media_id, sample_rate,
+            CAST(sample_rate * dur_s + b3 * 100 AS BIGINT) AS n_samples,
+            CAST(sample_rate AS BIGINT) AS win,
+            CAST(sample_rate AS BIGINT) // 2 AS hop
+          FROM aud),
+        ch AS (SELECT media_id,
+            unnest(generate_series(0,
+              CASE WHEN n_samples <= win THEN 0
+                ELSE (n_samples - win) // hop END)) AS chunk_idx
+          FROM base),
+        en AS (SELECT media_id,
+            CAST(${hexByte(
+              "md5(CAST(media_id AS VARCHAR) || '~' || CAST(chunk_idx AS VARCHAR))",
+              0)} AS DOUBLE) / 256.0 AS energy
+          FROM ch),
+        g AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(CAST(energy AS DECIMAL(18,8))) AS DECIMAL(38,8))
+              AS esum
+          FROM en GROUP BY 1),
+        m AS (SELECT *, CAST(esum AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+            AS mean_energy
+          FROM g)
+        SELECT media_id, n_chunks, mean_energy,
+          CASE WHEN mean_energy = 0.0 THEN NULL
+            ELSE least(4.0, 0.5 / mean_energy) END AS gain,
+          CAST(CASE WHEN mean_energy = 0.0 THEN 0
+            WHEN 0.5 / mean_energy > 4.0 THEN 1 ELSE 0 END AS INT)
+            AS limited
+        FROM m""")),
   )
 }

@@ -2476,5 +2476,254 @@ object SimQueries {
             / CAST(CAST(COUNT(*) OVER () AS BIGINT) AS DOUBLE), 6)
             AS mean_overlap
         FROM ov""")),
+
+    // ---- IVF cell-quality audit (coherence + margin per cell) --------------
+    // The index-health readout behind e05/e14/e17: per cell, how COHERENT
+    // its members are (mean cosine to the assigned centroid) and how
+    // DECISIVE the assignment was (mean margin best − second-best
+    // centroid cosine) — low-margin cells are where nprobe=1 recall
+    // dies, and a skewed share column is a straggler cell (e32's story
+    // at the quantizer level). Runs e14's pinned degenerate geometry
+    // (k = 8 lowest-id centroids, 0 Lloyd steps) so the whole audit is
+    // DuckDB-checkable; e05's Lloyd-trained path shares the assignment
+    // rule by construction (cellOf argmax, ties to the lower cell).
+    //
+    // Scale shape: centroids inline as literals (no join); the 8-way
+    // score explode is a bounded narrow fan-out; the per-vector rank
+    // window shuffles once on vec_id; the final fold is onto the 8-cell
+    // domain.
+    //
+    // Exactness: cosines are the bit-identical strict folds; best and
+    // margin round at 6 dp (≤ 1-magnitude, effectively-infinite
+    // expansions — no tie exposure) and sum as exact decimals.
+    GraftQuery(
+      "e35_ivf_cell_quality",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val emb = Tables.validEmbeddings(s, d)
+        val (centroids, _) =
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 0)
+        val base = emb.select(col("vec_id"),
+          asDouble(col("embedding")).as("emb"))
+        if (centroids.isEmpty)
+          // Empty corpus: zero rows, correct schema (array() of zero
+          // struct columns would fail analysis).
+          base.select(lit(0L).as("cell"), lit(0L).as("n_vectors"),
+            lit(0.0).as("share"), lit(0.0).as("mean_cos"),
+            lit(0.0).as("mean_margin")).filter(lit(false))
+        else {
+          val scored = explode(array(centroids.zipWithIndex.map {
+            case (c, i) =>
+              struct(lit(i.toLong).as("cell"),
+                cosine(col("emb"), typedlit(c)).as("cs"))
+          }: _*))
+          val wv = Window.partitionBy(col("vec_id"))
+            .orderBy(col("cs").desc, col("cell").asc)
+          val w = Window.partitionBy(lit(1))
+          base.select(col("vec_id"), scored.as("sc"))
+            .select(col("vec_id"), col("sc.cell").as("cell"),
+              col("sc.cs").as("cs"))
+            .withColumn("rn", row_number().over(wv))
+            .filter(col("rn") <= 2)
+            .groupBy(col("vec_id"))
+            .agg(max(when(col("rn") === 1, col("cell"))).as("cell"),
+              max(when(col("rn") === 1, col("cs"))).as("best"),
+              max(when(col("rn") === 2, col("cs"))).as("second"))
+            .groupBy(col("cell"))
+            .agg(count(lit(1)).as("n_vectors"),
+              sum(round(col("best"), 6).cast("decimal(18,6)")).as("bsum"),
+              sum(round(col("best") - col("second"), 6)
+                .cast("decimal(18,6)")).as("msum"))
+            .withColumn("share", round(col("n_vectors").cast("double")
+              / sum(col("n_vectors")).over(w).cast("double"), 6))
+            .select(col("cell"), col("n_vectors"), col("share"),
+              round(col("bsum").cast("double")
+                / col("n_vectors").cast("double"), 6).as("mean_cos"),
+              round(col("msum").cast("double")
+                / col("n_vectors").cast("double"), 6).as("mean_margin"))
+        }
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM v ORDER BY vec_id ASC LIMIT 8),
+        sc AS (SELECT v.vec_id, c.cell,
+            ${sqlCos("v.e", "c.ce")} AS cs,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${sqlCos("v.e", "c.ce")} DESC, c.cell ASC) AS rn
+          FROM v, c),
+        a AS (SELECT vec_id,
+            MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+            MAX(CASE WHEN rn = 1 THEN cs END) AS best,
+            MAX(CASE WHEN rn = 2 THEN cs END) AS second
+          FROM sc WHERE rn <= 2 GROUP BY 1),
+        g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            SUM(CAST(round(best, 6) AS DECIMAL(18,6))) AS bsum,
+            SUM(CAST(round(best - second, 6) AS DECIMAL(18,6))) AS msum
+          FROM a GROUP BY 1)
+        SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+          round(CAST(n_vectors AS DOUBLE) / CAST(CAST(SUM(n_vectors)
+            OVER () AS BIGINT) AS DOUBLE), 6) AS share,
+          round(CAST(bsum AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)
+            AS mean_cos,
+          round(CAST(msum AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)
+            AS mean_margin
+        FROM g""")),
+
+    // ---- cosine range search (radius query, the top-k family's dual) -------
+    // faiss range_search semantics: per e18-panel probe, every neighbor
+    // with cosine ≥ τ = 0.25 — the shape retrieval uses when the
+    // QUESTION is "how many near-duplicates/how dense is this
+    // neighborhood", where a fixed k either truncates dense regions or
+    // pads sparse ones. Per probe: candidate count, in-range count and
+    // fraction, mean/max in-range cosine.
+    //
+    // Scale shape: ONE broadcast-probe scan (the e18 harness); the fold
+    // is map-side per probe — no rank window at all, which is the point:
+    // range search needs no global ordering, so it scales strictly
+    // better than top-k on the same panel.
+    //
+    // Exactness: cosines are bit-identical folds; the τ compare runs on
+    // identical doubles; in-range cosines round at 6 dp (≤ 1 magnitude)
+    // and sum as exact decimals; mean NULLs when nothing is in range.
+    GraftQuery(
+      "e36_range_search",
+      (s, d) => {
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        val mod = math.max(20L, ivfCorpusSize(s, d) / 100L)
+        val probes = emb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        emb.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+          .crossJoin(broadcast(probes))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cs", cosine(col("a_emb"), col("b_emb")))
+          .groupBy(col("a_id"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("cs") >= 0.25, 1L).otherwise(0L)).as("n_in_range"),
+            sum(when(col("cs") >= 0.25,
+              round(col("cs"), 6).cast("decimal(18,6)"))).as("csum"),
+            max(when(col("cs") >= 0.25, round(col("cs"), 6))).as("max_cos"))
+          .select(col("a_id").as("probe_id"), col("n_candidates"),
+            col("n_in_range"),
+            round(col("n_in_range").cast("double")
+              / col("n_candidates").cast("double"), 6).as("in_range_frac"),
+            when(col("n_in_range") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("csum").cast("double")
+                / col("n_in_range").cast("double"), 6)).as("mean_cos"),
+            col("max_cos"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        probes AS (SELECT vec_id AS a_id, e AS ae FROM b
+          WHERE vec_id % (SELECT greatest(20, COUNT(*) // 100)
+            FROM embeddings WHERE $sqlValidEmb) = 0),
+        sc AS (SELECT p.a_id, ${sqlCos("p.ae", "c.e")} AS cs
+          FROM probes p JOIN b c ON p.a_id <> c.vec_id),
+        g AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+            CAST(SUM(CASE WHEN cs >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_in_range,
+            SUM(CASE WHEN cs >= 0.25
+              THEN CAST(round(cs, 6) AS DECIMAL(18,6)) END) AS csum,
+            MAX(CASE WHEN cs >= 0.25 THEN round(cs, 6) END) AS max_cos
+          FROM sc GROUP BY 1)
+        SELECT a_id AS probe_id, n_candidates, n_in_range,
+          round(CAST(n_in_range AS DOUBLE) / CAST(n_candidates AS DOUBLE),
+            6) AS in_range_frac,
+          CASE WHEN n_in_range = 0 THEN NULL
+            ELSE round(CAST(csum AS DOUBLE) / CAST(n_in_range AS DOUBLE),
+              6) END AS mean_cos,
+          max_cos
+        FROM g""")),
+
+    // ---- hybrid retrieval: RRF fusion of BM25 and cosine rankings ----------
+    // The hybrid-search primitive every production retrieval stack runs:
+    // reciprocal-rank fusion (k = 60) of d84's BM25 lexical top-50 with
+    // the cosine top-50 against the vec_id = 0 probe (vec_id ≡ doc_id
+    // on the fixtures, the d42 contract). List-based RRF: a doc absent
+    // from a list contributes 0 from it — the standard top-K fusion,
+    // which is also the scale contract (fusing full corpus rankings
+    // would need corpus-wide rank windows; fusing two bounded lists
+    // needs none).
+    //
+    // Scale shape: both arms end in orderBy+limit (TakeOrderedAndProject
+    // — map-side k rows per task); the rank windows and the full-outer
+    // join run on ≤ 50-row lists; the fused cut is again a bounded
+    // order/limit.
+    //
+    // Exactness: ranks are exact ints; each RRF term 1/(60+r) rounds at
+    // 6 dp (no denominator in [61, 110] yields a 7-digit terminating
+    // decimal, so no tie) and the fused score sums them as exact
+    // decimals — the final ordering compares exact decimal-derived
+    // doubles.
+    GraftQuery(
+      "e37_rrf_hybrid",
+      (s, d) => {
+        val wl = Window.partitionBy(lit(1))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lexTop = TextQueries.bm25Scored(s, d)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+          .withColumn("lex_rank", row_number().over(wl).cast("bigint"))
+          .select(col("doc_id"), col("lex_rank"))
+        val emb = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        val probe = emb.filter(col("vec_id") === 0L)
+          .select(col("emb").as("q_emb"))
+        val wv = Window.partitionBy(lit(1))
+          .orderBy(col("cs").desc, col("doc_id").asc)
+        val vecTop = emb.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            cosine(col("emb"), col("q_emb")).as("cs"))
+          .orderBy(col("cs").desc, col("doc_id").asc).limit(50)
+          .withColumn("vec_rank", row_number().over(wv).cast("bigint"))
+          .select(col("doc_id"), col("vec_rank"))
+        val zero6 = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+        def term(r: org.apache.spark.sql.Column) =
+          coalesce(round(lit(1.0) / (lit(60.0) + r.cast("double")), 6)
+            .cast("decimal(18,6)"), zero6)
+        val wf = Window.partitionBy(lit(1))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_score",
+            (term(col("lex_rank")) + term(col("vec_rank"))).cast("double"))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(10)
+          .withColumn("rank", row_number().over(wf).cast("bigint"))
+          .select(col("rank"), col("doc_id"), col("lex_rank"),
+            col("vec_rank"), col("rrf_score"))
+      },
+      Some(s"""WITH ${TextQueries.sqlBm25Ctes},
+        lex AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+          FROM (SELECT * FROM bm ORDER BY score DESC, doc_id ASC LIMIT 50)
+            t),
+        v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        vt AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC)
+              AS BIGINT) AS vec_rank
+          FROM (SELECT c.vec_id AS doc_id, ${sqlCos("c.e", "qe")} AS cs
+              FROM v c, q WHERE c.vec_id <> 0
+              ORDER BY cs DESC, doc_id ASC LIMIT 50) t),
+        f AS (SELECT COALESCE(lex.doc_id, vt.doc_id) AS doc_id,
+            lex_rank, vec_rank
+          FROM lex FULL OUTER JOIN vt ON lex.doc_id = vt.doc_id),
+        r AS (SELECT *, CAST(
+            COALESCE(CAST(round(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)),
+              6) AS DECIMAL(18,6)), 0)
+            + COALESCE(CAST(round(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)),
+              6) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf_score
+          FROM f)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC,
+            doc_id ASC) AS BIGINT) AS rank,
+          doc_id, lex_rank, vec_rank, rrf_score
+        FROM (SELECT * FROM r ORDER BY rrf_score DESC, doc_id ASC
+          LIMIT 10) t""")),
   )
 }

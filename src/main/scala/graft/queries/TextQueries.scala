@@ -4149,7 +4149,174 @@ object TextQueries {
           round(CAST(tk AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
             AS mean_tokens_kept
         FROM c""")),
+
+    // ---- BM25 full-text relevance top-k -----------------------------------
+    // The lexical-retrieval primitive d13's TF-IDF table feeds but never
+    // RANKS with: Okapi BM25 (k1 = 1.2, b = 0.75) of a fixed query term
+    // set, top-20 docs — the scoring half of every hybrid (lexical +
+    // vector) retrieval stack; e37 fuses this ranking with the cosine
+    // ranking via RRF.
+    //
+    // Scale shape: the corpus explodes ONCE and filters to the query
+    // terms BEFORE any shuffle (the d21 broadcast-gram discipline: the
+    // tf fold carries only matching (doc, term) rows, never the corpus
+    // vocabulary); df and the corpus stats are 3-row/1-row broadcasts;
+    // the global cut is orderBy+limit (TakeOrderedAndProject), never a
+    // corpus-wide rank window.
+    //
+    // Exactness: tf/df/dl are exact int64; idf rounds the ln (the d32
+    // libm-absorb move); each contribution is ONE shared double op
+    // order (k1+1 written as the literal 2.2 in both engines, never a
+    // Scala-computed constant — the d75 Wilson rule), 6-dp rounded and
+    // decimal-summed; magnitudes ≤ ~1 so 6-dp rounding never ties.
+    GraftQuery(
+      "d84_bm25_topk",
+      (s, d) => {
+        val wr = Window.partitionBy(lit(1))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        bm25Scored(s, d)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+          .withColumn("rank", row_number().over(wr))
+          .select(col("rank").cast("bigint").as("rank"), col("doc_id"),
+            col("score"))
+      },
+      Some(s"""WITH $sqlBm25Ctes
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS rank, doc_id, score
+        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20)
+          t""")),
+
+    // ---- Flesch-Kincaid readability (vowel-group syllable proxy) ----------
+    // The grade-level quality signal d03's surface ratios don't carry:
+    // FK = 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59, with
+    // syllables ≈ [aeiouy]+ group count (the standard cheap proxy) and
+    // sentences = [.!?]+ runs clamped to ≥ 1 (a fragment is one
+    // sentence, and the clamp keeps the fixture's punctuation-free
+    // synthetic text well-defined). Per doc: the three counts, the
+    // grade, and a 5-grade band a gate thresholds on.
+    //
+    // Scale shape: ONE narrow codegen'd projection — three regexp
+    // counts per row, zero exchanges (the d48 gate-battery envelope).
+    //
+    // Exactness: counts are exact int64; the grade is ONE shared double
+    // op order over integer-derived doubles, 6-dp rounded (component
+    // magnitudes ≤ ~1e2 with non-terminating ratios — no tie exposure);
+    // the band floors the identical rounded double in both engines.
+    GraftQuery(
+      "d85_readability",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            coalesce(tokenCount(col("text")).cast("bigint"), lit(0L))
+              .as("n_words"),
+            coalesce(regexp_count(lower(col("text")), lit("[aeiouy]+")),
+              lit(0)).cast("bigint").as("n_syllables"),
+            greatest(lit(1L),
+              coalesce(regexp_count(col("text"), lit("[.!?]+")), lit(0))
+                .cast("bigint")).as("n_sentences"))
+          .withColumn("fk_grade",
+            when(col("n_words") === 0L, lit(null).cast("double"))
+              .otherwise(round(lit(0.39)
+                * (col("n_words").cast("double")
+                  / col("n_sentences").cast("double"))
+                + lit(11.8) * (col("n_syllables").cast("double")
+                  / col("n_words").cast("double"))
+                - lit(15.59), 6)))
+          .withColumn("band",
+            when(col("fk_grade").isNull, lit(null).cast("long"))
+              .otherwise(least(lit(18L), greatest(lit(0L),
+                floor(col("fk_grade") / lit(5.0)).cast("long"))))),
+      Some(s"""WITH c AS (SELECT doc_id,
+            CAST(COALESCE(len($sqlToks), 0) AS BIGINT) AS n_words,
+            CAST(COALESCE(len(regexp_extract_all(lower(text),
+              '[aeiouy]+')), 0) AS BIGINT) AS n_syllables,
+            greatest(CAST(1 AS BIGINT),
+              CAST(COALESCE(len(regexp_extract_all(text, '[.!?]+')), 0)
+                AS BIGINT)) AS n_sentences
+          FROM documents),
+        f AS (SELECT *, CASE WHEN n_words = 0 THEN NULL
+            ELSE round(0.39 * (CAST(n_words AS DOUBLE)
+                / CAST(n_sentences AS DOUBLE))
+              + 11.8 * (CAST(n_syllables AS DOUBLE)
+                / CAST(n_words AS DOUBLE))
+              - 15.59, 6) END AS fk_grade
+          FROM c)
+        SELECT doc_id, n_words, n_syllables, n_sentences, fk_grade,
+          CASE WHEN fk_grade IS NULL THEN NULL
+            ELSE least(18, greatest(0,
+              CAST(floor(fk_grade / 5.0) AS BIGINT))) END AS band
+        FROM f""")),
   )
+
+  /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with
+    * a real document-frequency spread). Lazy: referenced while `all`
+    * initializes, which runs before this later-declared field would. */
+  private[queries] lazy val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** BM25 (k1 = 1.2, b = 0.75) per-doc score of [[Bm25Terms]] — the
+    * shared lexical-retrieval substrate: d84 ranks it directly, e37
+    * fuses it with the cosine ranking. Returns (doc_id, score). */
+  private[queries] def bm25Scored(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dl = Tables.documents(s, d)
+      .select(col("doc_id"),
+        coalesce(tokenCount(col("text")).cast("bigint"), lit(0L)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("tot_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n_docs").cast("double") - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)),
+          6))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * (col("dl").cast("double")
+              / (col("tot_dl").cast("double")
+                / col("n_docs").cast("double"))))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("score"))
+  }
+
+  /** The DuckDB mirror of [[bm25Scored]] — CTE chain ending in
+    * `bm(doc_id, score)`, interpolated into the d84 AND e37 oracles so
+    * the scoring formula can never drift between them. */
+  private[queries] lazy val sqlBm25Ctes: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""dl AS (SELECT doc_id,
+          CAST(COALESCE(len($sqlToks), 0) AS BIGINT) AS dl
+        FROM documents),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot_dl,
+          CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+      tfq AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest($sqlToks) AS tok FROM documents) u
+        WHERE tok IN $termList GROUP BY 1, 2),
+      dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tfq GROUP BY 1),
+      contrib AS (SELECT tfq.doc_id,
+          round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * (CAST(dl AS DOUBLE)
+                / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)
+            AS c
+        FROM tfq JOIN dfq USING (tok) JOIN dl USING (doc_id), st),
+      bm AS (SELECT doc_id,
+          CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1)"""
+  }
 
   /** DuckDB expression for TextFunctions.qualityScore over a `text`
     * column — ONE definition interpolated into every oracle that scores

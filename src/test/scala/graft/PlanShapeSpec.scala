@@ -100,7 +100,11 @@ class PlanShapeSpec extends SparkSpec {
       "e34_metric_agreement",
       // q62 cross-joins the 15-row broadcast lag domain against the
       // calendar grid (bounded × bounded, never the fact table).
-      "q62_daily_acf")
+      "q62_daily_acf",
+      // e36 broadcasts the bounded probe sample (the e18 harness); e37
+      // broadcasts the 1-row query vector (the e01 pattern); d84
+      // cross-joins the 1-row corpus avgdl/N stats (the q51 pattern).
+      "e36_range_search", "e37_rrf_hybrid", "d84_bm25_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

@@ -1,0 +1,269 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+
+import graft.sources.Tables
+
+/** Round-19 additions: semantic anchors on constructed datasets for the
+  * time-series ops (q61-q64), lexical retrieval (d84/d85), vector-search
+  * audits (e35-e37), and media conditioning (m16/m17) — closed-form
+  * inputs whose expected outputs are hand-computable, independent of the
+  * fixture corpus (the fixture side is pinned by the DuckDB oracles). */
+class Round19OpsSpec extends SparkSpec {
+
+  private def query(name: String) =
+    graft.queries.GraftQuery.all.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name"))
+
+  /** Constructed orders table: (orderkey, custkey, totalprice, day
+    * offset from 2024-01-01). */
+  private def ordersDir(rows: Seq[(Long, Long, Double, Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r19o").toString
+    val schema = Tables.orders(spark, sfDir).schema
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val isNtz = schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val rws = rows.map { case (ok, ck, price, off) =>
+      val ts: Any =
+        if (isNtz) base.plusDays(off.toLong)
+        else java.sql.Timestamp.valueOf(base.plusDays(off.toLong))
+      Row(ok, ck, "F", price, ts, "1-URGENT")
+    }
+    spark.createDataFrame(rws.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** Constructed documents table (doc_id, text, lang, source). */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r19d").toString
+    val schema = Tables.documents(spark, sfDir).schema
+    val rws = rows.map { case (id, text, lang, src) =>
+      Row(id, text, lang, src,
+        Option(text).map(_.length.toLong).getOrElse(0L))
+    }
+    spark.createDataFrame(rws.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Constructed embeddings dir: `n` copies of the all-ones 64-dim
+    * vector (every pairwise cosine is exactly 1.0). */
+  private def onesEmbDir(n: Int, dir0: Option[String] = None): String = {
+    val dir = dir0.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-r19e").toString)
+    val schema = Tables.embeddings(spark, sfDir).schema
+    val ones = Seq.fill(Tables.EmbeddingDim)(1.0f)
+    spark.createDataFrame(
+      (0 until n).map(i => Row(i.toLong, ones, i % 3)).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q61 EWMA: exact 100.0 on a constant series (warm-up included), " +
+      "spike flagged at >2x the smoothed level") {
+    // 40 days at 100, then a 1000 spike. Constant prefix: the truncated
+    // normalized EWMA is EXACTLY the constant at every warm-up length
+    // (num = rev * prefix-sum, denominator the same prefix-sum).
+    val dir = ordersDir(
+      (0 until 40).map(i => (i.toLong + 1L, 1L, 100.0, i)) :+
+        (41L, 1L, 1000.0, 40))
+    val got = query("q61_ewma_anomaly").run(spark, dir).collect()
+      .map(r => r.getAs[String]("order_date") -> r).toMap
+    assert(got.size == 41)
+    (0 until 40).foreach { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val r = got(day.toString)
+      assert(r.getAs[Double]("ewma") == 100.0, s"day $i ewma")
+      assert(r.getAs[Double]("ratio") == 1.0)
+      assert(r.getAs[Int]("is_anomaly") == 0)
+    }
+    val spike = got("2024-02-10")
+    // ewma = (0.25*1000 + (P - 0.25)*100) / P with P = sum of the 30
+    // 6-dp weights ~ 0.999823 -> ~325.04
+    assert(spike.getAs[Double]("ewma") > 320.0 &&
+      spike.getAs[Double]("ewma") < 330.0)
+    assert(spike.getAs[Int]("is_anomaly") == 1)
+  }
+
+  test("q62 ACF: a period-2 series yields acf(l) = (-1)^l (n-l)/n exactly") {
+    // 20 days alternating 100/200: deviations are +-50 exactly, so
+    // acf(0)=1, acf(1)=-19/20, acf(2)=18/20, ... and n_pairs = 20-l.
+    val dir = ordersDir((0 until 20).map { i =>
+      (i.toLong + 1L, 1L, if (i % 2 == 0) 100.0 else 200.0, i)
+    })
+    val got = query("q62_daily_acf").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag_d") -> r).toMap
+    assert(got.size == 15)
+    (0 to 14).foreach { l =>
+      val r = got(l.toLong)
+      assert(r.getAs[Long]("n_pairs") == (20 - l).toLong)
+      val expect = math.pow(-1.0, l.toDouble) * (20 - l).toDouble / 20.0
+      assert(math.abs(r.getAs[Double]("acf") - expect) < 1e-9,
+        s"lag $l acf")
+    }
+  }
+
+  test("q63 burstiness: clockwork gaps give B = -1 (bin 0), a 1/13-day " +
+      "mix gives B = -1/13 (bin 4)") {
+    // cust 1: 8 orders every 7 days -> 7 gaps of 7: sigma=0, B=-1.
+    // cust 2: days {0,1,14} -> gaps {1,13}: mu=7, sigma=6, B=-1/13.
+    val dir = ordersDir(
+      (0 until 8).map(i => (i.toLong + 1L, 1L, 100.0, i * 7)) ++
+        Seq((20L, 2L, 100.0, 0), (21L, 2L, 100.0, 1), (22L, 2L, 100.0, 14)))
+    val got = query("q63_gap_burstiness").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(got.keySet == Set(0L, 4L))
+    assert(got(0L).getAs[Long]("n_customers") == 1L)
+    assert(got(0L).getAs[Double]("mean_b") == -1.0)
+    assert(got(0L).getAs[Double]("share") == 0.5)
+    assert(got(4L).getAs[Double]("mean_b") == -0.076923)
+  }
+
+  test("q64 Lorenz: 10 equal-size spend deciles trace k(10-k)/110 " +
+      "equality gaps and close at exactly 1.0") {
+    val dir = ordersDir((1 to 10).map(k =>
+      (k.toLong, k.toLong, k * 100.0, 0)))
+    val got = query("q64_lorenz_deciles").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(got.keySet == (1L to 10L).toSet)
+    (1 to 10).foreach { k =>
+      val r = got(k.toLong)
+      assert(r.getAs[Long]("n_customers") == 1L)
+      val gap = k.toDouble * (10 - k).toDouble / 110.0
+      assert(math.abs(r.getAs[Double]("equality_gap")
+        - math.rint(gap * 1e6) / 1e6) < 1e-9, s"decile $k gap")
+    }
+    assert(got(10L).getAs[Double]("cum_rev_share") == 1.0)
+    assert(got(10L).getAs[Double]("cum_pop_share") == 1.0)
+    assert(got(10L).getAs[Double]("equality_gap") == 0.0)
+  }
+
+  test("d84 BM25: only term-matching docs score; higher tf on rarer " +
+      "terms outranks; scores strictly descend") {
+    val dir = docsDir(Seq(
+      (1L, "vector vector vector stream", "en", "s"),
+      (2L, "vector table scan filter", "en", "s"),
+      (3L, "table scan merge sort", "en", "s"),
+      (4L, "stream window window join", "en", "s")))
+    val got = query("d84_bm25_topk").run(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    // doc 3 has no query term: absent, not zero-scored
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+    // idf(window) = ln(10/3) with df=1 vs idf(vector) = ln 2 with df=2:
+    // doc 4's double hit on the RARE term (2.35) outranks doc 1's
+    // triple hit on the common one (1.78) — the idf weighting at work.
+    assert(got.head.getAs[Long]("doc_id") == 4L,
+      "2x the df=1 term must outrank 3x a df=2 term")
+    assert(got(1).getAs[Long]("doc_id") == 1L)
+    val scores = got.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a > b })
+  }
+
+  test("d85 readability: hand-counted FK components on a two-sentence " +
+      "doc; empty text yields NULL grade") {
+    val dir = docsDir(Seq(
+      (1L, "The cat sat. The dog ran!", "en", "s"),
+      (2L, "", "en", "s")))
+    val got = query("d85_readability").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r = got(1L)
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    // 0.39*(6/2) + 11.8*(6/6) - 15.59 = -2.62
+    assert(math.abs(r.getAs[Double]("fk_grade") - (-2.62)) < 1e-9)
+    assert(r.getAs[Long]("band") == 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("fk_grade")))
+    assert(got(2L).isNullAt(got(2L).fieldIndex("band")))
+  }
+
+  test("e35 cell quality: identical vectors all elect cell 0 with " +
+      "cosine 1 and zero margin") {
+    val got = query("e35_ivf_cell_quality").run(spark, onesEmbDir(100))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("cell") == 0L)
+    assert(got.head.getAs[Long]("n_vectors") == 100L)
+    assert(got.head.getAs[Double]("share") == 1.0)
+    assert(got.head.getAs[Double]("mean_cos") == 1.0)
+    assert(got.head.getAs[Double]("mean_margin") == 0.0)
+  }
+
+  test("e36 range search: identical vectors put every candidate in " +
+      "range at cosine exactly 1") {
+    val got = query("e36_range_search").run(spark, onesEmbDir(100))
+      .collect()
+    assert(got.length == 5) // probes 0,20,40,60,80
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") == 99L)
+      assert(r.getAs[Long]("n_in_range") == 99L)
+      assert(r.getAs[Double]("in_range_frac") == 1.0)
+      assert(r.getAs[Double]("mean_cos") == 1.0)
+      assert(r.getAs[Double]("max_cos") == 1.0)
+    }
+  }
+
+  test("e37 RRF: all-ties arms rank by id; the fused top-10 is ids 1-10 " +
+      "and the probe-only doc 0 stays below dual-list docs") {
+    // 60 identical docs+vectors: lexical scores tie -> lex rank = id+1
+    // order (ids 0-49); vector ranks = ids 1-50 (probe 0 excluded).
+    // Every dual-list doc beats doc 0's single 1/61 term.
+    val dir = docsDir((0 until 60).map(i =>
+      (i.toLong, "vector stream window", "en", "s")))
+    onesEmbDir(60, Some(dir))
+    val got = query("e37_rrf_hybrid").run(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(got.length == 10)
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == (1L to 10L).toSeq)
+    val top = got.head
+    assert(top.getAs[Long]("lex_rank") == 2L) // doc 0 holds lex rank 1
+    assert(top.getAs[Long]("vec_rank") == 1L)
+    val scores = got.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a > b })
+  }
+
+  test("m16 resolution audit: shares sum to 1 within each kind and the " +
+      "dimension envelope matches the decode stub domain") {
+    val got = query("m16_resolution_audit").run(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val byKind = got.groupBy(_.getAs[String]("kind"))
+    assert(byKind.keySet.subsetOf(Set("image", "audio", "video")))
+    byKind.foreach { case (k, rows) =>
+      val shares = rows.map(_.getAs[Double]("kind_share")).sum
+      assert(math.abs(shares - 1.0) < 1e-4, s"$k shares sum")
+    }
+    got.foreach { r =>
+      assert(r.getAs[Long]("min_width") >= 64L &&
+        r.getAs[Long]("max_width") <= 127L)
+      val mp = r.getAs[Double]("mean_pixels")
+      assert(mp >= 64.0 * 64.0 && mp <= 127.0 * 127.0)
+    }
+  }
+
+  test("m17 loudness gain: gains live in (0, 4], the limiter flag fires " +
+      "exactly at the cap, and mean energy is the chunk average") {
+    val got = query("m17_loudness_gain").run(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val mean = r.getAs[Double]("mean_energy")
+      assert(mean >= 0.0 && mean < 1.0)
+      if (r.isNullAt(r.fieldIndex("gain"))) {
+        // silent clip (every chunk's md5 energy byte was 0x00): no
+        // defined gain, never flagged as limited
+        assert(mean == 0.0)
+        assert(r.getAs[Int]("limited") == 0)
+      } else {
+        val gain = r.getAs[Double]("gain")
+        assert(gain > 0.0 && gain <= 4.0)
+        assert((r.getAs[Int]("limited") == 1) == (gain == 4.0),
+          "limited must mark exactly the capped clips")
+        if (gain < 4.0)
+          assert(math.abs(gain * mean - 0.5) < 1e-12,
+            "uncapped gain must normalize to the 0.5 target exactly")
+      }
+    }
+  }
+}

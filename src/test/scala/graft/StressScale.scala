@@ -269,7 +269,34 @@ object StressScale {
     // q60 folds lineitem onto the order domain then the basket-size
     // grid; e34 is the e22 dual-ranking probe harness.
     "q60_basket_dispersion" -> ("lineitem" -> "l_orderkey"),
-    "e34_metric_agreement" -> ("embeddings" -> "vec_id"))
+    "e34_metric_agreement" -> ("embeddings" -> "vec_id"),
+    // Round-19 additions: q61/q62 ride the q55 calendar envelope (fold
+    // to days first; the 30-lag window and the 15-lag grid join are
+    // calendar-bounded); q63 is the q56 custkey-window shape (replicas
+    // add same-day orders — gap-0 events, linear partition growth);
+    // q64's customer frame and GlobalRank sorts are FIXED beyond the
+    // fact scan (the q50 rule).
+    "q61_ewma_anomaly" -> ("orders" -> "o_orderkey"),
+    "q62_daily_acf" -> ("orders" -> "o_orderkey"),
+    "q63_gap_burstiness" -> ("orders" -> "o_orderkey"),
+    "q64_lorenz_deciles" -> ("orders" -> "o_orderkey"),
+    // d84: replicas duplicate text, so the term/df/avgdl domains are
+    // FIXED — growth is the filtered explode into map-side tf partials
+    // plus the bounded TakeOrdered cut. d85 is a d48-shaped
+    // zero-exchange regex scan.
+    "d84_bm25_topk" -> ("documents" -> "doc_id"),
+    "d85_readability" -> ("documents" -> "doc_id"),
+    // e35: an 8-way bounded fan-out + one vec_id rank window —
+    // input-linear; e36/e37 are e18-harness probe scans (panel
+    // corpus-derived / 1-row query) with no rank window (e36) or
+    // bounded 50-row lists (e37).
+    "e35_ivf_cell_quality" -> ("embeddings" -> "vec_id"),
+    "e36_range_search" -> ("embeddings" -> "vec_id"),
+    "e37_rrf_hybrid" -> ("embeddings" -> "vec_id"),
+    // m16 folds the decode seam onto the ≤9-row kind×aspect domain;
+    // m17 rides m05's bounded chunk explode into one media_id fold.
+    "m16_resolution_audit" -> ("documents" -> "doc_id"),
+    "m17_loudness_gain" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
