@@ -199,4 +199,20 @@ object Sketches {
       .groupBy(col("p.lang").as("lang"))
       .agg(sum(col("p.hits")).as("hits"))
   }
+
+  /** Per-(month, category) counts of a dated categorical column: ninth
+    * member of the bounded-state sketch family (sum-merge). State grows
+    * one ≤|categories|-row stripe per calendar month — the same
+    * calendar-horizon growth q55's day grid rides; a watermarked
+    * monitor retains only its horizon's stripes. The live half of the
+    * q65 mix-drift monitor: maintain these counts on the stream, read
+    * the PSI-vs-prior-month alarm off the bounded grid whenever it
+    * evaluates. The month key is ARITHMETIC (year·12 + month − 1, the
+    * q58 convention) — never an engine-specific month id. */
+  def categoryMonthCounts(df: DataFrame, dateCol: String,
+      catCol: String): DataFrame =
+    df.filter(col(dateCol).isNotNull)
+      .groupBy((year(col(dateCol)) * 12 + month(col(dateCol)) - 1)
+        .cast("bigint").as("month_idx"), col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -881,5 +881,70 @@ object MediaQueries {
             WHEN 0.5 / mean_energy > 4.0 THEN 1 ELSE 0 END AS INT)
             AS limited
         FROM m""")),
+
+    // ---- per-shot keyframe selection --------------------------------------
+    // The sampling policy m11's boundary detection exists to enable:
+    // one representative frame per SHOT (the first — the cut frame)
+    // instead of m02's blind every-4th stride — static scenes stop
+    // paying per-frame decode cost, fast cuts stop being skipped. Per
+    // (video, shot): the shot index, its keyframe, and its frame count
+    // — the decode worklist a frame-caption trainer actually fetches.
+    //
+    // Scale shape: m11's bounded frame explode and ONE media_id
+    // exchange serving the lag window, the running-sum shot index, and
+    // the per-shot fold.
+    //
+    // Exactness: pure integer/string ops — frame indices, md5 scene
+    // digests, exact counts; no floats anywhere.
+    GraftQuery(
+      "m18_keyframe_select",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.documents(s, d)
+          .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id").as("media_id"), col("text"),
+            (lit(1) + pmod(expr(
+              "cast(conv(substr(md5(text), 17, 2), 16, 10) as int)"),
+              lit(16))).as("n_frames"),
+            (lit(1) + pmod(expr(
+              "cast(conv(substr(md5(text), 9, 2), 16, 10) as int)"),
+              lit(4))).as("shot_len"))
+          .withColumn("fi", explode(sequence(lit(0), col("n_frames") - 1)))
+          .withColumn("scene", md5(concat(col("text"), lit("#"),
+            expr("cast(fi div shot_len as int)").cast("string"))))
+        val wOrd = Window.partitionBy(col("media_id")).orderBy(col("fi"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        v.withColumn("prev", lag(col("scene"), 1).over(wOrd))
+          .withColumn("boundary",
+            (col("prev").isNull || col("prev") =!= col("scene"))
+              .cast("long"))
+          .withColumn("shot_idx", sum(col("boundary")).over(wRun))
+          .groupBy(col("media_id"), col("shot_idx"))
+          .agg(min(col("fi")).cast("bigint").as("keyframe_fi"),
+            count(lit(1)).as("shot_frames"))
+      },
+      Some(s"""WITH v AS (SELECT doc_id AS media_id, text,
+            CAST(1 + (${hexByte("md5(text)", 8)} % 16) AS INT) AS n_frames,
+            CAST(1 + (${hexByte("md5(text)", 4)} % 4) AS INT) AS shot_len
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 2),
+        fr AS (SELECT media_id, text, shot_len,
+            unnest(range(0, n_frames)) AS fi FROM v),
+        k AS (SELECT media_id, fi,
+            md5(text || '#' || CAST(fi // shot_len AS INT)) AS scene
+          FROM fr),
+        b AS (SELECT media_id, fi, scene,
+            lag(scene) OVER (PARTITION BY media_id ORDER BY fi) AS prev
+          FROM k),
+        si AS (SELECT media_id, fi,
+            CAST(SUM(CASE WHEN prev IS NULL OR prev <> scene
+              THEN 1 ELSE 0 END) OVER (PARTITION BY media_id ORDER BY fi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS shot_idx
+          FROM b)
+        SELECT media_id, shot_idx, CAST(MIN(fi) AS BIGINT) AS keyframe_fi,
+          CAST(COUNT(*) AS BIGINT) AS shot_frames
+        FROM si GROUP BY 1, 2""")),
   )
 }

@@ -2725,5 +2725,93 @@ object SimQueries {
           doc_id, lex_rank, vec_rank, rrf_score
         FROM (SELECT * FROM r ORDER BY rrf_score DESC, doc_id ASC
           LIMIT 10) t""")),
+
+    // ---- IVF probe scan-cost model (the COST axis of e17's recall curve) ---
+    // e17 answers "what recall does nprobe buy"; this answers "what does
+    // nprobe COST": per nprobe ∈ {1,2,4,8}, the cumulative candidate
+    // count an in-cell scan must score (the probe's nearest cells by
+    // centroid cosine) and its corpus share — together they are the
+    // recall/cost frontier a deployment picks its operating point from.
+    // Runs e14's pinned degenerate geometry so the whole table is
+    // DuckDB-checkable; skewed marginal_cell_size columns are e35's
+    // straggler story made billable.
+    //
+    // Scale shape: cell sizes are an 8-row fold of the assignment scan;
+    // the probe-to-cell ranking is 8 literal cosines on a 1-row frame;
+    // everything after lives on the 8-row cell grid.
+    //
+    // Exactness: counts exact int64; the share is one quotient round
+    // (≤ 1 magnitude); cell ranking ties break to the lower cell.
+    GraftQuery(
+      "e38_probe_cost_model",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val emb = Tables.validEmbeddings(s, d)
+        val (centroids, assigned) =
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 0)
+        if (centroids.isEmpty)
+          emb.select(lit(0L).as("nprobe"), lit(0L).as("marginal_cell"),
+            lit(0L).as("marginal_cell_size"), lit(0L).as("n_candidates"),
+            lit(0.0).as("corpus_share")).filter(lit(false))
+        else {
+          val sizes = assigned.groupBy(col("cell"))
+            .agg(count(lit(1)).as("cell_size"))
+          val probe = emb.filter(col("vec_id") === 0L)
+            .select(asDouble(col("embedding")).as("q_emb"))
+          val wr = Window.partitionBy(lit(1)).orderBy(col("rn"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val w = Window.partitionBy(lit(1))
+          probe.select(explode(array(centroids.zipWithIndex.map {
+              case (c, i) =>
+                struct(lit(i).as("cell"),
+                  cosine(col("q_emb"), typedlit(c)).as("cs"))
+            }: _*)).as("sc"))
+            .select(col("sc.cell").as("cell"), col("sc.cs").as("cs"))
+            .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
+              .orderBy(col("cs").desc, col("cell").asc)))
+            .join(sizes, Seq("cell"), "left")
+            .withColumn("cell_size", coalesce(col("cell_size"), lit(0L)))
+            .withColumn("cum", sum(col("cell_size")).over(wr))
+            .withColumn("total", sum(col("cell_size")).over(w))
+            .filter(col("rn").isin(1, 2, 4, 8))
+            .select(col("rn").cast("bigint").as("nprobe"),
+              col("cell").cast("bigint").as("marginal_cell"),
+              col("cell_size").as("marginal_cell_size"),
+              col("cum").as("n_candidates"),
+              round(col("cum").cast("double")
+                / col("total").cast("double"), 6).as("corpus_share"))
+        }
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM v ORDER BY vec_id ASC LIMIT 8),
+        ac AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqlCos("v.e", "c.ce")} DESC, c.cell ASC) AS rn
+            FROM v, c) t WHERE rn = 1),
+        sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size
+          FROM ac GROUP BY 1),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        pr AS (SELECT c.cell, row_number() OVER (
+              ORDER BY ${sqlCos("c.ce", "qe")} DESC, c.cell ASC) AS rn
+          FROM c, q),
+        j AS (SELECT pr.rn, pr.cell, COALESCE(s.cell_size, 0) AS cell_size
+          FROM pr LEFT JOIN sizes s ON pr.cell = s.cell),
+        x AS (SELECT *,
+            CAST(SUM(cell_size) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(SUM(cell_size) OVER () AS BIGINT) AS total
+          FROM j)
+        SELECT CAST(rn AS BIGINT) AS nprobe,
+          CAST(cell AS BIGINT) AS marginal_cell,
+          CAST(cell_size AS BIGINT) AS marginal_cell_size,
+          cum AS n_candidates,
+          round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+            AS corpus_share
+        FROM x WHERE rn IN (1, 2, 4, 8)""")),
   )
 }

@@ -3228,6 +3228,84 @@ object StarQueries {
             - CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
             AS equality_gap
         FROM c""")),
+
+    // ---- month-over-month categorical mix drift (priority-share PSI) -------
+    // d64 monitors a SCORE distribution between snapshots; this monitors
+    // a CATEGORICAL mix along the time axis — the population-stability
+    // index of the order-priority mix per month vs the prior month, the
+    // alarm a feed monitor reads when an upstream enum mapping changes.
+    // Laplace-smoothed shares ((n+1)/(tot+k)) keep absent categories
+    // finite — a category VANISHING is exactly the event PSI must flag,
+    // not divide by.
+    //
+    // Scale shape: one fact fold onto the (month × priority) domain; the
+    // lag alignment needs the DENSE grid (a month missing a priority
+    // would silently skip the lag), built by crossing the two bounded
+    // domains — the q44 densify move; every window runs on that grid.
+    //
+    // Exactness: counts exact int64; shares are quotient doubles in one
+    // shared op order; each PSI term rounds the ln (libm absorb) inside
+    // one shared product order, 6-dp, and sums as exact decimals
+    // (magnitudes ≤ ~1 — no tie exposure).
+    GraftQuery(
+      "q65_priority_mix_drift",
+      (s, d) => {
+        // shared substrate (operators/Sketches): the SAME bounded grid
+        // StatefulOpsSpec maintains as the ninth streaming sketch.
+        val counts = graft.operators.Sketches
+          .categoryMonthCounts(Tables.orders(s, d), "o_orderdate",
+            "o_orderpriority")
+          .withColumnRenamed("category", "o_orderpriority")
+        val months = counts.select(col("month_idx")).distinct()
+        val prios = counts.select(col("o_orderpriority")).distinct()
+        val wm = Window.partitionBy(col("month_idx"))
+        val wp = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("month_idx"))
+        months.crossJoin(broadcast(prios))
+          .join(counts, Seq("month_idx", "o_orderpriority"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("tot", sum(col("n")).over(wm))
+          .withColumn("k", count(lit(1)).over(wm))
+          .withColumn("p", (col("n") + 1L).cast("double")
+            / (col("tot") + col("k")).cast("double"))
+          .withColumn("q", lag(col("p"), 1).over(wp))
+          .filter(col("q").isNotNull)
+          .withColumn("term",
+            round((col("p") - col("q"))
+              * round(log(col("p") / col("q")), 6), 6)
+              .cast("decimal(18,6)"))
+          .groupBy(col("month_idx"))
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("term")).cast("double").as("psi"),
+            max(round(abs(col("p") - col("q")), 6)).as("max_share_shift"))
+      },
+      Some("""WITH counts AS (SELECT
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+              AS month_idx,
+            o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+        grid AS (SELECT m.month_idx, p.o_orderpriority
+          FROM (SELECT DISTINCT month_idx FROM counts) m
+          CROSS JOIN (SELECT DISTINCT o_orderpriority FROM counts) p),
+        g AS (SELECT grid.month_idx, grid.o_orderpriority,
+            COALESCE(counts.n, 0) AS n
+          FROM grid LEFT JOIN counts USING (month_idx, o_orderpriority)),
+        t AS (SELECT *,
+            CAST(SUM(n) OVER (PARTITION BY month_idx) AS BIGINT) AS tot,
+            CAST(COUNT(*) OVER (PARTITION BY month_idx) AS BIGINT) AS k
+          FROM g),
+        pq AS (SELECT *,
+            CAST(n + 1 AS DOUBLE) / CAST(tot + k AS DOUBLE) AS p,
+            lag(CAST(n + 1 AS DOUBLE) / CAST(tot + k AS DOUBLE))
+              OVER (PARTITION BY o_orderpriority ORDER BY month_idx) AS q
+          FROM t),
+        x AS (SELECT *, CAST(round((p - q) * round(ln(p / q), 6), 6)
+            AS DECIMAL(18,6)) AS term
+          FROM pq WHERE q IS NOT NULL)
+        SELECT month_idx, CAST(SUM(n) AS BIGINT) AS n_orders,
+          CAST(SUM(term) AS DOUBLE) AS psi,
+          MAX(round(abs(p - q), 6)) AS max_share_shift
+        FROM x GROUP BY 1""")),
   )
 
   /** q61's truncated-EWMA weights w_k = round(α(1−α)^k, 6), α = 0.25,

@@ -4247,6 +4247,82 @@ object TextQueries {
             ELSE least(18, greatest(0,
               CAST(floor(fk_grade / 5.0) AS BIGINT))) END AS band
         FROM f""")),
+
+    // ---- char-bigram entropy (compression-ratio proxy) ---------------------
+    // The gzip-ratio quality signal (Dolma/RefinedWeb gate) without a
+    // codec: character-bigram Shannon entropy per doc — repetitive/
+    // templated text compresses well BECAUSE its bigram distribution is
+    // peaked, so low H flags it; d43 measures the same idea at TOKEN
+    // grain, which misses sub-token repetition (aaaaaa…, base64 blobs,
+    // padded markup). Per doc: bigram count, distinct bigrams, entropy
+    // (nats), and exp(H) as the effective alphabet size.
+    //
+    // Scale shape: the bigram explode is chars-linear via ONE char
+    // split per row (zip_with over two slices — never an index lambda
+    // re-evaluating the array per element, the d27/d52 pushdown trap);
+    // the count fold is map-side on (doc, bigram); the entropy fold
+    // rides one doc_id exchange. The d43 envelope at char grain.
+    //
+    // Exactness: d43's template — per-bigram ln rounds at 6 dp (libm
+    // absorb) and weights as exact decimal c·term sums; the final
+    // divide/exp run on identical doubles (exp matches empirically,
+    // the d67 precedent).
+    GraftQuery(
+      "d86_char_bigram_entropy",
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .withColumn("cs", expr("filter(split(text, ''), x -> x <> '')"))
+          .filter(size(col("cs")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """zip_with(slice(cs, 1, size(cs) - 1),
+                 slice(cs, 2, size(cs) - 1), (x, y) -> concat(x, y))"""))
+            .as("bg"))
+        val wd = Window.partitionBy(col("doc_id"))
+        val perDoc = bg.groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(wd))
+          .withColumn("k", count(lit(1)).over(wd))
+          .select(col("doc_id"), col("n"), col("k"),
+            (col("c") * round(log(col("c").cast("double")
+              / col("n").cast("double")), 6).cast("decimal(18,6)"))
+              .as("w"))
+          .groupBy(col("doc_id"))
+          .agg((-(sum(col("w")).cast("double"))
+            / first(col("n")).cast("double")).as("h"),
+            first(col("n")).as("n_bigrams"),
+            first(col("k")).as("n_distinct"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            round(col("h"), 6).as("entropy"),
+            round(exp(col("h")), 6).as("eff_alphabet"))
+      },
+      Some("""WITH cs AS (SELECT doc_id,
+            list_filter(string_split(text, ''), x -> x <> '') AS c
+          FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(c)),
+            i -> c[i] || c[i + 1])) AS bg
+          FROM cs WHERE len(c) >= 2),
+        pt AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+        pn AS (SELECT doc_id, bg, c,
+            CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+            CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS k
+          FROM pt),
+        pd AS (SELECT doc_id,
+            -CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)
+              / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(MIN(n) AS DOUBLE) AS h,
+            CAST(MIN(n) AS BIGINT) AS n_bigrams,
+            CAST(MIN(k) AS BIGINT) AS n_distinct
+          FROM pn GROUP BY 1)
+        SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+          COALESCE(pd.n_distinct, 0) AS n_distinct,
+          round(pd.h, 6) AS entropy,
+          round(exp(pd.h), 6) AS eff_alphabet
+        FROM documents d LEFT JOIN pd USING (doc_id)""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

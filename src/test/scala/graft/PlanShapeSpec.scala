@@ -104,7 +104,10 @@ class PlanShapeSpec extends SparkSpec {
       // e36 broadcasts the bounded probe sample (the e18 harness); e37
       // broadcasts the 1-row query vector (the e01 pattern); d84
       // cross-joins the 1-row corpus avgdl/N stats (the q51 pattern).
-      "e36_range_search", "e37_rrf_hybrid", "d84_bm25_topk")
+      "e36_range_search", "e37_rrf_hybrid", "d84_bm25_topk",
+      // q65 crosses the bounded month domain with the ≤5-row broadcast
+      // priority domain to densify the lag grid (the q44 move).
+      "q65_priority_mix_drift")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

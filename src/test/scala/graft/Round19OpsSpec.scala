@@ -225,6 +225,96 @@ class Round19OpsSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a > b })
   }
 
+  test("q65 priority-mix drift: a stable mix reads PSI = 0 exactly; an " +
+      "enum flip fires a positive PSI in the flipped month") {
+    // Months 0-1: priorities A,B at 2/2 each (identical mix -> every
+    // smoothed p equals its lag q -> all terms ln(1)=0 -> PSI 0).
+    // Month 2: all four orders land on A (the enum-flip event).
+    def m(off: Int) = off * 31 // keep each group inside its own month
+    val dir = ordersDir(Seq(
+      (1L, 1L, 100.0, m(0)), (2L, 1L, 100.0, m(0)),
+      (3L, 1L, 100.0, m(0)), (4L, 1L, 100.0, m(0)),
+      (5L, 1L, 100.0, m(1)), (6L, 1L, 100.0, m(1)),
+      (7L, 1L, 100.0, m(1)), (8L, 1L, 100.0, m(1)),
+      (9L, 1L, 100.0, m(2)), (10L, 1L, 100.0, m(2)),
+      (11L, 1L, 100.0, m(2)), (12L, 1L, 100.0, m(2))))
+    // the ordersDir helper writes one fixed priority, so flip half of
+    // month 0/1 rows to a second priority by rewriting the column
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+    import org.apache.spark.sql.functions._
+    df.withColumn("o_orderpriority",
+        when(col("o_orderkey").isin(1L, 2L, 5L, 6L), lit("2-HIGH"))
+          .otherwise(col("o_orderpriority")))
+      .write.mode("overwrite").parquet(s"$dir/orders2.parquet")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-r19q65")
+      .toString
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/orders2.parquet"),
+      java.nio.file.Paths.get(s"$dir2/orders.parquet"))
+    val got = query("q65_priority_mix_drift").run(spark, dir2).collect()
+      .sortBy(_.getAs[Long]("month_idx"))
+    assert(got.length == 2) // months 1 and 2 (month 0 has no prior)
+    assert(got.head.getAs[Double]("psi") == 0.0)
+    assert(got.head.getAs[Double]("max_share_shift") == 0.0)
+    assert(got.last.getAs[Double]("psi") > 0.0)
+    assert(got.last.getAs[Double]("max_share_shift") > 0.0)
+  }
+
+  test("d86 char-bigram entropy: a single repeated bigram reads H = 0 " +
+      "(alphabet 1); a uniform pair mix reads H = ln 2") {
+    val dir = docsDir(Seq(
+      (1L, "aaaaa", "en", "s"),   // bigrams: aa x4 -> H = 0
+      (2L, "ababa", "en", "s"),   // ab x2, ba x2 -> H = ln 2
+      (3L, "x", "en", "s")))      // no bigram -> zero counts, NULL H
+    val got = query("d86_char_bigram_entropy").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_bigrams") == 4L)
+    assert(got(1L).getAs[Long]("n_distinct") == 1L)
+    assert(got(1L).getAs[Double]("entropy") == 0.0)
+    assert(got(1L).getAs[Double]("eff_alphabet") == 1.0)
+    assert(got(2L).getAs[Long]("n_bigrams") == 4L)
+    assert(got(2L).getAs[Long]("n_distinct") == 2L)
+    assert(math.abs(got(2L).getAs[Double]("entropy") - math.log(2.0))
+      < 1e-5)
+    assert(math.abs(got(2L).getAs[Double]("eff_alphabet") - 2.0) < 1e-4)
+    assert(got(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("entropy")))
+  }
+
+  test("e38 probe cost model: identical vectors put the whole corpus in " +
+      "cell 0 — nprobe 1 already scans 100%") {
+    val got = query("e38_probe_cost_model").run(spark, onesEmbDir(100))
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(got.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(got.head.getAs[Long]("marginal_cell") == 0L)
+    assert(got.head.getAs[Long]("n_candidates") == 100L)
+    assert(got.head.getAs[Double]("corpus_share") == 1.0)
+    // the remaining cells are empty: cumulative count stays flat
+    assert(got.forall(_.getAs[Long]("n_candidates") == 100L))
+    assert(got.last.getAs[Double]("corpus_share") == 1.0)
+  }
+
+  test("m18 keyframes: one keyframe per shot, keyframes are shot-length " +
+      "strides, and shots partition the frame grid") {
+    val got = query("m18_keyframe_select").run(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val byMedia = got.groupBy(_.getAs[Long]("media_id"))
+    byMedia.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("shot_idx"))
+      // shot indices are 1..k dense
+      assert(sorted.map(_.getAs[Long]("shot_idx")).toSeq ==
+        (1L to sorted.length.toLong).toSeq)
+      // each shot's keyframe = previous keyframe + previous shot length
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("keyframe_fi") ==
+            a.getAs[Long]("keyframe_fi") + a.getAs[Long]("shot_frames"))
+        case _ => ()
+      }
+      assert(sorted.head.getAs[Long]("keyframe_fi") == 0L)
+    }
+  }
+
   test("m16 resolution audit: shares sum to 1 within each kind and the " +
       "dimension envelope matches the decode stub domain") {
     val got = query("m16_resolution_audit").run(spark, sfDir).collect()

@@ -390,4 +390,41 @@ class StatefulOpsSpec extends SparkSpec {
         "en total must fold hits across batches")
     } finally q.stop()
   }
+
+  test("streaming month x category counts: maintenance equals the batch " +
+      "build, state one category stripe per month") {
+    // q65's substrate (Sketches.categoryMonthCounts) as a streaming
+    // aggregation — the ninth bounded-state sketch (sum-merge onto the
+    // month × category grid): state grows one ≤|categories|-row stripe
+    // per calendar month, the watermark-horizon growth. The live half
+    // of the mix-drift monitor: keep this grid on the stream, evaluate
+    // q65's PSI-vs-prior-month alarm off it.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int, d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-$m%02d-$d%02d 00:00:00")
+    val counts = graft.operators.Sketches.categoryMonthCounts(
+      in.toDF().toDF("d", "cat"), "d", "cat")
+    val q = counts.writeStream.format("memory").queryName("mixgrid")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(1, 5), "A"), (ts(1, 9), "B"), (ts(2, 1), "A"))
+      q.processAllAvailable()
+      in.addData((ts(1, 20), "A"), (ts(2, 2), "B"), (ts(2, 3), "B"))
+      q.processAllAvailable()
+      val streamed = spark.table("mixgrid")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = graft.operators.Sketches.categoryMonthCounts(
+        Seq((ts(1, 5), "A"), (ts(1, 9), "B"), (ts(2, 1), "A"),
+          (ts(1, 20), "A"), (ts(2, 2), "B"), (ts(2, 3), "B"))
+          .toDF("d", "cat"), "d", "cat")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed month x category counts diverge from the batch build")
+      // 2024-01 = month_idx 2024*12 + 1 - 1 = 24288
+      assert(streamed.contains((24288L, "A", 2L)),
+        "January's A stripe must fold across micro-batches")
+      assert(streamed.size <= 4, "two months x two categories")
+    } finally q.stop()
+  }
 }

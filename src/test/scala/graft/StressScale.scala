@@ -296,7 +296,16 @@ object StressScale {
     // m16 folds the decode seam onto the ≤9-row kind×aspect domain;
     // m17 rides m05's bounded chunk explode into one media_id fold.
     "m16_resolution_audit" -> ("documents" -> "doc_id"),
-    "m17_loudness_gain" -> ("documents" -> "doc_id"))
+    "m17_loudness_gain" -> ("documents" -> "doc_id"),
+    // q65 folds onto the (month × priority) grid (the q58 activity
+    // shape); d86's char-bigram explode is chars-linear into map-side
+    // (doc, bigram) partials (the d43 envelope at char grain); e38's
+    // cell sizes are an 8-row fold of the assignment scan; m18 rides
+    // m11's bounded frame explode and one media_id exchange.
+    "q65_priority_mix_drift" -> ("orders" -> "o_orderkey"),
+    "d86_char_bigram_entropy" -> ("documents" -> "doc_id"),
+    "e38_probe_cost_model" -> ("embeddings" -> "vec_id"),
+    "m18_keyframe_select" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
