@@ -42,4 +42,46 @@ object GlobalRank {
     }
     sorted.sparkSession.createDataFrame(ranked, schema)
   }
+
+  /** `df` plus a 1-based `rankCol` AND an exact running total `cumCol`
+    * of a LongType `valueCol` (integer units — cents, tokens, bytes —
+    * so the prefix sums stay exact) following `sort`'s total order: the
+    * distributed CUMULATIVE SUM the Pareto/ABC family needs, which a
+    * bare `sum().over(Window.orderBy(...))` plans as a single-partition
+    * window. Same two-pass scheme as [[withRowNumber]]: range-sort,
+    * then ONE light stats job collecting each partition's (row count,
+    * value sum), whose scan-left prefixes seed a per-partition
+    * imperative pass. NULL values count as 0. EAGER like
+    * [[withRowNumber]] (the stats job runs at call time). */
+  def withRunningTotal(df: DataFrame, sort: Seq[Column], valueCol: String,
+      rankCol: String = "rn", cumCol: String = "cum"): DataFrame = {
+    require(!df.columns.contains(rankCol) && !df.columns.contains(cumCol),
+      s"'$rankCol'/'$cumCol' collides with an existing column")
+    val sorted = df.orderBy(sort: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"'$valueCol' must be LongType (exact integer units)")
+    val rdd = sorted.rdd
+    val stats = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r =>
+        n += 1L; if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+      }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1)
+    val nOff = stats.scanLeft(0L)(_ + _._2).init
+    val sOff = stats.scanLeft(0L)(_ + _._3).init
+    val schema = sorted.schema
+      .add(rankCol, LongType, nullable = false)
+      .add(cumCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rn = nOff(i); var cum = sOff(i)
+      it.map { r =>
+        rn += 1L
+        if (!r.isNullAt(vIdx)) cum += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ rn :+ cum)
+      }
+    }
+    sorted.sparkSession.createDataFrame(out, schema)
+  }
 }

@@ -3306,6 +3306,171 @@ object StarQueries {
           CAST(SUM(term) AS DOUBLE) AS psi,
           MAX(round(abs(p - q), 6)) AS max_share_shift
         FROM x GROUP BY 1""")),
+
+    // ---- month-over-month revenue bridge (growth accounting) ---------------
+    // q58 splits CUSTOMERS into new/returning; this splits the REVENUE
+    // DELTA — the SaaS bridge a finance review reads: per month, total
+    // revenue and its decomposition into new (no prior-month revenue),
+    // expansion (grew), contraction (shrank, negative), and churned
+    // (prior-month revenue that went to zero, negative). The four
+    // buckets sum EXACTLY to the month-over-month delta — the identity
+    // the spec pins.
+    //
+    // Scale shape: one fact fold onto the (custkey, month) domain, then
+    // a self full-outer join on (custkey, month+1) — co-partitioned on
+    // the same keys, one exchange each side — and a fold onto the month
+    // grid. Never a window over the customer domain.
+    //
+    // Exactness: every bucket is an exact-decimal conditional sum; the
+    // delta adds the four exact decimals before ONE double cast.
+    GraftQuery(
+      "q66_revenue_bridge",
+      (s, d) => {
+        val zero2 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,2)")
+        val rev = Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
+          .groupBy(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+              .cast("bigint").as("month_idx"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        val cur = rev.select(col("o_custkey"), col("month_idx"),
+          col("rev").as("rev_cur"))
+        val pri = rev.select(col("o_custkey"),
+          (col("month_idx") + 1L).as("month_idx"),
+          col("rev").as("rev_prior"))
+        cur.join(pri, Seq("o_custkey", "month_idx"), "full_outer")
+          .groupBy(col("month_idx"))
+          .agg(
+            sum(coalesce(col("rev_cur"), zero2)).as("tot_d"),
+            sum(when(col("rev_prior").isNull,
+              coalesce(col("rev_cur"), zero2)).otherwise(zero2)).as("new_d"),
+            sum(when(col("rev_cur").isNotNull && col("rev_prior").isNotNull
+                && col("rev_cur") > col("rev_prior"),
+              col("rev_cur") - col("rev_prior")).otherwise(zero2))
+              .as("exp_d"),
+            sum(when(col("rev_cur").isNotNull && col("rev_prior").isNotNull
+                && col("rev_cur") < col("rev_prior"),
+              col("rev_cur") - col("rev_prior")).otherwise(zero2))
+              .as("con_d"),
+            sum(when(col("rev_cur").isNull, -col("rev_prior"))
+              .otherwise(zero2)).as("chn_d"),
+            sum(when(col("rev_prior").isNull && col("rev_cur").isNotNull,
+              1L).otherwise(0L)).as("n_new"),
+            sum(when(col("rev_cur").isNull, 1L).otherwise(0L))
+              .as("n_churned"))
+          .select(col("month_idx"), col("tot_d").cast("double")
+              .as("total_rev"),
+            col("new_d").cast("double").as("new_rev"),
+            col("exp_d").cast("double").as("expansion_rev"),
+            col("con_d").cast("double").as("contraction_rev"),
+            col("chn_d").cast("double").as("churned_rev"),
+            (col("new_d") + col("exp_d") + col("con_d") + col("chn_d"))
+              .cast("double").as("mom_delta"),
+            col("n_new"), col("n_churned"))
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+              AS month_idx,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+        j AS (SELECT COALESCE(c.month_idx, p.month_idx + 1) AS month_idx,
+            c.rev AS rev_cur, p.rev AS rev_prior
+          FROM rev c FULL OUTER JOIN rev p
+            ON c.o_custkey = p.o_custkey AND c.month_idx = p.month_idx + 1),
+        g AS (SELECT month_idx,
+            SUM(COALESCE(rev_cur, 0)) AS tot_d,
+            SUM(CASE WHEN rev_prior IS NULL THEN COALESCE(rev_cur, 0)
+              ELSE 0 END) AS new_d,
+            SUM(CASE WHEN rev_cur IS NOT NULL AND rev_prior IS NOT NULL
+              AND rev_cur > rev_prior THEN rev_cur - rev_prior
+              ELSE 0 END) AS exp_d,
+            SUM(CASE WHEN rev_cur IS NOT NULL AND rev_prior IS NOT NULL
+              AND rev_cur < rev_prior THEN rev_cur - rev_prior
+              ELSE 0 END) AS con_d,
+            SUM(CASE WHEN rev_cur IS NULL THEN -rev_prior ELSE 0 END)
+              AS chn_d,
+            CAST(SUM(CASE WHEN rev_prior IS NULL AND rev_cur IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+            CAST(SUM(CASE WHEN rev_cur IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_churned
+          FROM j GROUP BY 1)
+        SELECT month_idx, CAST(tot_d AS DOUBLE) AS total_rev,
+          CAST(new_d AS DOUBLE) AS new_rev,
+          CAST(exp_d AS DOUBLE) AS expansion_rev,
+          CAST(con_d AS DOUBLE) AS contraction_rev,
+          CAST(chn_d AS DOUBLE) AS churned_rev,
+          CAST(new_d + exp_d + con_d + chn_d AS DOUBLE) AS mom_delta,
+          n_new, n_churned
+        FROM g""")),
+
+    // ---- Pareto / ABC revenue classification -------------------------------
+    // q64 draws the Lorenz CURVE; this cuts it into the inventory-
+    // management classes: customers ranked by spend descending, class A
+    // while cumulative revenue ≤ 80%, B to 95%, C after — per class,
+    // customer counts/shares and revenue shares. The cumulative sum is
+    // EXACT integer cents through GlobalRank.withRunningTotal (the
+    // range-sort + partition-prefix scheme — a bare
+    // sum().over(Window.orderBy(...)) would single-partition the
+    // customer domain, the q27 anti-pattern).
+    //
+    // Exactness: cents are exact int64 end to end; the class boundary
+    // compares one identical quotient double against the 0.80/0.95
+    // literals; shares round quotients at ≤ 1 magnitude.
+    GraftQuery(
+      "q67_abc_classes",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg((sum(dec(col("o_totalprice"))) * lit(100))
+            .cast("decimal(38,0)").cast("long").as("cents"))
+        graft.operators.GlobalRank.withRunningTotal(spend,
+            Seq(col("cents").desc, col("o_custkey").asc), "cents")
+          .withColumn("tot", sum(col("cents")).over(w))
+          .withColumn("abc_class",
+            when(col("cum").cast("double") / col("tot").cast("double")
+              <= 0.80, lit("A"))
+              .when(col("cum").cast("double") / col("tot").cast("double")
+                <= 0.95, lit("B"))
+              .otherwise(lit("C")))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("cents_sum"), max(col("tot")).as("tot"))
+          .withColumn("ntot", sum(col("n_customers")).over(w))
+          .select(col("abc_class"), col("n_customers"),
+            round(col("n_customers").cast("double")
+              / col("ntot").cast("double"), 6).as("customer_share"),
+            (col("cents_sum").cast("double") / lit(100.0)).as("class_rev"),
+            round(col("cents_sum").cast("double")
+              / col("tot").cast("double"), 6).as("rev_share"))
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS cents
+          FROM orders GROUP BY 1),
+        r AS (SELECT *,
+            CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(SUM(cents) OVER () AS BIGINT) AS tot
+          FROM spend),
+        c AS (SELECT *,
+            CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80
+              THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+              THEN 'B' ELSE 'C' END AS abc_class
+          FROM r),
+        g AS (SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(cents) AS BIGINT) AS cents_sum,
+            CAST(MIN(tot) AS BIGINT) AS tot
+          FROM c GROUP BY 1)
+        SELECT abc_class, n_customers,
+          round(CAST(n_customers AS DOUBLE) / CAST(CAST(SUM(n_customers)
+            OVER () AS BIGINT) AS DOUBLE), 6) AS customer_share,
+          CAST(cents_sum AS DOUBLE) / 100.0 AS class_rev,
+          round(CAST(cents_sum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS rev_share
+        FROM g""")),
   )
 
   /** q61's truncated-EWMA weights w_k = round(α(1−α)^k, 6), α = 0.25,

@@ -36,4 +36,35 @@ class GlobalRankSpec extends SparkSpec {
       .select("id", "rn").as[(Long, Long)].collect().toMap
     assert(out == Map(3L -> 1L, 1L -> 2L, 2L -> 3L))
   }
+
+  test("running total: exact prefix sums following the total order, " +
+      "independent of input partitioning") {
+    val df = spark.range(0, 1000).select(
+      (col("id") * 37 % 1000).as("k"), (col("id") % 7).as("v"))
+    Seq(1, 7).foreach { parts =>
+      val out = GlobalRank.withRunningTotal(df.repartition(parts),
+          Seq(col("k").asc), "v")
+        .select("k", "rn", "cum").as[(Long, Long, Long)].collect()
+        .sortBy(_._2)
+      assert(out.map(_._2).toSeq == (1L to 1000L).toSeq)
+      // prefix sums recomputed serially must match exactly
+      val byK = df.select("k", "v").as[(Long, Long)].collect()
+        .sortBy(_._1)
+      val expect = byK.map(_._2).scanLeft(0L)(_ + _).tail
+      assert(out.map(_._3).toSeq == expect.toSeq,
+        s"prefix sums diverge at $parts partitions")
+    }
+  }
+
+  test("running total: NULL values count as zero, empty frame yields " +
+      "zero rows") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("k", "v")
+    val out = GlobalRank.withRunningTotal(df, Seq(col("k").asc), "v")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+    val empty = GlobalRank.withRunningTotal(
+      df.filter(col("k") > 100), Seq(col("k").asc), "v")
+    assert(empty.count() == 0L)
+  }
 }

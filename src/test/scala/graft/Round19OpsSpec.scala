@@ -315,6 +315,57 @@ class Round19OpsSpec extends SparkSpec {
     }
   }
 
+  test("q66 revenue bridge: hand-built new/expansion/contraction/churn " +
+      "ledger, and the buckets sum exactly to the MoM delta") {
+    // month 0: c1 = 100, c2 = 50.   month 1: c1 = 160 (expansion +60),
+    // c3 = 30 (new), c2 absent (churn -50). delta = 190 - 150 = 40.
+    def m(off: Int) = off * 31
+    val dir = ordersDir(Seq(
+      (1L, 1L, 100.0, m(0)), (2L, 2L, 50.0, m(0)),
+      (3L, 1L, 160.0, m(1)), (4L, 3L, 30.0, m(1))))
+    val got = query("q66_revenue_bridge").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("month_idx") -> r).toMap
+    val m1 = got.keys.min // the first active month
+    val r1 = got(m1 + 1)
+    assert(r1.getAs[Double]("total_rev") == 190.0)
+    assert(r1.getAs[Double]("new_rev") == 30.0)
+    assert(r1.getAs[Double]("expansion_rev") == 60.0)
+    assert(r1.getAs[Double]("contraction_rev") == 0.0)
+    assert(r1.getAs[Double]("churned_rev") == -50.0)
+    assert(r1.getAs[Double]("mom_delta") == 40.0)
+    assert(r1.getAs[Long]("n_new") == 1L)
+    assert(r1.getAs[Long]("n_churned") == 1L)
+    // month 0 is all-new; the trailing month (m1+2) is all-churn
+    assert(got(m1).getAs[Double]("new_rev") == 150.0)
+    assert(got(m1 + 2).getAs[Double]("churned_rev") == -190.0)
+    assert(got(m1 + 2).getAs[Double]("total_rev") == 0.0)
+    // the bridge identity holds on every month
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("mom_delta") ==
+        r.getAs[Double]("new_rev") + r.getAs[Double]("expansion_rev")
+          + r.getAs[Double]("contraction_rev")
+          + r.getAs[Double]("churned_rev"))
+    }
+  }
+
+  test("q67 ABC classes: an 80/15/5 revenue split lands each customer " +
+      "in its textbook class") {
+    // spends 800, 150, 50: cum shares 0.8 (A), 0.95 (B), 1.0 (C).
+    val dir = ordersDir(Seq(
+      (1L, 1L, 800.0, 0), (2L, 2L, 150.0, 0), (3L, 3L, 50.0, 0)))
+    val got = query("q67_abc_classes").run(spark, dir).collect()
+      .map(r => r.getAs[String]("abc_class") -> r).toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    assert(got("A").getAs[Long]("n_customers") == 1L)
+    assert(got("A").getAs[Double]("class_rev") == 800.0)
+    assert(got("A").getAs[Double]("rev_share") == 0.8)
+    assert(got("B").getAs[Double]("rev_share") == 0.15)
+    assert(got("C").getAs[Double]("rev_share") == 0.05)
+    // three 6-dp-rounded thirds sum to 0.999999, not 1.0
+    assert(math.abs(
+      got.values.map(_.getAs[Double]("customer_share")).sum - 1.0) < 1e-5)
+  }
+
   test("m16 resolution audit: shares sum to 1 within each kind and the " +
       "dimension envelope matches the decode stub domain") {
     val got = query("m16_resolution_audit").run(spark, sfDir).collect()

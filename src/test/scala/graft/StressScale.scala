@@ -305,7 +305,13 @@ object StressScale {
     "q65_priority_mix_drift" -> ("orders" -> "o_orderkey"),
     "d86_char_bigram_entropy" -> ("documents" -> "doc_id"),
     "e38_probe_cost_model" -> ("embeddings" -> "vec_id"),
-    "m18_keyframe_select" -> ("documents" -> "doc_id"))
+    "m18_keyframe_select" -> ("documents" -> "doc_id"),
+    // q66: replicas shift o_orderkey on fixed custkey/month domains, so
+    // the (custkey, month) frame, the self-join, and the month rollup
+    // are all FIXED — only the fact scan grows. q67: same fixed
+    // customer frame through the GlobalRank running-total sort.
+    "q66_revenue_bridge" -> ("orders" -> "o_orderkey"),
+    "q67_abc_classes" -> ("orders" -> "o_orderkey"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
