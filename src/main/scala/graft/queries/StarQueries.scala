@@ -3471,6 +3471,86 @@ object StarQueries {
           round(CAST(cents_sum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
             AS rev_share
         FROM g""")),
+
+    // ---- referential-integrity audit (orders ⟂ lineitem) -------------------
+    // The ingest contract check every star schema needs before any join
+    // result can be trusted: childless orders (no lines — a dropped
+    // lineitem file) and orphan lines (no parent order — a dropped
+    // orders file), plus NULL keys on each side, which can never join
+    // and are their own failure class. One summary row — the red/green
+    // a load pipeline gates on.
+    //
+    // Scale shape: BOTH fact tables pre-fold onto their key domains
+    // (map-side combinable counts) BEFORE the full-outer join — the
+    // join compares key-domain row sets, never fact rows; the rollup is
+    // a 1-row global fold. Never a fact×fact join.
+    //
+    // Exactness: pure exact counts; two ≤1 quotient rounds. NULL keys
+    // are counted from the per-side folds (a NULL never matches in the
+    // join, so both engines classify those rows identically).
+    GraftQuery(
+      "q68_referential_audit",
+      (s, d) => {
+        val ok = Tables.orders(s, d)
+          .groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("n_o"))
+        val lk = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("n_l"))
+        ok.join(lk, Seq("k"), "full_outer")
+          .agg(
+            sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
+            sum(coalesce(col("n_l"), lit(0L))).as("n_lineitems"),
+            sum(when(col("n_l").isNull, coalesce(col("n_o"), lit(0L)))
+              .otherwise(0L)).as("n_childless_orders"),
+            sum(when(col("n_o").isNull, coalesce(col("n_l"), lit(0L)))
+              .otherwise(0L)).as("n_orphan_lines"),
+            sum(when(col("n_o").isNull && col("n_l").isNotNull, 1L)
+              .otherwise(0L)).as("n_orphan_orderkeys"),
+            sum(when(col("k").isNull, coalesce(col("n_o"), lit(0L)))
+              .otherwise(0L)).as("n_null_key_orders"),
+            sum(when(col("k").isNull, coalesce(col("n_l"), lit(0L)))
+              .otherwise(0L)).as("n_null_key_lines"))
+          .select(col("n_orders"), col("n_lineitems"),
+            col("n_childless_orders"), col("n_orphan_lines"),
+            col("n_orphan_orderkeys"),
+            col("n_null_key_orders"), col("n_null_key_lines"),
+            when(col("n_orders") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("n_childless_orders").cast("double")
+                / col("n_orders").cast("double"), 6)).as("childless_rate"),
+            when(col("n_lineitems") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("n_orphan_lines").cast("double")
+                / col("n_lineitems").cast("double"), 6)).as("orphan_rate"))
+      },
+      Some("""WITH ok AS (SELECT o_orderkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS n_o FROM orders GROUP BY 1),
+        lk AS (SELECT l_orderkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS n_l FROM lineitem GROUP BY 1),
+        j AS (SELECT COALESCE(ok.k, lk.k) AS k, n_o, n_l
+          FROM ok FULL OUTER JOIN lk ON ok.k = lk.k),
+        g AS (SELECT
+            CAST(SUM(COALESCE(n_o, 0)) AS BIGINT) AS n_orders,
+            CAST(SUM(COALESCE(n_l, 0)) AS BIGINT) AS n_lineitems,
+            CAST(SUM(CASE WHEN n_l IS NULL THEN COALESCE(n_o, 0)
+              ELSE 0 END) AS BIGINT) AS n_childless_orders,
+            CAST(SUM(CASE WHEN n_o IS NULL THEN COALESCE(n_l, 0)
+              ELSE 0 END) AS BIGINT) AS n_orphan_lines,
+            CAST(SUM(CASE WHEN n_o IS NULL AND n_l IS NOT NULL THEN 1
+              ELSE 0 END) AS BIGINT) AS n_orphan_orderkeys,
+            CAST(SUM(CASE WHEN k IS NULL THEN COALESCE(n_o, 0)
+              ELSE 0 END) AS BIGINT) AS n_null_key_orders,
+            CAST(SUM(CASE WHEN k IS NULL THEN COALESCE(n_l, 0)
+              ELSE 0 END) AS BIGINT) AS n_null_key_lines
+          FROM j)
+        SELECT n_orders, n_lineitems, n_childless_orders, n_orphan_lines,
+          n_orphan_orderkeys, n_null_key_orders, n_null_key_lines,
+          CASE WHEN n_orders = 0 THEN NULL
+            ELSE round(CAST(n_childless_orders AS DOUBLE)
+              / CAST(n_orders AS DOUBLE), 6) END AS childless_rate,
+          CASE WHEN n_lineitems = 0 THEN NULL
+            ELSE round(CAST(n_orphan_lines AS DOUBLE)
+              / CAST(n_lineitems AS DOUBLE), 6) END AS orphan_rate
+        FROM g""")),
   )
 
   /** q61's truncated-EWMA weights w_k = round(α(1−α)^k, 6), α = 0.25,

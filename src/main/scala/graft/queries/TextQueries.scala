@@ -4323,6 +4323,130 @@ object TextQueries {
           round(pd.h, 6) AS entropy,
           round(exp(pd.h), 6) AS eff_alphabet
         FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
+    // ---- longest repeated-token run ----------------------------------------
+    // The max-repetition Gopher signal d18's duplicate FRACTION misses:
+    // a doc that is 5% "buy buy buy … buy" in one run reads as mild
+    // duplication but is a hard generation-loop/spam tell. Per doc: the
+    // longest same-token run, the token, and the run's share of the doc
+    // — the gate thresholds on run_frac.
+    //
+    // Scale shape: the token explode rides ONE doc_id exchange serving
+    // the lag window, the run-id running sum, and both folds — per-doc
+    // partitions, bounded by doc length (the m11 boundary pattern at
+    // token grain).
+    //
+    // Exactness: pure integers + one ≤1-magnitude quotient round; the
+    // argmax run breaks length ties to the LARGER token string then the
+    // EARLIER position via one lexicographic struct max written
+    // identically in both engines.
+    GraftQuery(
+      "d87_max_token_run",
+      (s, d) => {
+        val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val wr = wp.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val runs = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .withColumnRenamed("col", "tok")
+          .withColumn("pos", col("pos").cast("bigint") + 1L)
+          .withColumn("prev", lag(col("tok"), 1).over(wp))
+          .withColumn("boundary",
+            (col("prev").isNull || col("prev") =!= col("tok"))
+              .cast("long"))
+          .withColumn("run_id", sum(col("boundary")).over(wr))
+          .groupBy(col("doc_id"), col("run_id"), col("tok"))
+          .agg(count(lit(1)).as("run_len"), min(col("pos")).as("start"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("run_len")).as("n_tokens"),
+            max(struct(col("run_len"), col("tok"), (-col("start"))
+              .as("negs"))).as("best"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("best.run_len").as("max_run_len"),
+            col("best.tok").as("run_token"),
+            (-col("best.negs")).as("run_start"),
+            round(col("best.run_len").cast("double")
+              / col("n_tokens").cast("double"), 6).as("run_frac"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(runs, Seq("doc_id"), "left")
+          .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS tok,
+            CAST(unnest(range(1, len($sqlToks) + 1)) AS BIGINT) AS pos
+          FROM documents),
+        b AS (SELECT *, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+            AS prev FROM t),
+        ri AS (SELECT doc_id, tok, pos,
+            CAST(SUM(CASE WHEN prev IS NULL OR prev <> tok THEN 1
+              ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_id
+          FROM b),
+        rl AS (SELECT doc_id, run_id, tok,
+            CAST(COUNT(*) AS BIGINT) AS run_len,
+            CAST(MIN(pos) AS BIGINT) AS start
+          FROM ri GROUP BY 1, 2, 3),
+        pd AS (SELECT doc_id, run_len, tok, start,
+            CAST(SUM(run_len) OVER (PARTITION BY doc_id) AS BIGINT)
+              AS n_tokens,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY run_len DESC, tok DESC, start ASC) AS rn
+          FROM rl)
+        SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+          p.run_len AS max_run_len, p.tok AS run_token,
+          p.start AS run_start,
+          round(CAST(p.run_len AS DOUBLE)
+            / CAST(p.n_tokens AS DOUBLE), 6) AS run_frac
+        FROM documents d
+        LEFT JOIN (SELECT * FROM pd WHERE rn = 1) p USING (doc_id)""")),
+
+    // ---- metadata-consistency audit (declared vs actual lengths) ----------
+    // The ingest validation the loaders' schema checks don't cover: the
+    // documents table CARRIES n_chars as producer-declared metadata;
+    // drift between it and length(text) means the upstream writer and
+    // this reader disagree about the bytes (truncation, encoding,
+    // column swap). Per source: doc/null counts, mismatches, rate, and
+    // the worst absolute deviation.
+    //
+    // Scale shape: one zero-exchange scan folding onto the source
+    // domain (the d64 envelope).
+    //
+    // Exactness: pure integer lengths and counts; one ≤1 quotient
+    // round; NULL text is REPORTED (n_null_text), never a mismatch —
+    // a null row has no actual length to disagree with.
+    GraftQuery(
+      "d88_metadata_consistency",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("text").isNull, 1L).otherwise(0L))
+              .as("n_null_text"),
+            sum(when(col("text").isNotNull &&
+              col("n_chars") =!= length(col("text")).cast("bigint"), 1L)
+              .otherwise(0L)).as("n_mismatch"),
+            max(when(col("text").isNotNull,
+              abs(col("n_chars") - length(col("text")).cast("bigint"))))
+              .as("max_abs_diff"))
+          .select(col("source"), col("n_docs"), col("n_null_text"),
+            col("n_mismatch"),
+            round(col("n_mismatch").cast("double")
+              / col("n_docs").cast("double"), 6).as("mismatch_rate"),
+            col("max_abs_diff")),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_text,
+          CAST(SUM(CASE WHEN text IS NOT NULL
+            AND n_chars <> CAST(length(text) AS BIGINT) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+          round(CAST(SUM(CASE WHEN text IS NOT NULL
+              AND n_chars <> CAST(length(text) AS BIGINT) THEN 1 ELSE 0
+              END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS mismatch_rate,
+          CAST(MAX(CASE WHEN text IS NOT NULL
+            THEN abs(n_chars - CAST(length(text) AS BIGINT)) END)
+            AS BIGINT) AS max_abs_diff
+        FROM documents GROUP BY 1""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -366,6 +366,86 @@ class Round19OpsSpec extends SparkSpec {
       got.values.map(_.getAs[Double]("customer_share")).sum - 1.0) < 1e-5)
   }
 
+  test("d87 max token run: hand-built runs, length ties break to the " +
+      "larger token, empty text degrades to zero counts") {
+    val dir = docsDir(Seq(
+      (1L, "a a a b a a", "en", "s"),  // runs a3, b1, a2
+      (2L, "x x y y", "en", "s"),      // tie at 2 -> tok DESC -> y
+      (3L, "", "en", "s")))
+    val got = query("d87_max_token_run").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_tokens") == 6L)
+    assert(r1.getAs[Long]("max_run_len") == 3L)
+    assert(r1.getAs[String]("run_token") == "a")
+    assert(r1.getAs[Long]("run_start") == 1L)
+    assert(r1.getAs[Double]("run_frac") == 0.5)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("max_run_len") == 2L)
+    assert(r2.getAs[String]("run_token") == "y",
+      "length tie must break to the larger token in both engines")
+    assert(r2.getAs[Long]("run_start") == 3L)
+    assert(got(3L).getAs[Long]("n_tokens") == 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("max_run_len")))
+  }
+
+  test("d88 metadata consistency: a planted n_chars drift is counted " +
+      "and bounded; nulls report separately") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r19d88")
+      .toString
+    val schema = Tables.documents(spark, sfDir).schema
+    spark.createDataFrame(Seq(
+        Row(1L, "hello", "en", "s1", 5L),    // consistent
+        Row(2L, "hello", "en", "s1", 9L),    // drift +4
+        Row(3L, null, "en", "s1", 7L),       // null text
+        Row(4L, "ab", "en", "s2", 2L)        // consistent
+      ).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = query("d88_metadata_consistency").run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_null_text") == 1L)
+    assert(s1.getAs[Long]("n_mismatch") == 1L)
+    assert(s1.getAs[Long]("max_abs_diff") == 4L)
+    assert(math.abs(s1.getAs[Double]("mismatch_rate") - 1.0 / 3) < 1e-5)
+    assert(got("s2").getAs[Long]("n_mismatch") == 0L)
+    assert(got("s2").getAs[Long]("max_abs_diff") == 0L)
+  }
+
+  test("q68 referential audit: planted childless orders, orphan lines, " +
+      "and NULL keys all land in their own counters") {
+    import scala.jdk.CollectionConverters._
+    val dir = ordersDir(Seq(
+      (1L, 1L, 100.0, 0), (2L, 1L, 100.0, 0))) // order 2 childless
+    val ls = Tables.lineitem(spark, sfDir).schema
+    def line(ok: java.lang.Long, ln: Int) =
+      Row(ok, 1L, 1L, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        ls("l_shipdate").dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+          case _ => java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        })
+    spark.createDataFrame(Seq(
+        line(1L, 1), line(1L, 2),  // matched
+        line(9L, 1),               // orphan (no order 9)
+        line(null, 1)              // null-key line
+      ).asJava, ls)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = query("q68_referential_audit").run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_orders") == 2L)
+    assert(r.getAs[Long]("n_lineitems") == 4L)
+    assert(r.getAs[Long]("n_childless_orders") == 1L)
+    assert(r.getAs[Long]("n_orphan_lines") == 2L,
+      "the orphan and the null-key line both lack a parent")
+    assert(r.getAs[Long]("n_orphan_orderkeys") == 2L)
+    assert(r.getAs[Long]("n_null_key_lines") == 1L)
+    assert(r.getAs[Long]("n_null_key_orders") == 0L)
+    assert(r.getAs[Double]("childless_rate") == 0.5)
+    assert(r.getAs[Double]("orphan_rate") == 0.5)
+  }
+
   test("m16 resolution audit: shares sum to 1 within each kind and the " +
       "dimension envelope matches the decode stub domain") {
     val got = query("m16_resolution_audit").run(spark, sfDir).collect()

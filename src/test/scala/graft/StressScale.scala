@@ -311,7 +311,16 @@ object StressScale {
     // are all FIXED — only the fact scan grows. q67: same fixed
     // customer frame through the GlobalRank running-total sort.
     "q66_revenue_bridge" -> ("orders" -> "o_orderkey"),
-    "q67_abc_classes" -> ("orders" -> "o_orderkey"))
+    "q67_abc_classes" -> ("orders" -> "o_orderkey"),
+    // d87's token explode rides per-doc partitions (the m11 boundary
+    // pattern — partition COUNT grows, size doesn't); d88 is a
+    // zero-exchange scan onto the source domain; q68 pre-folds BOTH
+    // fact tables onto their key domains before the key-set join —
+    // replicas shift o_orderkey only on the orders side, so the audit
+    // sees 8x childless keys, never a fact x fact blowup.
+    "d87_max_token_run" -> ("documents" -> "doc_id"),
+    "d88_metadata_consistency" -> ("documents" -> "doc_id"),
+    "q68_referential_audit" -> ("orders" -> "o_orderkey"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
