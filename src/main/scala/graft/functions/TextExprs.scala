@@ -45,6 +45,17 @@ object TextExprs {
     * in one linear pass. */
   def countWordsIn(c: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(CountWordsIn(GraftSqlBridge.expression(c), words))
+
+  /** One-pass char-bigram statistics of `c` (d86's measurement computed
+    * without the bigram explode/shuffle): struct(n_bigrams, n_distinct,
+    * entropy, eff_alphabet), bit-identical to d86's oracle-pinned values
+    * — the per-bigram ln rounds through the SAME shortest-repr
+    * BigDecimal HALF_UP as Spark's round(), weights sum as exact
+    * decimals, and the final divide/exp run in the same op order. NULL
+    * for inputs with fewer than 2 chars (d86 leaves those rows'
+    * entropy NULL). */
+  def charBigramStats(c: Column): Column =
+    GraftSqlBridge.column(CharBigramStats(GraftSqlBridge.expression(c)))
 }
 
 /** Whole-word stopword scrub: removes maximal `[A-Za-z0-9_]+` runs contained
@@ -133,6 +144,43 @@ case class CountWordsIn(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass char-bigram stats: struct(n_bigrams L, n_distinct L,
+  * entropy D, eff_alphabet D) over consecutive UTF-16 code units — the
+  * same segmentation as `split(text, '')` (Java regex splits between
+  * code units), so counts agree with d86's explode form on any input
+  * and bit-for-bit on the ASCII corpus. Entropy replicates d86's exact
+  * arithmetic: H = −(Σ_b c_b · round6(ln(c_b/n)) as DECIMAL(…,6))/n
+  * with round6 = Spark's shortest-repr BigDecimal HALF_UP — so the
+  * native path and the oracle-pinned d86 emit IDENTICAL doubles
+  * (spec-asserted frame equality). Returns null when n_bigrams = 0. */
+case class CharBigramStats(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = CharBigramStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_bigram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.charBigramStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      InternalRow r = graft.functions.TextOps.charBigramStats($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramStats =
+    copy(child = newChild)
+}
+
+object CharBigramStats {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("eff_alphabet", DoubleType, nullable = false)))
+}
+
 /** Static helpers called from both interpreted eval and generated code. */
 object TextOps {
 
@@ -213,5 +261,41 @@ object TextOps {
       k += 1
     }
     sig
+  }
+
+  /** One-pass char-bigram stats (see [[CharBigramStats]]): a single
+    * per-row hash map replaces d86's explode → shuffle → two-level
+    * aggregation. Entropy arithmetic replicates Spark's exact pipeline
+    * verbatim: BigDecimal.valueOf (shortest-repr) HALF_UP rounding for
+    * round(·, 6), exact decimal weight sums, doubleValue casts — so the
+    * result is bit-identical to the oracle-pinned d86 frame. */
+  def charBigramStats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val n = s.length - 1
+    if (n < 1) return null
+    val counts = new java.util.HashMap[String, Array[Long]](64)
+    var i = 0
+    while (i < n) {
+      val bg = s.substring(i, i + 2)
+      val slot = counts.get(bg)
+      if (slot == null) counts.put(bg, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val nD = n.toDouble
+    var sum = java.math.BigDecimal.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val r6 = java.math.BigDecimal.valueOf(math.log(c.toDouble / nD))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      sum = sum.add(r6.multiply(java.math.BigDecimal.valueOf(c)))
+    }
+    val h = -sum.doubleValue() / nD
+    val entropy = java.math.BigDecimal.valueOf(h)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val eff = java.math.BigDecimal.valueOf(math.exp(h))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, entropy, eff))
   }
 }

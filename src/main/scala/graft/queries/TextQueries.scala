@@ -4447,6 +4447,30 @@ object TextQueries {
             THEN abs(n_chars - CAST(length(text) AS BIGINT)) END)
             AS BIGINT) AS max_abs_diff
         FROM documents GROUP BY 1""")),
+
+    // ---- char-bigram entropy, NATIVE single-pass production path ----------
+    // d86's measurement without d86's plan: the explode → shuffle →
+    // two-level aggregation becomes ONE codegen'd expression holding a
+    // per-row bigram map (TextExprs.CharBigramStats) — zero exchanges,
+    // the d50/d10 native-vs-pinned pattern. Rows-only by design (a
+    // per-row hash-map fold has no single-statement SQL analog);
+    // semantics are pinned by frame EQUALITY with the oracle-gated d86
+    // (Round19OpsSpec, both exceptAll directions empty — the native
+    // BigDecimal pipeline replicates Spark's round/cast ops verbatim)
+    // and GOLDEN.json regression-pins the executable.
+    GraftQuery(
+      "d89_bigram_entropy_native",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.TextExprs.charBigramStats(col("text"))
+              .as("st"))
+          .select(col("doc_id"),
+            coalesce(col("st.n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("st.n_distinct"), lit(0L)).as("n_distinct"),
+            col("st.entropy").as("entropy"),
+            col("st.eff_alphabet").as("eff_alphabet")),
+      None),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -35,7 +35,11 @@ object GoldenHash {
     "e19_ivfpq_topk", "q17_events_approx_users", "q33_percentiles_sketch",
     // round 18: the BPE merge loop (iterative driver loop, no
     // single-statement SQL analog; d68 hash-pins its step 0)
-    "d80_bpe_train")
+    "d80_bpe_train",
+    // round 19: the native single-pass bigram-entropy expression (a
+    // per-row hash-map fold has no single-statement SQL analog);
+    // Round19OpsSpec pins frame EQUALITY with the oracle-gated d86
+    "d89_bigram_entropy_native")
 
   val sfDir = "/root/testdata/sf0.01"
   val file = "GOLDEN.json"

@@ -446,6 +446,23 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("orphan_rate") == 0.5)
   }
 
+  test("d89 native bigram entropy equals the oracle-pinned d86 frame " +
+      "bit-for-bit on the fixture corpus") {
+    // The d50/d10 native-vs-pinned contract: the single-pass expression
+    // must reproduce the explode-form's EXACT doubles (same BigDecimal
+    // round/cast pipeline), not approximately.
+    val d86 = query("d86_char_bigram_entropy").run(spark, sfDir)
+    val d89 = query("d89_bigram_entropy_native").run(spark, sfDir)
+    assert(d86.exceptAll(d89).isEmpty && d89.exceptAll(d86).isEmpty,
+      "native and explode-form bigram entropy frames diverge")
+    // and on the degenerate shapes the fixture lacks
+    val dir = docsDir(Seq((1L, "aaaa", "en", "s"), (2L, "", "en", "s"),
+      (3L, null, "en", "s"), (4L, "xy", "en", "s")))
+    val a = query("d86_char_bigram_entropy").run(spark, dir)
+    val b = query("d89_bigram_entropy_native").run(spark, dir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("m16 resolution audit: shares sum to 1 within each kind and the " +
       "dimension envelope matches the decode stub domain") {
     val got = query("m16_resolution_audit").run(spark, sfDir).collect()

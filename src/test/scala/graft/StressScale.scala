@@ -320,7 +320,11 @@ object StressScale {
     // sees 8x childless keys, never a fact x fact blowup.
     "d87_max_token_run" -> ("documents" -> "doc_id"),
     "d88_metadata_consistency" -> ("documents" -> "doc_id"),
-    "q68_referential_audit" -> ("orders" -> "o_orderkey"))
+    "q68_referential_audit" -> ("orders" -> "o_orderkey"),
+    // d89 is d86 with the explode/shuffle replaced by one codegen'd
+    // per-row fold — a zero-exchange scan, expected ~linear CPU with a
+    // much smaller constant than d86's 0.93-exponent explode path.
+    "d89_bigram_entropy_native" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
