@@ -4458,6 +4458,127 @@ object TextQueries {
     // (Round19OpsSpec, both exceptAll directions empty — the native
     // BigDecimal pipeline replicates Spark's round/cast ops verbatim)
     // and GOLDEN.json regression-pins the executable.
+    // ---- verified-pair Jaccard histogram (threshold calibration) -----------
+    // The distribution BEHIND every similarity threshold the dedup
+    // stack applies (d14's gate, d09's 0.5 cut, d59's band sweep): per
+    // 0.05-wide Jaccard bin over d09's verified candidate pairs, pair
+    // count/share and the bin's mean similarity — a bimodal histogram
+    // (near-1 dups vs background) justifies a hard cut; a flat one says
+    // the threshold is arbitrary and the gate needs another signal.
+    //
+    // Scale shape: d09's capped-bucket pair machinery verbatim (never
+    // all-pairs), then a map-side fold onto the fixed 20-bin grid.
+    //
+    // Exactness: jaccard is an integer-ratio double, identical in both
+    // engines (the d09 pin); the bin floors j·20 on identical doubles;
+    // bin means are 6-dp-rounded decimal sums.
+    GraftQuery(
+      "d90_pair_jaccard_histogram",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        candidatePairs(s, d)
+          .groupBy(least(lit(19L), floor(col("jaccard") * 20.0)
+            .cast("long")).as("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round(col("jaccard"), 6).cast("decimal(18,6)"))
+              .as("jsum"))
+          .withColumn("share", round(col("n_pairs").cast("double")
+            / sum(col("n_pairs")).over(w).cast("double"), 6))
+          .select(col("bin"), col("n_pairs"), col("share"),
+            round(col("jsum").cast("double")
+              / col("n_pairs").cast("double"), 6).as("mean_jaccard"))
+      },
+      Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte,
+        p AS (SELECT
+            CAST(len(list_intersect(a.shingle_set, b.shingle_set))
+              AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.shingle_set,
+              b.shingle_set))) AS DOUBLE) AS j
+          FROM mhc a JOIN mhc b
+            ON a.minhash = b.minhash AND a.doc_id < b.doc_id),
+        g AS (SELECT least(19, CAST(floor(j * 20.0) AS BIGINT)) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            SUM(CAST(round(j, 6) AS DECIMAL(18,6))) AS jsum
+          FROM p GROUP BY 1)
+        SELECT bin, n_pairs,
+          round(CAST(n_pairs AS DOUBLE) / CAST(CAST(SUM(n_pairs) OVER ()
+            AS BIGINT) AS DOUBLE), 6) AS share,
+          round(CAST(jsum AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+            AS mean_jaccard
+        FROM g""")),
+
+    // ---- duplicate-cluster size distribution --------------------------------
+    // The power-law readout of corpus duplication (web dedup's classic
+    // figure): cluster sizes under d53's band-election representative
+    // assignment, folded onto e32's integer-log2 size grid, plus the
+    // corpus duplicated-doc share — the single scalar a dedup run
+    // reports. Singletons are EXACTLY log2-bin 0 (size 1 is the only
+    // size with one binary digit), so the dup share derives from the
+    // bounded histogram, never a second corpus pass.
+    //
+    // Scale shape: d53's plan verbatim (banded window-min election),
+    // one rep-domain fold to sizes, then the ≤64-bin grid; log2 is the
+    // INTEGER-exact length(bin(sz))−1 (the e32 idiom).
+    GraftQuery(
+      "d91_dup_cluster_sizes",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), expr(sparkGrams).as("sh"))
+        val banded = sh
+          .select(col("doc_id"), explode(expr(sparkMd5Bands)).as("bk"))
+          .filter(col("bk.mh").isNotNull)
+        val bucketMin = banded.withColumn("bucket_rep",
+          min(col("doc_id")).over(Window
+            .partitionBy(col("bk.t"), col("bk.mh"))))
+        val reps = bucketMin.groupBy(col("doc_id"))
+          .agg(min(col("bucket_rep")).as("rep_id"))
+        val sizes = Tables.documents(s, d).select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left")
+          .select(coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+          .groupBy(col("rep_id"))
+          .agg(count(lit(1)).as("sz"))
+        sizes
+          .groupBy((length(bin(col("sz"))) - 1).cast("bigint")
+            .as("size_log2"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+          .withColumn("tot", sum(col("n_docs")).over(w))
+          .withColumn("b0", coalesce(
+            max(when(col("size_log2") === 0L, col("n_docs"))).over(w),
+            lit(0L)))
+          .select(col("size_log2"), col("n_clusters"), col("n_docs"),
+            round(col("n_docs").cast("double")
+              / col("tot").cast("double"), 6).as("doc_share"),
+            round((col("tot") - col("b0")).cast("double")
+              / col("tot").cast("double"), 6).as("dup_doc_share"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks
+          FROM documents),
+        g AS (SELECT doc_id, $sqlGrams AS sh FROM toks),
+        b AS (${sqlMd5Bands("g")}),
+        bm AS (SELECT t, mh, MIN(doc_id) AS mn FROM b GROUP BY 1, 2),
+        r AS (SELECT b.doc_id, MIN(bm.mn) AS rep
+          FROM b JOIN bm USING (t, mh) GROUP BY 1),
+        a AS (SELECT COALESCE(r.rep, d.doc_id) AS rep_id
+          FROM documents d LEFT JOIN r USING (doc_id)),
+        s AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM a GROUP BY 1),
+        h AS (SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_log2,
+            CAST(COUNT(*) AS BIGINT) AS n_clusters,
+            CAST(SUM(sz) AS BIGINT) AS n_docs
+          FROM s GROUP BY 1),
+        t AS (SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS tot,
+            COALESCE(MAX(CASE WHEN size_log2 = 0 THEN n_docs END)
+              OVER (), 0) AS b0
+          FROM h)
+        SELECT size_log2, n_clusters, n_docs,
+          round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS doc_share,
+          round(CAST(tot - b0 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS dup_doc_share
+        FROM t""")),
+
     GraftQuery(
       "d89_bigram_entropy_native",
       (s, d) =>

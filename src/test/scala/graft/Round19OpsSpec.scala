@@ -446,6 +446,27 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("orphan_rate") == 0.5)
   }
 
+  test("d90/d91: planted exact duplicates land one jaccard-1 pair in " +
+      "the top bin and a size-2 cluster with a 2/3 dup share") {
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val dir = docsDir(Seq(
+      (1L, txt, "en", "s"), (2L, txt, "en", "s"),
+      (3L, "one two three four five six", "en", "s")))
+    val pairs = query("d90_pair_jaccard_histogram").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(pairs.keySet == Set(19L), "only the duplicate pair exists")
+    assert(pairs(19L).getAs[Long]("n_pairs") == 1L)
+    assert(pairs(19L).getAs[Double]("mean_jaccard") == 1.0)
+    assert(pairs(19L).getAs[Double]("share") == 1.0)
+    val sizes = query("d91_dup_cluster_sizes").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("size_log2") -> r).toMap
+    assert(sizes.keySet == Set(0L, 1L))
+    assert(sizes(0L).getAs[Long]("n_clusters") == 1L) // the singleton
+    assert(sizes(1L).getAs[Long]("n_clusters") == 1L) // the pair
+    assert(sizes(1L).getAs[Long]("n_docs") == 2L)
+    assert(sizes(0L).getAs[Double]("dup_doc_share") == 0.666667)
+  }
+
   test("d89 native bigram entropy equals the oracle-pinned d86 frame " +
       "bit-for-bit on the fixture corpus") {
     // The d50/d10 native-vs-pinned contract: the single-pass expression

@@ -324,7 +324,13 @@ object StressScale {
     // d89 is d86 with the explode/shuffle replaced by one codegen'd
     // per-row fold — a zero-exchange scan, expected ~linear CPU with a
     // much smaller constant than d86's 0.93-exponent explode path.
-    "d89_bigram_entropy_native" -> ("documents" -> "doc_id"))
+    "d89_bigram_entropy_native" -> ("documents" -> "doc_id"),
+    // d90 rides d09's capped-bucket pair family (replicas duplicate
+    // text → pair OUTPUT grows ~8² within caps, the d59/d61 rule) into
+    // a fixed 20-bin fold; d91 rides d53's band election (8 replicas
+    // per bucket, input-linear window-min) into the ≤64-bin size grid.
+    "d90_pair_jaccard_histogram" -> ("documents" -> "doc_id"),
+    "d91_dup_cluster_sizes" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
