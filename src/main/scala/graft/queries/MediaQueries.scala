@@ -946,5 +946,75 @@ object MediaQueries {
         SELECT media_id, shot_idx, CAST(MIN(fi) AS BIGINT) AS keyframe_fi,
           CAST(COUNT(*) AS BIGINT) AS shot_frames
         FROM si GROUP BY 1, 2""")),
+
+    // ---- shot-sampling savings report (m18's decision scalar) --------------
+    // The number that justifies switching from m02's blind stride to
+    // m18's per-shot keyframes: per video, keyframe count vs the
+    // stride-4 sample count, their ratio, and the cheaper-policy flag —
+    // then the corpus-total decode budget under each policy. Fast-cut
+    // videos have MORE shots than stride samples (ratio > 1 — stride
+    // was undersampling them, the quality half of the argument).
+    //
+    // Scale shape: m18's bounded frame explode and one media_id
+    // exchange; the rollup scalar windows run on the media domain.
+    //
+    // Exactness: pure integer counts and ceil-division; one ≤~4
+    // magnitude quotient round.
+    GraftQuery(
+      "m19_sampling_savings",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.documents(s, d)
+          .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id").as("media_id"),
+            (lit(1) + pmod(expr(
+              "cast(conv(substr(md5(text), 17, 2), 16, 10) as int)"),
+              lit(16))).cast("bigint").as("n_frames"),
+            (lit(1) + pmod(expr(
+              "cast(conv(substr(md5(text), 9, 2), 16, 10) as int)"),
+              lit(4))).cast("bigint").as("shot_len"))
+        val w = Window.partitionBy(lit(1))
+        // n_shots = ceil(n_frames / shot_len): the scene digest changes
+        // exactly at every shot_len boundary (m11's n_shots identity,
+        // spec-pinned there), so no frame explode is needed here at all.
+        v.withColumn("n_shots",
+            expr("div(n_frames + shot_len - 1, shot_len)"))
+          .withColumn("stride4",
+            expr("div(n_frames + 3, 4)"))
+          .withColumn("tot_shots", sum(col("n_shots")).over(w))
+          .withColumn("tot_stride", sum(col("stride4")).over(w))
+          .select(col("media_id"), col("n_frames"), col("n_shots"),
+            col("stride4").as("stride4_samples"),
+            round(col("n_shots").cast("double")
+              / col("stride4").cast("double"), 6).as("keyframe_ratio"),
+            (col("n_shots") < col("stride4")).cast("int")
+              .as("shot_sampling_cheaper"),
+            round(col("tot_shots").cast("double")
+              / col("tot_stride").cast("double"), 6)
+              .as("corpus_decode_ratio"))
+      },
+      Some(s"""WITH v AS (SELECT doc_id AS media_id,
+            CAST(1 + (${hexByte("md5(text)", 8)} % 16) AS BIGINT)
+              AS n_frames,
+            CAST(1 + (${hexByte("md5(text)", 4)} % 4) AS BIGINT)
+              AS shot_len
+          FROM documents
+          WHERE text IS NOT NULL AND CAST(doc_id % 3 AS INT) = 2),
+        c AS (SELECT media_id, n_frames,
+            (n_frames + shot_len - 1) // shot_len AS n_shots,
+            (n_frames + 3) // 4 AS stride4
+          FROM v),
+        t AS (SELECT *, CAST(SUM(n_shots) OVER () AS BIGINT) AS tot_shots,
+            CAST(SUM(stride4) OVER () AS BIGINT) AS tot_stride
+          FROM c)
+        SELECT media_id, n_frames, CAST(n_shots AS BIGINT) AS n_shots,
+          CAST(stride4 AS BIGINT) AS stride4_samples,
+          round(CAST(n_shots AS DOUBLE) / CAST(stride4 AS DOUBLE), 6)
+            AS keyframe_ratio,
+          CAST(CASE WHEN n_shots < stride4 THEN 1 ELSE 0 END AS INT)
+            AS shot_sampling_cheaper,
+          round(CAST(tot_shots AS DOUBLE) / CAST(tot_stride AS DOUBLE), 6)
+            AS corpus_decode_ratio
+        FROM t""")),
   )
 }

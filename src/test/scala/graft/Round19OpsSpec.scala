@@ -467,6 +467,26 @@ class Round19OpsSpec extends SparkSpec {
     assert(sizes(0L).getAs[Double]("dup_doc_share") == 0.666667)
   }
 
+  test("m19 reconciles with m18: the analytic shot count equals the " +
+      "materialized keyframe count per video") {
+    // m19 derives n_shots analytically (ceil(n_frames/shot_len), the
+    // m11 identity); m18 materializes the keyframes. They must agree
+    // per media — the m07<->m14 reconciliation pattern.
+    val fromM18 = query("m18_keyframe_select").run(spark, sfDir)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("count")).toMap
+    val fromM19 = query("m19_sampling_savings").run(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_shots"))
+      .toMap
+    assert(fromM18 == fromM19,
+      "analytic shot counts diverge from materialized keyframes")
+    // one shared corpus scalar on every row
+    val ratios = query("m19_sampling_savings").run(spark, sfDir)
+      .collect().map(_.getAs[Double]("corpus_decode_ratio")).toSet
+    assert(ratios.size == 1)
+  }
+
   test("d89 native bigram entropy equals the oracle-pinned d86 frame " +
       "bit-for-bit on the fixture corpus") {
     // The d50/d10 native-vs-pinned contract: the single-pass expression

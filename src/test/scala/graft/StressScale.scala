@@ -330,7 +330,10 @@ object StressScale {
     // a fixed 20-bin fold; d91 rides d53's band election (8 replicas
     // per bucket, input-linear window-min) into the ≤64-bin size grid.
     "d90_pair_jaccard_histogram" -> ("documents" -> "doc_id"),
-    "d91_dup_cluster_sizes" -> ("documents" -> "doc_id"))
+    "d91_dup_cluster_sizes" -> ("documents" -> "doc_id"),
+    // m19 is a pure per-video arithmetic projection (no frame explode
+    // at all — the analytic m11 identity) + media-domain windows.
+    "m19_sampling_savings" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
