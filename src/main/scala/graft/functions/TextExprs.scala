@@ -271,15 +271,23 @@ object TextOps {
     * result is bit-identical to the oracle-pinned d86 frame. */
   def charBigramStats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = input.toString
-    val n = s.length - 1
+    // CODE POINTS, not UTF-16 units: Java's split("") (d86's
+    // segmentation) never splits a surrogate pair, so an astral char is
+    // ONE element — iterating chars here would cut pairs in half and
+    // silently diverge from the oracle-pinned frame on non-BMP text.
+    val cps = s.codePointCount(0, s.length)
+    val n = cps - 1
     if (n < 1) return null
     val counts = new java.util.HashMap[String, Array[Long]](64)
     var i = 0
-    while (i < n) {
-      val bg = s.substring(i, i + 2)
+    var mid = if (s.isEmpty) 0 else s.offsetByCodePoints(0, 1)
+    var k = 0
+    while (k < n) {
+      val end = s.offsetByCodePoints(mid, 1)
+      val bg = s.substring(i, end)
       val slot = counts.get(bg)
       if (slot == null) counts.put(bg, Array(1L)) else slot(0) += 1L
-      i += 1
+      i = mid; mid = end; k += 1
     }
     val nD = n.toDouble
     var sum = java.math.BigDecimal.ZERO

@@ -3321,6 +3321,11 @@ object StarQueries {
     // the same keys, one exchange each side — and a fold onto the month
     // grid. Never a window over the customer domain.
     //
+    // The month AFTER the last active month appears as an all-churn row
+    // (total 0, churned = −last month's revenue) — deliberate: that IS
+    // the bridge's statement about the horizon's end, and both engines
+    // derive it from the same shifted join (spec-pinned).
+    //
     // Exactness: every bucket is an exact-decimal conditional sum; the
     // delta adds the four exact decimals before ONE double cast.
     GraftQuery(

@@ -3,6 +3,7 @@ package graft
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.sources.Tables
 
@@ -496,12 +497,21 @@ class Round19OpsSpec extends SparkSpec {
     val d89 = query("d89_bigram_entropy_native").run(spark, sfDir)
     assert(d86.exceptAll(d89).isEmpty && d89.exceptAll(d86).isEmpty,
       "native and explode-form bigram entropy frames diverge")
-    // and on the degenerate shapes the fixture lacks
+    // and on the degenerate shapes the fixture lacks — including an
+    // ASTRAL (non-BMP) char, where split('') yields code points and a
+    // UTF-16-unit iteration would cut the surrogate pair in half
     val dir = docsDir(Seq((1L, "aaaa", "en", "s"), (2L, "", "en", "s"),
-      (3L, null, "en", "s"), (4L, "xy", "en", "s")))
+      (3L, null, "en", "s"), (4L, "xy", "en", "s"),
+      (5L, "a𝄞b", "en", "s"), // a 𝄞 b: bigrams a𝄞, 𝄞b
+      (6L, "𝄞", "en", "s"))) // lone astral char: no bigram
     val a = query("d86_char_bigram_entropy").run(spark, dir)
     val b = query("d89_bigram_entropy_native").run(spark, dir)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val r5 = b.filter(col("doc_id") === 5L).collect().head
+    assert(r5.getAs[Long]("n_bigrams") == 2L,
+      "astral char must count as one code point")
+    val r6 = b.filter(col("doc_id") === 6L).collect().head
+    assert(r6.getAs[Long]("n_bigrams") == 0L)
   }
 
   test("m16 resolution audit: shares sum to 1 within each kind and the " +
