@@ -514,6 +514,40 @@ class Round19OpsSpec extends SparkSpec {
     assert(r6.getAs[Long]("n_bigrams") == 0L)
   }
 
+  test("fixture laws: Lorenz convexity, ACF bounds, burstiness range, " +
+      "histogram-bin containment, ABC partition") {
+    // Mathematical invariants that must hold on ANY corpus — asserted
+    // on the fixture (the constructed-ledger tests pin exact values).
+    val lorenz = query("q64_lorenz_deciles").run(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    val shares = lorenz.map(_.getAs[Double]("rev_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-6 },
+      "ascending-spend deciles must have non-decreasing revenue shares")
+    assert(lorenz.forall(_.getAs[Double]("equality_gap") >= -1e-6),
+      "the Lorenz curve sits on or below the diagonal")
+    val acf = query("q62_daily_acf").run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("lag_d") -> r.getAs[Double]("acf")).toMap
+    assert(acf(0L) == 1.0)
+    assert(acf.values.forall(v => math.abs(v) <= 1.0 + 1e-6))
+    val burst = query("q63_gap_burstiness").run(spark, sfDir).collect()
+    assert(burst.forall { r =>
+      val b = r.getAs[Double]("mean_b"); b >= -1.0 && b <= 1.0
+    })
+    assert(math.abs(burst.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val jh = query("d90_pair_jaccard_histogram").run(spark, sfDir)
+      .collect()
+    assert(jh.forall { r =>
+      val bin = r.getAs[Long]("bin"); val m = r.getAs[Double]("mean_jaccard")
+      bin >= 0 && bin <= 19 && m >= bin / 20.0 - 1e-6 &&
+        (bin == 19 || m < (bin + 1) / 20.0 + 1e-6)
+    }, "bin means must sit inside their bins")
+    val abc = query("q67_abc_classes").run(spark, sfDir).collect()
+    assert(abc.map(_.getAs[String]("abc_class")).toSet
+      .subsetOf(Set("A", "B", "C")))
+    assert(math.abs(abc.map(_.getAs[Double]("rev_share")).sum - 1.0)
+      < 1e-4)
+  }
+
   test("m16 resolution audit: shares sum to 1 within each kind and the " +
       "dimension envelope matches the decode stub domain") {
     val got = query("m16_resolution_audit").run(spark, sfDir).collect()
