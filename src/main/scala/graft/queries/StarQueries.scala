@@ -3556,6 +3556,92 @@ object StarQueries {
             ELSE round(CAST(n_orphan_lines AS DOUBLE)
               / CAST(n_lineitems AS DOUBLE), 6) END AS orphan_rate
         FROM g""")),
+
+    // ---- weekend-effect Mann–Whitney U over daily revenue -------------------
+    // The nonparametric two-sample member closing the hypothesis-test
+    // family (q53 z, q54/d69 χ², d71 Spearman, q56 KM, q38 OLS): does
+    // weekend daily revenue come from the same distribution as weekday
+    // revenue? Rank-based, so one spike day can't buy significance the
+    // way it would in a t-test. MIDRANKS over ties (the textbook
+    // statistic), normal approximation z.
+    //
+    // Scale shape: the fact table folds map-side onto the calendar
+    // FIRST (the q55 envelope); both rank windows and every fold run on
+    // the bounded day grid. Weekday classification is ARITHMETIC
+    // epoch-day mod 7 (the q52 rule — never an engine dayofweek():
+    // 1970-01-01 is Thursday, so Sat/Sun ≡ {2, 3}).
+    //
+    // Exactness: midranks are exact 0.5-multiples summed as
+    // DECIMAL(18,1); U and its mean are exact int64-derived; z divides
+    // in ONE shared op order with an IEEE sqrt, 6-dp rounded (≤ ~1e2
+    // magnitude quotient — no tie exposure), NULL when either group is
+    // empty or the variance is zero.
+    GraftQuery(
+      "q69_weekend_effect_u",
+      (s, d) => {
+        val wv = Window.partitionBy(lit(1)).orderBy(col("rev"))
+        val wt = Window.partitionBy(col("rev"))
+        val w = Window.partitionBy(lit(1))
+        Tables.orders(s, d)
+          .filter(col("o_orderdate").isNotNull)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("is_weekend",
+            pmod(datediff(col("day"), lit("1970-01-01").cast("date")),
+              lit(7)).isin(2, 3).cast("long"))
+          .withColumn("midrank",
+            (rank().over(wv).cast("double")
+              + (count(lit(1)).over(wt).cast("double") - 1.0) / 2.0)
+              .cast("decimal(18,1)"))
+          .agg(sum(col("is_weekend")).as("n_weekend"),
+            sum(lit(1L) - col("is_weekend")).as("n_weekday"),
+            sum(when(col("is_weekend") === 1L, col("midrank"))
+              .otherwise(lit(java.math.BigDecimal.ZERO)
+                .cast("decimal(18,1)"))).as("r1"))
+          .select(col("n_weekend"), col("n_weekday"),
+            (col("r1").cast("double")
+              - (col("n_weekend") * (col("n_weekend") + 1L))
+                .cast("double") / 2.0).as("u_stat"),
+            when(col("n_weekend") === 0L || col("n_weekday") === 0L,
+              lit(null).cast("double"))
+              .otherwise(round(
+                ((col("r1").cast("double")
+                  - (col("n_weekend") * (col("n_weekend") + 1L))
+                    .cast("double") / 2.0)
+                  - (col("n_weekend") * col("n_weekday")).cast("double")
+                    / 2.0)
+                / sqrt((col("n_weekend") * col("n_weekday")
+                  * (col("n_weekend") + col("n_weekday") + 1L))
+                  .cast("double") / 12.0), 6)).as("z"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        r AS (SELECT *,
+            CASE WHEN ((day - DATE '1970-01-01') % 7 + 7) % 7 IN (2, 3)
+              THEN 1 ELSE 0 END AS is_weekend,
+            CAST(rank() OVER (ORDER BY rev) AS DOUBLE)
+              + (CAST(COUNT(*) OVER (PARTITION BY rev) AS DOUBLE) - 1.0)
+                / 2.0 AS mr
+          FROM daily),
+        g AS (SELECT CAST(SUM(is_weekend) AS BIGINT) AS n_weekend,
+            CAST(SUM(1 - is_weekend) AS BIGINT) AS n_weekday,
+            SUM(CASE WHEN is_weekend = 1
+              THEN CAST(mr AS DECIMAL(18,1))
+              ELSE CAST(0 AS DECIMAL(18,1)) END) AS r1
+          FROM r)
+        SELECT n_weekend, n_weekday,
+          CAST(r1 AS DOUBLE)
+            - CAST(n_weekend * (n_weekend + 1) AS DOUBLE) / 2.0 AS u_stat,
+          CASE WHEN n_weekend = 0 OR n_weekday = 0 THEN NULL
+            ELSE round(
+              ((CAST(r1 AS DOUBLE)
+                - CAST(n_weekend * (n_weekend + 1) AS DOUBLE) / 2.0)
+                - CAST(n_weekend * n_weekday AS DOUBLE) / 2.0)
+              / sqrt(CAST(n_weekend * n_weekday
+                * (n_weekend + n_weekday + 1) AS DOUBLE) / 12.0), 6) END
+            AS z
+        FROM g""")),
   )
 
   /** q61's truncated-EWMA weights w_k = round(α(1−α)^k, 6), α = 0.25,

@@ -514,6 +514,31 @@ class Round19OpsSpec extends SparkSpec {
     assert(r6.getAs[Long]("n_bigrams") == 0L)
   }
 
+  test("q69 Mann-Whitney U: a separated ledger reaches the maximal U; " +
+      "cross-group ties take midranks") {
+    // 2024-01-01 is a Monday; epoch-dow Sat/Sun land at offsets 5, 6.
+    // Weekdays 100..103 all below weekend 200/201: U = n1*n2 = 8,
+    // z = 4 / sqrt(2*4*7/12) = 1.851640.
+    val dir = ordersDir(Seq(
+      (1L, 1L, 100.0, 0), (2L, 1L, 101.0, 1), (3L, 1L, 102.0, 2),
+      (4L, 1L, 103.0, 3), (5L, 1L, 200.0, 5), (6L, 1L, 201.0, 6)))
+    val r = query("q69_weekend_effect_u").run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_weekend") == 2L)
+    assert(r.getAs[Long]("n_weekday") == 4L)
+    assert(r.getAs[Double]("u_stat") == 8.0)
+    assert(r.getAs[Double]("z") == 1.85164)
+    // add a Friday that TIES a weekend value: the two 200s share
+    // midrank 5.5, so R1 = 5.5 + 7 = 12.5 and U = 9.5
+    val dir2 = ordersDir(Seq(
+      (1L, 1L, 100.0, 0), (2L, 1L, 101.0, 1), (3L, 1L, 102.0, 2),
+      (4L, 1L, 103.0, 3), (7L, 1L, 200.0, 4),
+      (5L, 1L, 200.0, 5), (6L, 1L, 201.0, 6)))
+    val r2 = query("q69_weekend_effect_u").run(spark, dir2).collect().head
+    assert(r2.getAs[Double]("u_stat") == 9.5)
+    val zExpect = (9.5 - 5.0) / math.sqrt(2.0 * 5.0 * 8.0 / 12.0)
+    assert(math.abs(r2.getAs[Double]("z") - zExpect) < 1e-6)
+  }
+
   test("fixture laws: Lorenz convexity, ACF bounds, burstiness range, " +
       "histogram-bin containment, ABC partition") {
     // Mathematical invariants that must hold on ANY corpus — asserted

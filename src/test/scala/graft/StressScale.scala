@@ -333,7 +333,10 @@ object StressScale {
     "d91_dup_cluster_sizes" -> ("documents" -> "doc_id"),
     // m19 is a pure per-video arithmetic projection (no frame explode
     // at all — the analytic m11 identity) + media-domain windows.
-    "m19_sampling_savings" -> ("documents" -> "doc_id"))
+    "m19_sampling_savings" -> ("documents" -> "doc_id"),
+    // q69 rides the q55 calendar envelope: fold to days first, then
+    // bounded rank windows and a 1-row fold.
+    "q69_weekend_effect_u" -> ("orders" -> "o_orderkey"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
