@@ -145,10 +145,11 @@ case class CountWordsIn(child: Expression, words: Seq[String])
 }
 
 /** One-pass char-bigram stats: struct(n_bigrams L, n_distinct L,
-  * entropy D, eff_alphabet D) over consecutive UTF-16 code units — the
-  * same segmentation as `split(text, '')` (Java regex splits between
-  * code units), so counts agree with d86's explode form on any input
-  * and bit-for-bit on the ASCII corpus. Entropy replicates d86's exact
+  * entropy D, eff_alphabet D) over consecutive Unicode CODE POINTS —
+  * the same segmentation as `split(text, '')` (Java's split("") never
+  * splits a surrogate pair, so an astral char is one element), so
+  * counts agree with d86's explode form on any input, astral chars
+  * included, and bit-for-bit on the ASCII corpus. Entropy replicates d86's exact
   * arithmetic: H = −(Σ_b c_b · round6(ln(c_b/n)) as DECIMAL(…,6))/n
   * with round6 = Spark's shortest-repr BigDecimal HALF_UP — so the
   * native path and the oracle-pinned d86 emit IDENTICAL doubles

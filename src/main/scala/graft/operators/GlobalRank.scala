@@ -51,8 +51,17 @@ object GlobalRank {
     * window. Same two-pass scheme as [[withRowNumber]]: range-sort,
     * then ONE light stats job collecting each partition's (row count,
     * value sum), whose scan-left prefixes seed a per-partition
-    * imperative pass. NULL values count as 0. EAGER like
-    * [[withRowNumber]] (the stats job runs at call time). */
+    * imperative pass. The sorted RDD is PERSISTED (MEMORY_AND_DISK)
+    * across the two jobs: without it the output pass re-runs the range
+    * sort (doubling sort cost), and — worse — correctness would rest on
+    * the recomputed range partitioning being bitwise-identical across
+    * jobs, which a nondeterministically ordered upstream source breaks.
+    * The cache is released by Spark's ContextCleaner once the returned
+    * frame (whose lineage holds the only reference) becomes unreachable
+    * — an explicit unpersist here would race the consuming job, and one
+    * deferred to "after consumption" is not expressible from inside the
+    * operator. NULL values count as 0. EAGER like [[withRowNumber]]
+    * (the stats job runs at call time). */
   def withRunningTotal(df: DataFrame, sort: Seq[Column], valueCol: String,
       rankCol: String = "rn", cumCol: String = "cum"): DataFrame = {
     require(!df.columns.contains(rankCol) && !df.columns.contains(cumCol),
@@ -61,7 +70,8 @@ object GlobalRank {
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == LongType,
       s"'$valueCol' must be LongType (exact integer units)")
-    val rdd = sorted.rdd
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = rdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0L
       it.foreach { r =>
