@@ -46,6 +46,18 @@ object TextExprs {
   def countWordsIn(c: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(CountWordsIn(GraftSqlBridge.expression(c), words))
 
+  /** Greedy BPE ENCODE of a word column under an ORDERED merge list —
+    * the corpus-scale APPLY of the tokenizer [[graft.operators.Bpe]]
+    * trains: code-point symbols, each merge applied left-to-right
+    * non-overlapping in training order (Bpe.mergePair's fold semantics),
+    * as ONE codegen'd per-row pass over the whole merge table. The
+    * aggregate-lambda form would nest k folds (k=256 blows past JIT
+    * limits and re-materializes the symbol array per step); here the
+    * merge table is a plan-literal reference object and the row cost is
+    * O(len × k) with zero per-step allocation churn. */
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(c), merges))
+
   /** One-pass char-bigram statistics of `c` (d86's measurement computed
     * without the bigram explode/shuffle): struct(n_bigrams, n_distinct,
     * entropy, eff_alphabet), bit-identical to d86's oracle-pinned values
@@ -141,6 +153,39 @@ case class CountWordsIn(child: Expression, words: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountWordsIn =
+    copy(child = newChild)
+}
+
+/** Greedy ordered-merge BPE encoder (see [[TextExprs.bpeEncode]]).
+  * Segmentation is Unicode code points (an astral char is one symbol) —
+  * identical to Bpe.train's `substring` split and Bpe.codePointSyms.
+  * Each merge (l, r) rewrites the symbol sequence left-to-right
+  * non-overlapping, exactly [[graft.operators.Bpe.mergePair]]'s
+  * append-or-replace-last fold — so encode(train(k)) reproduces the
+  * training table's final symbols word for word (spec-pinned), and for
+  * single-char merge chains the token count equals the placeholder
+  * replace-chain form (d94's oracle-checkable geometry). Output
+  * array<string> is never null for non-null input ("" → empty array). */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val mergeArr: Array[Array[String]] =
+    merges.map { case (l, r) => Array(l, r) }.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.bpeEncode(input.asInstanceOf[UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.bpeEncode($c, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }
 
@@ -262,6 +307,50 @@ object TextOps {
       k += 1
     }
     sig
+  }
+
+  /** Greedy ordered-merge BPE encode (see [[BpeEncode]]): code-point
+    * split, then each merge applied left-to-right non-overlapping with
+    * an in-place two-pointer rewrite (the write head never passes the
+    * read head, so no per-merge array copy). */
+  def bpeEncode(input: UTF8String,
+      merges: Array[Array[String]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = input.toString
+    var n = s.codePointCount(0, s.length)
+    val syms = new Array[String](n)
+    var i = 0
+    var j = 0
+    while (i < s.length) {
+      val e = s.offsetByCodePoints(i, 1)
+      syms(j) = s.substring(i, e)
+      j += 1
+      i = e
+    }
+    var m = 0
+    while (m < merges.length && n > 1) {
+      val l = merges(m)(0)
+      val r = merges(m)(1)
+      var w = 0
+      var k = 0
+      while (k < n) {
+        val x = syms(k)
+        if (w > 0 && x == r && syms(w - 1) == l) syms(w - 1) = l + r
+        else {
+          syms(w) = x
+          w += 1
+        }
+        k += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[Any](n)
+    var t = 0
+    while (t < n) {
+      out(t) = UTF8String.fromString(syms(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** One-pass char-bigram stats (see [[CharBigramStats]]): a single

@@ -94,4 +94,115 @@ object Bpe {
     }
     merges.result()
   }
+
+  // ------------------------------------------------------------ driver side
+
+  /** Split a word into code-point symbol strings — the same segmentation
+    * as [[train]]'s `transform(sequence(1, length(word)), substring)`
+    * (Spark `length`/`substring` count code points) and the native
+    * encoder's (TextOps.bpeEncode): an astral char is ONE symbol. */
+  private[graft] def codePointSyms(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var j = 0
+    while (i < w.length) {
+      val e = w.offsetByCodePoints(i, 1)
+      out(j) = w.substring(i, e)
+      j += 1
+      i = e
+    }
+    out
+  }
+
+  /** [[mergePair]]'s greedy append-or-replace-last fold, driver-side:
+    * merge adjacent (l, r) left-to-right non-overlapping. Shared by
+    * [[trainLocal]] and the spec laws (idempotence: applying a merge a
+    * second time is a no-op because every (l, r) adjacency was consumed
+    * — the merged symbol `l+r` differs from `l`). */
+  private[graft] def applyMergeLocal(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out.last == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Bounded vocabulary collect off a (word, cnt) frame: the top `cap`
+    * words by (cnt desc, word asc) — deterministic, and the ONLY driver
+    * materialization in the tokenizer path (the VectorSearch
+    * sample-collect class: a TakeOrderedAndProject of a contractually
+    * bounded row count). Frequency-truncating the TRAINING vocabulary is
+    * standard BPE practice (the tail contributes ~nothing to pair
+    * counts); at 100 TB this truncation is exactly the bound that keeps
+    * training a driver-side one-off while ENCODING stays a distributed
+    * pass over the full, uncapped word domain (the merge rules are plan
+    * literals — out-of-sample words still encode). */
+  def collectVocab(wordCounts: DataFrame, cap: Int): Seq[(String, Long)] =
+    wordCounts
+      .select(col("word").cast("string").as("word"),
+        col("cnt").cast("bigint").as("cnt"))
+      .filter(col("word").isNotNull)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(cap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+
+  /** [[train]]'s exact algorithm — same pair statistic, same
+    * (count desc, l asc, r asc) argmax, same greedy rewrite, same
+    * exhaustion stop — over a COLLECTED (word, cnt) vocabulary, without
+    * k × 2 Spark jobs. Spec-pinned equal to [[train]] step for step.
+    * Past small k the per-step job overhead dominates the distributed
+    * loop (each step scans only a vocabulary-sized table), so for real
+    * merge counts (hundreds+) train-local-over-a-bounded-vocab is the
+    * production shape; [[train]] remains the uncapped form and the
+    * equality witness. */
+  def trainLocal(wordCounts: Seq[(String, Long)], k: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] = wordCounts
+      .map { case (w, c) => (codePointSyms(w), c) }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val counts =
+        new java.util.HashMap[(String, String), Array[Long]](1024)
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          val slot = counts.get(p)
+          if (slot == null) counts.put(p, Array(c)) else slot(0) += c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestN = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = e.getKey
+          val n = e.getValue()(0)
+          if (n > bestN || (n == bestN &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p
+            bestN = n
+          }
+        }
+        merges += Merge(step, best._1, best._2, bestN)
+        words = words.map { case (syms, c) =>
+          (applyMergeLocal(syms, best._1, best._2), c)
+        }
+      }
+      step += 1
+    }
+    merges.result()
+  }
 }

@@ -215,4 +215,24 @@ object Sketches {
       .groupBy((year(col(dateCol)) * 12 + month(col(dateCol)) - 1)
         .cast("bigint").as("month_idx"), col(catCol).as("category"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-cell total/tombstone counts of an ANN index over rows carrying
+    * (cell assignment, deleted flag): ≤ |cells| rows whatever the index
+    * size. Tenth member of the bounded-state sketch family (sum-merge,
+    * like [[cmsCells]]): a pure conditional-count groupBy onto the cell
+    * domain, so batch map-side partials and Structured Streaming state
+    * both hold one row per cell however long the insert/delete feed
+    * runs. This is the LIVE half of the e27 compaction trigger: e27
+    * audits tombstone pollution in batch by rescanning the index; a
+    * deployed index instead maintains this frame on its mutation stream
+    * and reads per-cell staleness (n_tomb / n_total — compute at alarm
+    * time, never stored: only the two sums are mergeable) off the
+    * bounded table whenever the compaction policy evaluates. Null cells
+    * (unassigned rows) carry no signal and drop. */
+  def cellLiveCounts(df: DataFrame, cellCol: String,
+      delCol: String): DataFrame =
+    df.filter(col(cellCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col(delCol), 1L).otherwise(0L)).as("n_tomb"))
 }

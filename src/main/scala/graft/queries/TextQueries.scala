@@ -4592,6 +4592,278 @@ object TextQueries {
             col("st.entropy").as("entropy"),
             col("st.eff_alphabet").as("eff_alphabet")),
       None),
+
+    // ---- BPE corpus ENCODER (the apply side of d80's training) ------------
+    // d80 trains the merge table; THIS is the corpus-scale pass every
+    // downstream token count rides: encode documents under the trained
+    // tokenizer and report per-source fertility (BPE tokens per
+    // whitespace word — the compression readout vs d02's proxies) and
+    // tokens/char.
+    //
+    // Scale shape (the shape the round-19 verdict prescribes): the
+    // corpus folds ONCE onto the (source, word) domain behind a barrier;
+    // the vocabulary view of that fold trains driver-side over a
+    // frequency-truncated top-65536 collect (Bpe.collectVocab — the
+    // bounded VectorSearch-sample class; training is a one-off on a
+    // vocabulary-sized table); every DISTINCT word is then encoded once
+    // by the native BpeEncode expression (merge rules are plan literals
+    // — no merge join, no per-doc re-derivation) and joined back by
+    // word. Nothing after the first fold is corpus-sized except the
+    // narrow n_docs scan.
+    //
+    // Rows-only (trained merges are an iterative driver loop, the d80
+    // class): GOLDEN-pinned; encode semantics are oracle-pinned by
+    // d94's replace-chain geometry analog and the Round20OpsSpec
+    // encode∘train laws.
+    GraftQuery(
+      "d92_bpe_encode",
+      (s, d) => {
+        import graft.functions.TextExprs
+        import graft.operators.{Bpe, Checkpoints}
+        val srcWords = Checkpoints.barrier(
+          Tables.documents(s, d)
+            .select(col("source"), explode(tokens(col("text"))).as("word"))
+            .groupBy(col("source"), col("word"))
+            .agg(count(lit(1)).as("n_occ")))
+        val vocab = srcWords.groupBy(col("word"))
+          .agg(sum(col("n_occ")).as("cnt"))
+        val merges = Bpe.trainLocal(
+          Bpe.collectVocab(vocab, cap = 65536), k = 32)
+        val pairs = merges.map(m => (m.left, m.right))
+        val enc = vocab.select(col("word"),
+          size(TextExprs.bpeEncode(col("word"), pairs)).cast("bigint")
+            .as("n_bpe"))
+        val perSrc = srcWords.join(enc, Seq("word"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_occ")).as("n_words"),
+            sum(col("n_occ") * length(col("word")).cast("bigint"))
+              .as("n_chars"),
+            sum(col("n_occ") * col("n_bpe")).as("n_bpe_tokens"))
+        Tables.documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .join(perSrc, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+            when(col("n_words") > 0L,
+              round(col("n_bpe_tokens").cast("double")
+                / col("n_words").cast("double"), 6)).as("fertility"),
+            when(col("n_chars") > 0L,
+              round(col("n_bpe_tokens").cast("double")
+                / col("n_chars").cast("double"), 6)).as("tokens_per_char"))
+      },
+      None),
+
+    // ---- tokenizer fertility sweep (how many merges to buy) ---------------
+    // The round-trip eval an LLM pipeline reads before fixing its
+    // tokenizer: encode the corpus at k ∈ {0, 64, 256} merges and report
+    // the fertility / tokens-per-char / live-symbol curves — k=0 is
+    // character-level, the top end shows saturation (on a bounded-vocab
+    // corpus every word eventually fuses to one symbol and fertility
+    // → 1.0). Read against d24 (vocab coverage) and d78 (growth).
+    //
+    // Scale shape: train ONCE at the top k (driver-side over the bounded
+    // collect, d92's contract); the barriered vocabulary table is then
+    // encoded three times (three plan-literal merge prefixes — a
+    // vocabulary-sized union, never a corpus re-scan), one fold for the
+    // totals and one symbol-domain distinct for the live-symbol counts.
+    //
+    // Rows-only (same d80/d92 class): GOLDEN-pinned; the monotone
+    // non-increasing token count and the k=0 = chars identity are
+    // Round20OpsSpec laws.
+    GraftQuery(
+      "d93_bpe_fertility_sweep",
+      (s, d) => {
+        import graft.functions.TextExprs
+        import graft.operators.{Bpe, Checkpoints}
+        val vocab = Checkpoints.barrier(
+          Tables.documents(s, d)
+            .select(explode(tokens(col("text"))).as("word"))
+            .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+        val merges = Bpe.trainLocal(
+          Bpe.collectVocab(vocab, cap = 65536), k = 256)
+        val perK = Seq(0, 64, 256).map { k =>
+          val pairs = merges.take(k).map(m => (m.left, m.right))
+          vocab.select(lit(k.toLong).as("k"),
+            lit(math.min(k, merges.size).toLong).as("n_merges"),
+            col("cnt"),
+            length(col("word")).cast("bigint").as("wlen"),
+            TextExprs.bpeEncode(col("word"), pairs).as("syms"))
+        }.reduce(_ union _)
+        val totals = perK.groupBy(col("k"), col("n_merges"))
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("wlen")).as("n_chars"),
+            sum(col("cnt") * size(col("syms")).cast("bigint"))
+              .as("n_tokens"))
+        val live = perK.select(col("k"), explode(col("syms")).as("sym"))
+          .groupBy(col("k"))
+          .agg(count_distinct(col("sym")).as("n_symbols"))
+        totals.join(live, Seq("k"), "left")
+          .select(col("k"), col("n_merges"),
+            coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+            col("n_words"), col("n_chars"), col("n_tokens"),
+            when(col("n_words") > 0L,
+              round(col("n_tokens").cast("double")
+                / col("n_words").cast("double"), 6)).as("fertility"),
+            when(col("n_chars") > 0L,
+              round(col("n_tokens").cast("double")
+                / col("n_chars").cast("double"), 6)).as("tokens_per_char"))
+      },
+      None),
+
+    // ---- BPE encode geometry, oracle-checkable variant of d92 -------------
+    // The e14/e20 degenerate-training move applied to the tokenizer:
+    // merge selection is made SQL-expressible (the top-4 adjacent char
+    // pairs of d68's ONE-SHOT weighted ranking — step-0 beam, not the
+    // greedy re-count), and ENCODING under char-pair merges is exactly a
+    // placeholder replace chain — `replace(word, pair, <PUA char>)` is
+    // greedy left-to-right non-overlapping in BOTH engines, and each
+    // merged symbol becomes one private-use char so later pair matches
+    // can never span a merged-symbol boundary. Token count = code-point
+    // length of the rewritten string. Output: the cumulative-k curve
+    // (k = 0..4) with the applied pair, pinning BPE-apply semantics AND
+    // the monotone non-increasing token count under the hash gate
+    // (production stays on d92's native BpeEncode path; Round20OpsSpec
+    // pins native ≡ replace-chain on these very pairs).
+    //
+    // Scale shape: corpus folds once onto the word vocab behind a
+    // barrier; pair ranking is d68's bounded-domain plan; the 1-row
+    // merge frame broadcasts onto the vocab scan; one constant-width
+    // fold + a literal 5-struct unpivot (the d58 envelope).
+    //
+    // Exactness: integer counts; the PUA placeholders (U+E000..) cannot
+    // occur in the corpus (documents are verified ASCII; a collision
+    // would only shift both engines identically anyway since the
+    // replace chains are the same); absent merges (tiny corpora)
+    // coalesce to a never-matching PUA pattern and a NULL output pair.
+    GraftQuery(
+      "d94_bpe_encode_geometry",
+      (s, d) => {
+        import graft.operators.Checkpoints
+        val vocab = Checkpoints.barrier(
+          Tables.documents(s, d)
+            .select(explode(tokens(col("text"))).as("word"))
+            .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+        val ranked = vocab
+          .filter(length(col("word")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("pair").asc)
+          .limit(4)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("pair_count").desc, col("pair").asc)))
+        val m = ranked.agg(
+          max(when(col("rk") === 1, col("pair"))).as("m1"),
+          max(when(col("rk") === 2, col("pair"))).as("m2"),
+          max(when(col("rk") === 3, col("pair"))).as("m3"),
+          max(when(col("rk") === 4, col("pair"))).as("m4"))
+        // NOTE: the string literals below CONTAIN private-use chars that
+        // most editors render invisibly — each replacement is U+E000+i
+        // (DuckDB chr(57344+i)), each absent-merge fallback pattern is
+        // U+E0FF U+E0FF (chr(57599)) which can never match.
+        val enc = vocab.crossJoin(broadcast(m))
+          .withColumn("s1", expr(
+            "replace(word, coalesce(m1, ''), '')"))
+          .withColumn("s2", expr(
+            "replace(s1, coalesce(m2, ''), '')"))
+          .withColumn("s3", expr(
+            "replace(s2, coalesce(m3, ''), '')"))
+          .withColumn("s4", expr(
+            "replace(s3, coalesce(m4, ''), '')"))
+        val tot = enc.agg(
+          coalesce(sum(col("cnt") * length(col("word")).cast("bigint")),
+            lit(0L)).as("t0"),
+          coalesce(sum(col("cnt") * length(col("s1")).cast("bigint")),
+            lit(0L)).as("t1"),
+          coalesce(sum(col("cnt") * length(col("s2")).cast("bigint")),
+            lit(0L)).as("t2"),
+          coalesce(sum(col("cnt") * length(col("s3")).cast("bigint")),
+            lit(0L)).as("t3"),
+          coalesce(sum(col("cnt") * length(col("s4")).cast("bigint")),
+            lit(0L)).as("t4"),
+          max(col("m1")).as("m1"), max(col("m2")).as("m2"),
+          max(col("m3")).as("m3"), max(col("m4")).as("m4"))
+        tot.select(explode(array(
+            struct(lit(0L).as("k"),
+              lit(null).cast("string").as("merge_pair"),
+              col("t0").as("n_tokens")),
+            struct(lit(1L).as("k"), col("m1").as("merge_pair"),
+              col("t1").as("n_tokens")),
+            struct(lit(2L).as("k"), col("m2").as("merge_pair"),
+              col("t2").as("n_tokens")),
+            struct(lit(3L).as("k"), col("m3").as("merge_pair"),
+              col("t3").as("n_tokens")),
+            struct(lit(4L).as("k"), col("m4").as("merge_pair"),
+              col("t4").as("n_tokens")))).as("r"),
+            col("t0").as("n_chars"))
+          .select(col("r.k").as("k"), col("r.merge_pair").as("merge_pair"),
+            col("r.n_tokens").as("n_tokens"), col("n_chars"),
+            when(col("n_chars") > 0L,
+              round(col("r.n_tokens").cast("double")
+                / col("n_chars").cast("double"), 6)).as("tokens_per_char"))
+      },
+      Some(s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+        tok AS (SELECT unnest(toks) AS word FROM t),
+        v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1),
+        pr AS (SELECT unnest(list_transform(range(1, len(word)),
+              i -> substring(word, CAST(i AS INT), 2))) AS pair, cnt
+          FROM v WHERE len(word) >= 2),
+        pc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+          FROM pr GROUP BY 1),
+        r AS (SELECT pair,
+            row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rk
+          FROM pc QUALIFY rk <= 4),
+        m AS (SELECT
+            MAX(CASE WHEN rk = 1 THEN pair END) AS m1,
+            MAX(CASE WHEN rk = 2 THEN pair END) AS m2,
+            MAX(CASE WHEN rk = 3 THEN pair END) AS m3,
+            MAX(CASE WHEN rk = 4 THEN pair END) AS m4
+          FROM r),
+        e AS (SELECT v.cnt, len(v.word) AS l0,
+            len(replace(v.word, COALESCE(m.m1, chr(57599) || chr(57599)),
+              chr(57344))) AS l1x, m.m1, m.m2, m.m3, m.m4,
+            v.word
+          FROM v CROSS JOIN m),
+        e2 AS (SELECT cnt, l0, l1x AS l1,
+            len(replace(replace(word,
+              COALESCE(m1, chr(57599) || chr(57599)), chr(57344)),
+              COALESCE(m2, chr(57599) || chr(57599)), chr(57345))) AS l2,
+            len(replace(replace(replace(word,
+              COALESCE(m1, chr(57599) || chr(57599)), chr(57344)),
+              COALESCE(m2, chr(57599) || chr(57599)), chr(57345)),
+              COALESCE(m3, chr(57599) || chr(57599)), chr(57346))) AS l3,
+            len(replace(replace(replace(replace(word,
+              COALESCE(m1, chr(57599) || chr(57599)), chr(57344)),
+              COALESCE(m2, chr(57599) || chr(57599)), chr(57345)),
+              COALESCE(m3, chr(57599) || chr(57599)), chr(57346)),
+              COALESCE(m4, chr(57599) || chr(57599)), chr(57347))) AS l4,
+            m1, m2, m3, m4
+          FROM e),
+        a AS (SELECT
+            COALESCE(CAST(SUM(cnt * l0) AS BIGINT), 0) AS t0,
+            COALESCE(CAST(SUM(cnt * l1) AS BIGINT), 0) AS t1,
+            COALESCE(CAST(SUM(cnt * l2) AS BIGINT), 0) AS t2,
+            COALESCE(CAST(SUM(cnt * l3) AS BIGINT), 0) AS t3,
+            COALESCE(CAST(SUM(cnt * l4) AS BIGINT), 0) AS t4,
+            MAX(m1) AS m1, MAX(m2) AS m2, MAX(m3) AS m3, MAX(m4) AS m4
+          FROM e2),
+        u AS (
+          SELECT 0 AS k, CAST(NULL AS VARCHAR) AS merge_pair,
+            t0 AS n_tokens, t0 AS n_chars FROM a
+          UNION ALL SELECT 1, m1, t1, t0 FROM a
+          UNION ALL SELECT 2, m2, t2, t0 FROM a
+          UNION ALL SELECT 3, m3, t3, t0 FROM a
+          UNION ALL SELECT 4, m4, t4, t0 FROM a)
+        SELECT CAST(k AS BIGINT) AS k, merge_pair, n_tokens, n_chars,
+          CASE WHEN n_chars > 0 THEN
+            round(CAST(n_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+          END AS tokens_per_char
+        FROM u""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

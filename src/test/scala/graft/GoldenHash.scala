@@ -39,7 +39,12 @@ object GoldenHash {
     // round 19: the native single-pass bigram-entropy expression (a
     // per-row hash-map fold has no single-statement SQL analog);
     // Round19OpsSpec pins frame EQUALITY with the oracle-gated d86
-    "d89_bigram_entropy_native")
+    "d89_bigram_entropy_native",
+    // round 20: the BPE encoder + fertility sweep ride d80's iterative
+    // trained merges (the same no-SQL-analog class); apply semantics
+    // are oracle-pinned by d94's replace-chain geometry and the
+    // Round20OpsSpec encode∘train laws
+    "d92_bpe_encode", "d93_bpe_fertility_sweep")
 
   val sfDir = "/root/testdata/sf0.01"
   val file = "GOLDEN.json"

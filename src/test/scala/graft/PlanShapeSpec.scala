@@ -107,7 +107,10 @@ class PlanShapeSpec extends SparkSpec {
       "e36_range_search", "e37_rrf_hybrid", "d84_bm25_topk",
       // q65 crosses the bounded month domain with the ≤5-row broadcast
       // priority domain to densify the lag grid (the q44 move).
-      "q65_priority_mix_drift")
+      "q65_priority_mix_drift",
+      // d94 cross-joins the 1-row top-4-merge frame onto the vocab scan
+      // (the d84 1-row stats pattern).
+      "d94_bpe_encode_geometry")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {

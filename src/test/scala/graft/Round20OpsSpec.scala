@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{TextExprs, TextOps}
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** Round-20 additions: the BPE ENCODER laws. d80 trains the merge table;
+  * d92/d93 apply it at corpus scale through the native BpeEncode
+  * expression and d94 pins apply-semantics under the DuckDB hash gate via
+  * the placeholder replace-chain. These tests anchor the algebra the
+  * queries assume, on constructed corpora with hand-computable outcomes:
+  *
+  *   - trainLocal ≡ train (the bounded driver trainer and the
+  *     distributed loop emit the SAME merge sequence, step for step);
+  *   - the Sennrich textbook corpus yields the textbook merges, and
+  *     encode("lowest") = [low, est] — the canonical BPE example;
+  *   - encode laws: k = 0 is the code-point split (astral-safe),
+  *     applying the merge list is idempotent, token counts are
+  *     non-increasing in the merge prefix;
+  *   - native BpeEncode ≡ the replace-chain geometry on d94's own
+  *     top-4 char pairs over the real fixture vocabulary.
+  */
+class Round20OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The Sennrich et al. (2016) worked corpus. */
+  private val sennrich: Seq[(String, Long)] =
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  private def enc(w: String, merges: Seq[Bpe.Merge]): Seq[String] =
+    TextOps.bpeEncode(UTF8String.fromString(w),
+        merges.map(m => Array(m.left, m.right)).toArray)
+      .array.map(_.toString).toSeq
+
+  test("trainLocal ≡ train: identical merge sequence on the Sennrich " +
+      "corpus and on the fixture vocabulary") {
+    val df = sennrich.toDF("word", "cnt")
+    val dist = Bpe.train(df, k = 8)
+    val local = Bpe.trainLocal(sennrich, k = 8)
+    assert(dist == local,
+      s"distributed $dist vs local $local")
+
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val distF = Bpe.train(vocab, k = 6)
+    val localF = Bpe.trainLocal(Bpe.collectVocab(vocab, 65536), k = 6)
+    assert(distF == localF, s"fixture: distributed $distF vs local $localF")
+  }
+
+  test("Sennrich corpus: textbook merge table and encode('lowest') = " +
+      "[low, est]") {
+    val merges = Bpe.trainLocal(sennrich, k = 5)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L)), merges.toString)
+    // the canonical BPE example: an UNSEEN word segments into the
+    // learned subwords
+    assert(enc("lowest", merges) == Seq("low", "est"))
+    assert(enc("low", merges) == Seq("low"))
+    assert(enc("newest", merges.take(2)) == Seq("n", "e", "w", "est"))
+    assert(enc("newest", merges) == Seq("n", "ew", "est"))
+  }
+
+  test("encode with k = 0 merges is the code-point split (astral-safe)") {
+    assert(enc("low", Nil) == Seq("l", "o", "w"))
+    assert(enc("", Nil) == Nil)
+    // 🙂 is U+1F642 (astral): one SYMBOL, never a split surrogate pair
+    assert(enc("a🙂b", Nil) == Seq("a", "🙂", "b"))
+  }
+
+  test("encode laws on the fixture vocabulary: idempotent under " +
+      "re-application, token count non-increasing per merge step") {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val words = Bpe.collectVocab(vocab, 65536)
+    val merges = Bpe.trainLocal(words, k = 64)
+    assert(merges.nonEmpty)
+    // non-increasing top pair count (the train-loop law, local form)
+    merges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.pairCount >= b.pairCount, s"$a then $b")
+    case _ => ()
+    }
+    words.foreach { case (w, _) =>
+      // idempotence: re-applying the whole merge list to the encoded
+      // symbols changes nothing (every adjacency was consumed greedily)
+      val once = enc(w, merges).toArray
+      val twice = merges.foldLeft(once) { (syms, m) =>
+        Bpe.applyMergeLocal(syms, m.left, m.right)
+      }
+      assert(twice.sameElements(once), s"$w: ${once.toSeq} re-merged to " +
+        s"${twice.toSeq}")
+      // monotone: each longer merge prefix can only shrink the encoding
+      (0 to merges.size).sliding(2).foreach { case Seq(k1, k2) =>
+        assert(enc(w, merges.take(k2)).size <= enc(w, merges.take(k1)).size,
+          s"$w grew from k=$k1 to k=$k2")
+      case _ => ()
+      }
+    }
+  }
+
+  test("native BpeEncode ≡ d94's replace-chain on the fixture's top-4 " +
+      "char pairs") {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val words = Bpe.collectVocab(vocab, 65536)
+    // d94's merge selection: one-shot weighted adjacent char pairs,
+    // (count desc, pair asc) — derived independently here in plain Scala
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+    }
+    val top4 = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(4)
+      .map(_._1)
+    assert(top4.size == 4)
+    val merges = top4.map(p => (p.substring(0, 1), p.substring(1, 2)))
+    words.foreach { case (w, _) =>
+      // replace-chain: each pair to one PUA char, sequentially
+      val replaced = merges.zipWithIndex.foldLeft(w) { case (s, (m, i)) =>
+        s.replace(m._1 + m._2, (0xE000 + i).toChar.toString)
+      }
+      val native = TextOps.bpeEncode(UTF8String.fromString(w),
+        merges.map(m => Array(m._1, m._2)).toArray).numElements()
+      assert(native == replaced.codePointCount(0, replaced.length),
+        s"$w: native $native vs replace-chain '$replaced'")
+    }
+  }
+
+  test("d93 fixture readout: fertility is exactly 1.0 at merge " +
+      "exhaustion (every vocab word fuses to one symbol)") {
+    val got = graft.queries.GraftQuery.all
+      .find(_.name == "d93_bpe_fertility_sweep").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(got.keySet == Set(0L, 64L, 256L))
+    assert(got(0L).getAs[Double]("fertility") > 1.0) // chars per word
+    // the fixture vocabulary is small enough that 256 steps exhaust:
+    // every word is one token, and the live symbols ARE the vocab words
+    assert(got(256L).getAs[Double]("fertility") == 1.0)
+    assert(got(256L).getAs[Long]("n_symbols") ==
+      got(256L).getAs[Long]("n_words").min(
+        Tables.documents(spark, sfDir)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+          .distinct().count()))
+  }
+}

@@ -427,4 +427,45 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.size <= 4, "two months x two categories")
     } finally q.stop()
   }
+
+  test("streaming ANN cell live/tombstone counts: maintenance equals the " +
+      "batch build, state bounded by the cell domain") {
+    // e27's compaction trigger as a streaming aggregation
+    // (Sketches.cellLiveCounts) — the tenth bounded-state sketch
+    // (sum-merge onto the IVF cell domain): state is one row per cell
+    // however long the index mutation feed runs. e27 audits tombstone
+    // pollution by rescanning the index in batch; the deployed index
+    // maintains this frame on its insert/delete stream and reads
+    // per-cell staleness off the bounded table at compaction time.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Boolean)] // (cell, deleted)
+    val counts = graft.operators.Sketches.cellLiveCounts(
+      in.toDF().toDF("cell", "deleted"), "cell", "deleted")
+    val q = counts.writeStream.format("memory").queryName("cellstale")
+      .outputMode("complete").start()
+    try {
+      in.addData((0L, false), (0L, false), (1L, false), (2L, false))
+      q.processAllAvailable()
+      in.addData((0L, true), (1L, false), (2L, true), (2L, true))
+      q.processAllAvailable()
+      val streamed = spark.table("cellstale")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.cellLiveCounts(
+        Seq((0L, false), (0L, false), (1L, false), (2L, false),
+          (0L, true), (1L, false), (2L, true), (2L, true))
+          .toDF("cell", "deleted"), "cell", "deleted")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed cell counts diverge from the batch build")
+      assert(streamed == Set((0L, 3L, 1L), (1L, 2L, 0L), (2L, 3L, 2L)),
+        s"per-cell (total, tomb) must fold across micro-batches: $streamed")
+      assert(streamed.size <= 3, "state must stay on the cell domain")
+      // the compaction readout: staleness = n_tomb / n_total at alarm
+      // time — cell 2 is 2/3 stale and crosses a 0.5 trigger, cell 1 is
+      // clean
+      val stale = streamed.map { case (c, n, t) => c -> t.toDouble / n }
+        .toMap
+      assert(stale(2L) > 0.5 && stale(1L) == 0.0)
+    } finally q.stop()
+  }
 }

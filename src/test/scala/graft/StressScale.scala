@@ -336,7 +336,18 @@ object StressScale {
     "m19_sampling_savings" -> ("documents" -> "doc_id"),
     // q69 rides the q55 calendar envelope: fold to days first, then
     // bounded rank windows and a 1-row fold.
-    "q69_weekend_effect_u" -> ("orders" -> "o_orderkey"))
+    "q69_weekend_effect_u" -> ("orders" -> "o_orderkey"),
+    // Round-20 additions — the BPE encoder family. Replicas duplicate
+    // text, so the WORD VOCABULARY is fixed: d92's training collect,
+    // the native encode pass, and the word join-back all run on the
+    // fixed vocab — growth is the one corpus fold (d80's rule) plus
+    // the narrow n_docs scan. d93 trains once and encodes the FIXED
+    // vocab three times — the corpus fold is the only term that grows.
+    // d94's pair ranking and 1-row merge frame are vocab-bounded; its
+    // replace-chain runs on the vocab scan, not the corpus.
+    "d92_bpe_encode" -> ("documents" -> "doc_id"),
+    "d93_bpe_fertility_sweep" -> ("documents" -> "doc_id"),
+    "d94_bpe_encode_geometry" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
