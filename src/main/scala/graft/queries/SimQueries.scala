@@ -2813,5 +2813,74 @@ object SimQueries {
           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
             AS corpus_share
         FROM x WHERE rn IN (1, 2, 4, 8)""")),
+
+    // ---- per-cell tombstone staleness (the e27 compaction trigger as a
+    // cell-domain TABLE) ----------------------------------------------------
+    // e27 measures tombstone pollution per PROBE (what a searcher
+    // experiences); this is the INDEX-side readout the compaction policy
+    // actually consumes: per IVF cell, total/tombstoned/live members,
+    // staleness, and the >50% compact flag. The batch face of the tenth
+    // bounded-state sketch (Sketches.cellLiveCounts — the streaming
+    // maintenance path reads the SAME substrate off the index mutation
+    // feed, StatefulOpsSpec), on e14's pinned degenerate geometry and
+    // e27's vec_id % 7 tombstone rule so every number is
+    // oracle-checkable.
+    //
+    // Scale shape: the cell assignment scan folds map-side onto the
+    // 8-cell domain (ONE exchange carrying ≤ |cells| conditional-count
+    // rows); everything after is grid arithmetic. At a real index scale
+    // the same fold runs over the (id, cell, codes) index table — the
+    // corpus vectors never move.
+    //
+    // Exactness: counts exact int64; staleness is one quotient round
+    // (n_total ≥ 1 by construction — a group only exists with a member);
+    // the flag is integer arithmetic (2·tomb > total, never a double
+    // threshold).
+    GraftQuery(
+      "e39_cell_staleness",
+      (s, d) => {
+        import graft.operators.{Sketches, VectorSearch}
+        val emb = Tables.validEmbeddings(s, d)
+        val (centroids, assigned) =
+          VectorSearch.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 0)
+        if (centroids.isEmpty)
+          emb.select(lit(0L).as("cell"), lit(0L).as("n_total"),
+            lit(0L).as("n_tomb"), lit(0L).as("n_live"),
+            lit(0.0).as("staleness"), lit(0).as("compact_flag"))
+            .filter(lit(false))
+        else
+          Sketches.cellLiveCounts(
+              assigned.select(col("cell").cast("bigint").as("cell"),
+                (col("vec_id") % 7 === 0).as("deleted")),
+              "cell", "deleted")
+            .select(col("cell"), col("n_total"), col("n_tomb"),
+              (col("n_total") - col("n_tomb")).as("n_live"),
+              round(col("n_tomb").cast("double")
+                / col("n_total").cast("double"), 6).as("staleness"),
+              (col("n_tomb") * 2L > col("n_total")).cast("int")
+                .as("compact_flag"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+            e AS ce
+          FROM v ORDER BY vec_id ASC LIMIT 8),
+        ac AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqlCos("v.e", "c.ce")} DESC, c.cell ASC) AS rn
+            FROM v, c) t WHERE rn = 1),
+        g AS (SELECT CAST(cell AS BIGINT) AS cell,
+            CAST(COUNT(*) AS BIGINT) AS n_total,
+            CAST(SUM(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tomb
+          FROM ac GROUP BY 1)
+        SELECT cell, n_total, n_tomb, n_total - n_tomb AS n_live,
+          round(CAST(n_tomb AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+            AS staleness,
+          CAST(CASE WHEN n_tomb * 2 > n_total THEN 1 ELSE 0 END AS INT)
+            AS compact_flag
+        FROM g""")),
   )
 }

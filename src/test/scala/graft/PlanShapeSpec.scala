@@ -786,4 +786,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!d66.contains("CartesianProduct"),
       s"d66 must stay cartesian-free:\n$d66")
   }
+
+  /** Exchange-count budgets for the round-19/20 additions (round-19
+    * verdict, next-round #8): the global no-cartesian pin covers every
+    * query, but a rewrite could still silently ADD a shuffle (a lost
+    * map-side partial, a join where a broadcast was intended, a second
+    * fact pass). Each budget is the MEASURED initial-plan count at the
+    * suite's fixture scale — a future plan may only hold or shrink it.
+    * The narrative shape pins for these queries live with their
+    * registrations and the per-round tests above; this table is the
+    * regression tripwire. */
+  private val exchangeBudgets: Seq[(String, Int)] = Seq(
+    "q61_ewma_anomaly" -> 2, "q62_daily_acf" -> 4,
+    "q63_gap_burstiness" -> 3, "q64_lorenz_deciles" -> 2,
+    "q65_priority_mix_drift" -> 5, "q66_revenue_bridge" -> 4,
+    "q67_abc_classes" -> 1, "q68_referential_audit" -> 3,
+    "q69_weekend_effect_u" -> 2,
+    "d84_bm25_topk" -> 5, "d85_readability" -> 0,
+    "d86_char_bigram_entropy" -> 2, "d87_max_token_run" -> 1,
+    "d88_metadata_consistency" -> 1, "d89_bigram_entropy_native" -> 0,
+    "d90_pair_jaccard_histogram" -> 3, "d91_dup_cluster_sizes" -> 5,
+    "e35_ivf_cell_quality" -> 3, "e36_range_search" -> 1,
+    "e37_rrf_hybrid" -> 5, "e38_probe_cost_model" -> 2,
+    "e39_cell_staleness" -> 1,
+    "m16_resolution_audit" -> 2, "m17_loudness_gain" -> 1,
+    "m18_keyframe_select" -> 1, "m19_sampling_savings" -> 1,
+    "d92_bpe_encode" -> 3, "d93_bpe_fertility_sweep" -> 3,
+    "d94_bpe_encode_geometry" -> 2)
+
+  test("round-19/20 queries hold their exchange budgets") {
+    val over = exchangeBudgets.flatMap { case (name, budget) =>
+      val n = shuffles(plan(name))
+      if (n > budget) Some(s"$name: $n exchanges (budget $budget)")
+      else None
+    }
+    assert(over.isEmpty,
+      s"exchange budgets exceeded:\n${over.mkString("\n")}")
+  }
 }

@@ -347,7 +347,11 @@ object StressScale {
     // replace-chain runs on the vocab scan, not the corpus.
     "d92_bpe_encode" -> ("documents" -> "doc_id"),
     "d93_bpe_fertility_sweep" -> ("documents" -> "doc_id"),
-    "d94_bpe_encode_geometry" -> ("documents" -> "doc_id"))
+    "d94_bpe_encode_geometry" -> ("documents" -> "doc_id"),
+    // e39: one conditional-count fold onto the 8-cell domain — the
+    // d64 fixed-grid envelope (the assignment scan is the only term
+    // that grows; e14's degenerate 8-cell quantizer is fixed).
+    "e39_cell_staleness" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
