@@ -4864,6 +4864,131 @@ object TextQueries {
             round(CAST(n_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
           END AS tokens_per_char
         FROM u""")),
+
+    // ---- hashing-trick linear classifier inference -------------------------
+    // The fastText-style quality-classifier gate (CCNet / LLaMA-pipeline
+    // shape): per doc, a linear model over hashed token features —
+    // logit = Σ_tokens w[h(tok)] / n_tokens — scored in ONE pass. The
+    // model here is a deterministic md5-derived stand-in (the m01
+    // decode-seam argument: no trained weights exist in the sandbox, so
+    // BOTH engines compute the same synthetic model; a real model swaps
+    // in trained weights without touching the plan). Weight of token t:
+    // the first 16 md5 bits of t, centered — w = h16(t) − 32768 in
+    // integer 1/32768ths, i.e. D = 2^16 hash buckets with a dyadic
+    // weight table DERIVED per row instead of joined (a real 2^16-float
+    // table would broadcast; either way the corpus never shuffles for
+    // the model).
+    //
+    // Scale shape: token explode → integer conditional sums onto the
+    // doc domain (ONE map-side-combinable exchange) → left join-back so
+    // tokenless docs keep a row. The inference pass of a 100 TB quality
+    // gate: no weight join, no window, nothing after the fold is bigger
+    // than the doc table.
+    //
+    // Exactness: the scaled logit is an exact int64 (|Σ| ≤ n·32768);
+    // the reported logit divides two exact int64s as double in one op
+    // order then rounds (a quotient — never on a half-boundary); the
+    // keep flag is INTEGER sign arithmetic, so the gate decision is
+    // exact in both engines.
+    GraftQuery(
+      "d95_hash_classifier_score",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("w", expr(
+            "cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) - 32768"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("w")).as("logit_scaled"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("logit_scaled"), lit(0L)).as("logit_scaled"),
+            when(col("n_tokens") > 0L,
+              round(col("logit_scaled").cast("double")
+                / (col("n_tokens") * 32768L).cast("double"), 6))
+              .as("logit"),
+            when(col("n_tokens") > 0L,
+              (col("logit_scaled") > 0L).cast("int")).as("keep_flag"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS tok
+          FROM documents),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM(CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+              - 32768) AS BIGINT) AS logit_scaled
+          FROM t GROUP BY 1)
+        SELECT d.doc_id,
+          COALESCE(sc.n_tokens, 0) AS n_tokens,
+          COALESCE(sc.logit_scaled, 0) AS logit_scaled,
+          CASE WHEN sc.n_tokens > 0 THEN
+            round(CAST(sc.logit_scaled AS DOUBLE)
+              / CAST(sc.n_tokens * 32768 AS DOUBLE), 6) END AS logit,
+          CASE WHEN sc.n_tokens > 0 THEN
+            CAST(CASE WHEN sc.logit_scaled > 0 THEN 1 ELSE 0 END AS INT)
+          END AS keep_flag
+        FROM documents d LEFT JOIN sc USING (doc_id)""")),
+
+    // ---- retrieval chunking (RAG index construction) -----------------------
+    // The chunker a retrieval pipeline runs over the cleaned corpus:
+    // fixed W=32-token windows at stride S=24 (8-token overlap so no
+    // query phrase straddles a boundary unseen), materialized as chunk
+    // text + fingerprint — the unit a vector index embeds. d22/d37 chunk
+    // non-overlapping for DEDUP; the stride/overlap form is the
+    // retrieval-specific shape, and the boundary convention (last chunk
+    // starts at the final stride position < n, may be short; one chunk
+    // for n ≤ W including n < W) is written identically in both engines.
+    //
+    // Scale shape: one narrow scan; chunks expand via a bounded
+    // transform-over-range explode at the doc grain (output-linear:
+    // ~n_tokens/S chunks per doc, text sliced from the SAME token array
+    // — never a self-join, never a per-chunk re-tokenize). The chunk
+    // fingerprint is the dedup/join key downstream (e.g. e-family
+    // embedding tables) — emitted here so the index build never needs
+    // the text twice.
+    GraftQuery(
+      "d96_retrieval_chunks",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), size(col("toks")).cast("bigint")
+            .as("n_tokens"), posexplode(expr(
+            s"""transform(
+                 sequence(0, cast(greatest(ceil((size(toks) - $W)
+                   / cast($S as double)), 0) as int)),
+                 i -> array_join(slice(toks, i * $S + 1,
+                   least($W, size(toks) - i * $S)), ' '))""")))
+          .select(col("doc_id"), col("n_tokens"),
+            col("pos").cast("bigint").as("chunk_idx"),
+            (col("pos") * S).cast("bigint").as("start_tok"),
+            least(lit(W.toLong), col("n_tokens") - col("pos") * S)
+              .cast("bigint").as("chunk_tokens"),
+            md5(col("col")).as("chunk_fp"),
+            col("col").as("chunk_text"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        nz AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM t WHERE len(toks) > 0),
+        c AS (SELECT doc_id, n_tokens,
+            unnest(list_transform(
+              range(0, CAST(greatest(ceil((n_tokens - 32) / 24.0), 0)
+                AS BIGINT) + 1),
+              i -> struct_pack(idx := i, txt := array_to_string(
+                toks[CAST(i * 24 + 1 AS INT) :
+                  CAST(i * 24 + least(32, n_tokens - i * 24) AS INT)],
+                ' ')))) AS ch
+          FROM nz)
+        SELECT doc_id, n_tokens,
+          CAST(ch.idx AS BIGINT) AS chunk_idx,
+          CAST(ch.idx * 24 AS BIGINT) AS start_tok,
+          CAST(least(32, n_tokens - ch.idx * 24) AS BIGINT)
+            AS chunk_tokens,
+          md5(ch.txt) AS chunk_fp,
+          ch.txt AS chunk_text
+        FROM c""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

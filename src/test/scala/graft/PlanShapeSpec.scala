@@ -812,7 +812,8 @@ class PlanShapeSpec extends SparkSpec {
     "m16_resolution_audit" -> 2, "m17_loudness_gain" -> 1,
     "m18_keyframe_select" -> 1, "m19_sampling_savings" -> 1,
     "d92_bpe_encode" -> 3, "d93_bpe_fertility_sweep" -> 3,
-    "d94_bpe_encode_geometry" -> 2)
+    "d94_bpe_encode_geometry" -> 2,
+    "d95_hash_classifier_score" -> 1, "d96_retrieval_chunks" -> 0)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

@@ -351,7 +351,13 @@ object StressScale {
     // e39: one conditional-count fold onto the 8-cell domain — the
     // d64 fixed-grid envelope (the assignment scan is the only term
     // that grows; e14's degenerate 8-cell quantizer is fixed).
-    "e39_cell_staleness" -> ("embeddings" -> "vec_id"))
+    "e39_cell_staleness" -> ("embeddings" -> "vec_id"),
+    // d95: token explode → integer sums onto the doc domain (one
+    // map-side-combinable exchange) — input-linear inference. d96:
+    // zero-exchange chunk explode, output-linear (~n_tokens/stride
+    // chunks per doc).
+    "d95_hash_classifier_score" -> ("documents" -> "doc_id"),
+    "d96_retrieval_chunks" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
