@@ -4989,6 +4989,114 @@ object TextQueries {
           md5(ch.txt) AS chunk_fp,
           ch.txt AS chunk_text
         FROM c""")),
+
+    // ---- content-defined chunk dedup (shift-robust boundaries) ------------
+    // d22's fixed 10-token windows miss every duplicate once an edit
+    // SHIFTS the text (one inserted token misaligns all later windows —
+    // the classic fixed-block weakness). Content-defined chunking cuts
+    // where the CONTENT says to (a token is a boundary when its first
+    // 16 md5 bits ≡ 0 mod 8 — expected chunk ~8 tokens, the
+    // rsync/LBFS/CDC trick at token grain): chunks after an edit
+    // re-synchronize at the next boundary, so prefix-shifted re-crawls
+    // still share almost every chunk (spec-pinned against d22's zero on
+    // the same corpus). Per doc: chunk count, duplicated-chunk count
+    // (chunks seen in ≥2 docs), dup fraction, mean chunk length — the
+    // d22 readout under shift-robust boundaries.
+    //
+    // Scale shape: boundaries and chunks derive inside ONE projection
+    // (array filter + slice over the token array — no window, no
+    // per-doc shuffle for the chunking itself); then d22's exact
+    // envelope: per-(doc, chunk-hash) occurrence counts, a count-only
+    // window on the 32-byte-key domain (never collect_set on a hot
+    // boilerplate chunk), per-doc fold, left join-back.
+    //
+    // Exactness: boundary rule is integer md5 arithmetic, identical in
+    // both engines; counts exact int64; dup_frac and mean length are
+    // single quotients.
+    GraftQuery(
+      "d97_cdc_chunk_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("bpos", when(size(col("toks")) > 0, expr(
+            """filter(sequence(1, size(toks)),
+                 i -> i = size(toks) or
+                   cast(conv(substr(md5(toks[i-1]), 1, 4), 16, 10)
+                     as bigint) % 8 = 0)"""))
+            .otherwise(expr("cast(array() as array<bigint>)")))
+          // guard BOTH derivations: Spark's sequence(1, 0) yields the
+          // DESCENDING [1, 0] (never empty), so an unguarded transform
+          // over an empty bpos would index bpos[0] on a 0-element array
+          // — an ANSI task failure on null/empty text rows
+          .withColumn("chunks", when(size(col("bpos")) > 0, expr(
+            """transform(sequence(1, size(bpos)),
+                 j -> array_join(slice(toks,
+                   cast((case when j = 1 then 0 else bpos[j-2] end) + 1
+                     as int),
+                   cast(bpos[j-1] -
+                     (case when j = 1 then 0 else bpos[j-2] end) as int)),
+                 ' '))"""))
+            .otherwise(expr("cast(array() as array<string>)")))
+        val occ = docs
+          .select(col("doc_id"), explode(col("chunks")).as("c"))
+          .select(col("doc_id"), md5(col("c")).as("ch"))
+          .groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("occ"))
+        val per = occ
+          .withColumn("nd",
+            count(lit(1)).over(Window.partitionBy(col("ch"))))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("occ")).as("n_chunks"),
+            sum(when(col("nd") >= 2, col("occ")).otherwise(0L))
+              .as("n_dup_chunks"))
+        docs.select(col("doc_id"),
+            size(col("toks")).cast("bigint").as("n_tokens"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+            when(coalesce(col("n_chunks"), lit(0L)) === 0L, lit(0.0))
+              .otherwise(col("n_dup_chunks").cast("double")
+                / col("n_chunks").cast("double")).as("dup_frac"),
+            when(coalesce(col("n_chunks"), lit(0L)) === 0L,
+              lit(null).cast("double"))
+              .otherwise(round(col("n_tokens").cast("double")
+                / col("n_chunks").cast("double"), 6))
+              .as("mean_chunk_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        b AS (SELECT doc_id, toks,
+            list_filter(range(1, len(toks) + 1),
+              i -> i = len(toks) OR
+                CAST('0x' || substr(md5(toks[i]), 1, 4) AS BIGINT) % 8 = 0)
+              AS bpos
+          FROM t),
+        ck AS (SELECT doc_id, toks,
+            list_transform(range(1, len(bpos) + 1),
+              j -> array_to_string(toks[
+                CAST((CASE WHEN j = 1 THEN 0 ELSE bpos[CAST(j - 1 AS INT)]
+                  END) + 1 AS INT) :
+                CAST(bpos[CAST(j AS INT)] AS INT)], ' ')) AS chunks
+          FROM b),
+        e AS (SELECT doc_id, md5(unnest(chunks)) AS ch FROM ck),
+        oc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS occ
+          FROM e GROUP BY 1, 2),
+        w AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY ch) AS BIGINT)
+            AS nd FROM oc),
+        per AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT)
+              AS n_dup_chunks
+          FROM w GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          COALESCE(per.n_chunks, 0) AS n_chunks,
+          COALESCE(per.n_dup_chunks, 0) AS n_dup_chunks,
+          CASE WHEN COALESCE(per.n_chunks, 0) = 0 THEN 0.0
+            ELSE CAST(per.n_dup_chunks AS DOUBLE)
+              / CAST(per.n_chunks AS DOUBLE) END AS dup_frac,
+          CASE WHEN COALESCE(per.n_chunks, 0) = 0 THEN NULL
+            ELSE round(CAST(len(t.toks) AS DOUBLE)
+              / CAST(per.n_chunks AS DOUBLE), 6) END AS mean_chunk_tokens
+        FROM t LEFT JOIN per USING (doc_id)""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -136,6 +136,46 @@ class Round20OpsSpec extends SparkSpec {
     }
   }
 
+  test("d97 CDC chunking is shift-robust where d22's fixed windows are " +
+      "not: a one-token prefix edit keeps chunks shared") {
+    // Same long text twice, once with one token prepended. Fixed
+    // 10-token windows all misalign after the shift → d22 sees ZERO
+    // shared chunks. Content-defined boundaries re-synchronize at the
+    // first boundary token past the edit → d97 still shares every
+    // chunk after it. The corpus words include known boundary tokens
+    // (md5 16-bit prefix ≡ 0 mod 8: 'sat', 'dog', 'ran', 'of').
+    val base = ("the cat sat on the mat and then the dog ran to the " +
+      "park with a ball it was best of times for all of us ") * 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val schema = Tables.documents(spark, sfDir).schema
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, base.trim, "en", "srcA",
+        base.trim.length.toLong),
+      org.apache.spark.sql.Row(2L, ("shifted " + base).trim, "en", "srcB",
+        ("shifted " + base).trim.length.toLong))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def perDoc(name: String): Map[Long, (Long, Long)] =
+      graft.queries.GraftQuery.all.find(_.name == name).get
+        .run(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))).toMap
+
+    val cdc = perDoc("d97_cdc_chunk_dedup")
+    val fixed = perDoc("d22_chunk_dedup")
+    // fixed windows: the 1-token shift misaligns every 10-token window
+    assert(fixed(1L)._2 == 0L && fixed(2L)._2 == 0L,
+      s"fixed windows unexpectedly survived the shift: $fixed")
+    // CDC: both docs share most chunks (all but the edit-straddling
+    // first chunk of doc 2)
+    assert(cdc(1L)._2 == cdc(1L)._1,
+      s"every chunk of the unshifted doc must recur in the shifted one: $cdc")
+    assert(cdc(2L)._2 >= cdc(2L)._1 - 1,
+      s"at most the edit-straddling chunk may be unshared: $cdc")
+  }
+
   test("d93 fixture readout: fertility is exactly 1.0 at merge " +
       "exhaustion (every vocab word fuses to one symbol)") {
     val got = graft.queries.GraftQuery.all

@@ -357,7 +357,12 @@ object StressScale {
     // zero-exchange chunk explode, output-linear (~n_tokens/stride
     // chunks per doc).
     "d95_hash_classifier_score" -> ("documents" -> "doc_id"),
-    "d96_retrieval_chunks" -> ("documents" -> "doc_id"))
+    "d96_retrieval_chunks" -> ("documents" -> "doc_id"),
+    // d97 rides d22's exact envelope (per-(doc, chunk-hash) collapse,
+    // count-only window) with the chunking itself a zero-exchange
+    // projection; replicas duplicate text so the chunk-hash domain is
+    // FIXED — growth is the explode scan into map-side partials.
+    "d97_cdc_chunk_dedup" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
