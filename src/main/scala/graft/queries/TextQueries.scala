@@ -5097,6 +5097,75 @@ object TextQueries {
             ELSE round(CAST(len(t.toks) AS DOUBLE)
               / CAST(per.n_chunks AS DOUBLE), 6) END AS mean_chunk_tokens
         FROM t LEFT JOIN per USING (doc_id)""")),
+
+    // ---- cross-source NEAR-dup provenance matrix ---------------------------
+    // d63 maps which source pairs carry the same EXACT documents
+    // (mirrors/re-crawls); real syndication rewrites a headline or
+    // swaps a byline, so the exact-fingerprint matrix under-reports it.
+    // This is the same audit at NEAR-dup grain: d09's verified
+    // jaccard-≥-0.5 pairs labeled by their docs' sources, folded to the
+    // unordered source-pair matrix with pair counts, the share of all
+    // verified pairs, mean similarity, and a cross-source flag — the
+    // mixture-design readout that says "srcX is srcY lightly rewritten,
+    // don't double-weight them".
+    //
+    // Scale shape: rides d09's BOUNDED capped-bucket pair table (never
+    // a corpus self-join); the two source join-backs attach a
+    // corpus-sized (doc_id, source) projection to the tiny pair side
+    // (AQE broadcasts the pair side); the matrix fold is
+    // ≤ C(|sources|+1, 2) rows.
+    //
+    // Exactness: the jaccard is d09's oracle-pinned form; pair counts
+    // exact int64; mean sums 6-dp-rounded decimals (order-free); the
+    // unordered pair key is least/greatest on source strings.
+    GraftQuery(
+      "d98_cross_source_neardup",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        val verified = candidatePairs(s, d).filter(col("jaccard") >= 0.5)
+        val src = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+        verified
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("sa")), Seq("a_id"))
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("sb")), Seq("b_id"))
+          .groupBy(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round(col("jaccard"), 6).cast("decimal(18,6)"))
+              .as("jsum"))
+          .withColumn("share", round(col("n_pairs").cast("double")
+            / sum(col("n_pairs")).over(w).cast("double"), 6))
+          .select(col("src_a"), col("src_b"), col("n_pairs"), col("share"),
+            round(col("jsum").cast("double")
+              / col("n_pairs").cast("double"), 6).as("mean_jaccard"),
+            (col("src_a") =!= col("src_b")).cast("int").as("cross_source"))
+      },
+      Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte,
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.shingle_set, b.shingle_set))
+              AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.shingle_set,
+              b.shingle_set))) AS DOUBLE) AS j
+          FROM mhc a JOIN mhc b
+            ON a.minhash = b.minhash AND a.doc_id < b.doc_id),
+        v AS (SELECT * FROM p WHERE j >= 0.5),
+        l AS (SELECT least(da.source, db.source) AS src_a,
+            greatest(da.source, db.source) AS src_b, v.j
+          FROM v JOIN documents da ON v.a_id = da.doc_id
+            JOIN documents db ON v.b_id = db.doc_id),
+        g AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            SUM(CAST(round(j, 6) AS DECIMAL(18,6))) AS jsum
+          FROM l GROUP BY 1, 2)
+        SELECT src_a, src_b, n_pairs,
+          round(CAST(n_pairs AS DOUBLE) / CAST(CAST(SUM(n_pairs) OVER ()
+            AS BIGINT) AS DOUBLE), 6) AS share,
+          round(CAST(jsum AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+            AS mean_jaccard,
+          CAST(CASE WHEN src_a = src_b THEN 0 ELSE 1 END AS INT)
+            AS cross_source
+        FROM g""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -362,7 +362,11 @@ object StressScale {
     // count-only window) with the chunking itself a zero-exchange
     // projection; replicas duplicate text so the chunk-hash domain is
     // FIXED — growth is the explode scan into map-side partials.
-    "d97_cdc_chunk_dedup" -> ("documents" -> "doc_id"))
+    "d97_cdc_chunk_dedup" -> ("documents" -> "doc_id"),
+    // d98 rides d09's capped-bucket pair family (replicas duplicate
+    // text → pair OUTPUT grows ~8² within caps, the d59/d61/d90 rule)
+    // plus two join-backs of the bounded pair side onto the source map.
+    "d98_cross_source_neardup" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
