@@ -235,4 +235,22 @@ object Sketches {
       .groupBy(col(cellCol).as("cell"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col(delCol), 1L).otherwise(0L)).as("n_tomb"))
+
+  /** Per-source seen/passed counts of a boolean gate signal: ≤ |sources|
+    * rows whatever the corpus size. Eleventh member of the bounded-state
+    * sketch family (sum-merge, like [[cellLiveCounts]]): a pure
+    * conditional-count groupBy onto the source domain, so batch map-side
+    * partials and Structured Streaming state both hold one row per
+    * source however long the ingest runs. This is the LIVE half of the
+    * d75 source-admission monitor: maintain these counts on the crawl
+    * stream and read each source's pass rate / Wilson lower bound off
+    * the bounded table whenever the admission policy re-evaluates —
+    * batch d75 computes the same substrate by rescanning the corpus.
+    * `passCol` must be a non-null boolean (callers gate on concrete
+    * signals; a null gate verdict is a scoring bug, not a state). */
+  def gatePassCounts(df: DataFrame, srcCol: String,
+      passCol: String): DataFrame =
+    df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(passCol), 1L).otherwise(0L)).as("n_pass"))
 }

@@ -3642,6 +3642,73 @@ object StarQueries {
                 * (n_weekend + n_weekday + 1) AS DOUBLE) / 12.0), 6) END
             AS z
         FROM g""")),
+
+    // ---- discount-lift table (treatment-level price response) -------------
+    // The causal-pricing readout q38's continuous OLS doesn't surface:
+    // discounts come in DISCRETE levels (TPC-H 0.00-0.10), and the
+    // merchandising question is per-LEVEL — how much more quantity does
+    // each discount level move vs full price (the lift), and what share
+    // of revenue rides each level. Slope summaries hide a non-linear
+    // response; the level table IS the response curve.
+    //
+    // Scale shape: ONE fact fold onto the ≤11-row discount domain
+    // (map-side combinable count + two decimal sums); every window after
+    // runs on the bounded grid. The q52/q60 fixed-domain envelope.
+    //
+    // Exactness: the level key is the exact DECIMAL(18,2) value (cast to
+    // double only for output); quantity/revenue sums are exact decimals;
+    // mean = decimal-sum / count as double in one op order, rounded;
+    // lift divides two 6-dp-rounded means (deterministic); revenue share
+    // guards the all-zero-revenue corpus.
+    GraftQuery(
+      "q70_discount_lift",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables.lineitem(s, d)
+          .groupBy(GraftQuery.dec(col("l_discount")).as("disc"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(GraftQuery.dec(col("l_quantity"))).as("qty"),
+            sum(GraftQuery.dec(col("l_extendedprice"))
+              * (lit(1).cast("decimal(18,2)")
+                - GraftQuery.dec(col("l_discount")))).as("rev"))
+          .withColumn("mean_qty", round(col("qty").cast("double")
+            / col("n_lines").cast("double"), 6))
+          .withColumn("base_mean",
+            max(when(col("disc") === lit(0).cast("decimal(18,2)"),
+              col("mean_qty"))).over(w))
+          .withColumn("tot_rev", sum(col("rev")).over(w))
+          .select(col("disc").cast("double").as("discount"),
+            col("n_lines"), col("mean_qty"),
+            when(col("base_mean") > 0.0,
+              round(col("mean_qty") / col("base_mean"), 6)).as("qty_lift"),
+            col("rev").cast("double").as("revenue"),
+            when(col("tot_rev").cast("double") > 0.0,
+              round(col("rev").cast("double")
+                / col("tot_rev").cast("double"), 6)).as("revenue_share"))
+      },
+      Some("""WITH g AS (SELECT CAST(l_discount AS DECIMAL(18,2)) AS disc,
+            CAST(COUNT(*) AS BIGINT) AS n_lines,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          FROM lineitem GROUP BY 1),
+        m AS (SELECT *,
+            round(CAST(qty AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+              AS mean_qty FROM g),
+        b AS (SELECT *,
+            MAX(CASE WHEN disc = CAST(0 AS DECIMAL(18,2)) THEN mean_qty
+              END) OVER () AS base_mean,
+            SUM(rev) OVER () AS tot_rev
+          FROM m)
+        SELECT CAST(disc AS DOUBLE) AS discount, n_lines, mean_qty,
+          CASE WHEN base_mean > 0.0
+            THEN round(mean_qty / base_mean, 6) END AS qty_lift,
+          CAST(rev AS DOUBLE) AS revenue,
+          CASE WHEN CAST(tot_rev AS DOUBLE) > 0.0
+            THEN round(CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+          END AS revenue_share
+        FROM b""")),
   )
 
   /** q61's truncated-EWMA weights w_k = round(α(1−α)^k, 6), α = 0.25,

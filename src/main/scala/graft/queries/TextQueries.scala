@@ -3585,11 +3585,15 @@ object TextQueries {
       "d75_source_quality_wilson",
       (s, d) => {
         val z = 1.96
-        val g = Tables.documents(s, d)
-          .select(col("source"),
-            (qualityScore(col("text")) >= 0.5).cast("long").as("pass"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+        // substrate shared with the streaming admission monitor
+        // (Sketches.gatePassCounts — the eleventh bounded-state sketch;
+        // StatefulOpsSpec maintains the same frame on a stream)
+        val g = graft.operators.Sketches.gatePassCounts(
+          Tables.documents(s, d)
+            .select(col("source"),
+              coalesce(qualityScore(col("text")) >= 0.5, lit(false))
+                .as("pass")),
+          "source", "pass")
           .withColumn("p", col("n_pass").cast("double")
             / col("n_docs").cast("double"))
           .withColumn("nn", col("n_docs").cast("double"))

@@ -814,7 +814,8 @@ class PlanShapeSpec extends SparkSpec {
     "d92_bpe_encode" -> 3, "d93_bpe_fertility_sweep" -> 3,
     "d94_bpe_encode_geometry" -> 2,
     "d95_hash_classifier_score" -> 1, "d96_retrieval_chunks" -> 0,
-    "d97_cdc_chunk_dedup" -> 3, "d98_cross_source_neardup" -> 3)
+    "d97_cdc_chunk_dedup" -> 3, "d98_cross_source_neardup" -> 3,
+    "q70_discount_lift" -> 2)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

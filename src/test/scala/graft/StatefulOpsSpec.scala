@@ -468,4 +468,39 @@ class StatefulOpsSpec extends SparkSpec {
       assert(stale(2L) > 0.5 && stale(1L) == 0.0)
     } finally q.stop()
   }
+
+  test("streaming per-source gate-pass counts: maintenance equals the " +
+      "batch build, state bounded by the source domain") {
+    // d75's admission substrate (Sketches.gatePassCounts) as a streaming
+    // aggregation — the eleventh bounded-state sketch (sum-merge onto
+    // the source domain): state is one row per source however long the
+    // crawl runs. The live half of the source-admission monitor: keep
+    // these counts on the stream, read pass rates / Wilson bounds off
+    // the bounded table whenever the admission policy re-evaluates.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Boolean)] // (source, gate verdict)
+    val counts = graft.operators.Sketches.gatePassCounts(
+      in.toDF().toDF("source", "pass"), "source", "pass")
+    val q = counts.writeStream.format("memory").queryName("gatepass")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", true), ("a", false), ("b", true))
+      q.processAllAvailable()
+      in.addData(("a", true), ("b", true), ("c", false))
+      q.processAllAvailable()
+      val streamed = spark.table("gatepass")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.gatePassCounts(
+        Seq(("a", true), ("a", false), ("b", true), ("a", true),
+          ("b", true), ("c", false)).toDF("source", "pass"),
+        "source", "pass")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed gate-pass counts diverge from the batch build")
+      assert(streamed == Set(("a", 3L, 2L), ("b", 2L, 2L), ("c", 1L, 0L)),
+        s"per-source (n_docs, n_pass) must fold across micro-batches: " +
+          s"$streamed")
+      assert(streamed.size <= 3, "state must stay on the source domain")
+    } finally q.stop()
+  }
 }

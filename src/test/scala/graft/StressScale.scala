@@ -366,7 +366,10 @@ object StressScale {
     // d98 rides d09's capped-bucket pair family (replicas duplicate
     // text → pair OUTPUT grows ~8² within caps, the d59/d61/d90 rule)
     // plus two join-backs of the bounded pair side onto the source map.
-    "d98_cross_source_neardup" -> ("documents" -> "doc_id"))
+    "d98_cross_source_neardup" -> ("documents" -> "doc_id"),
+    // q70 folds the fact scan onto the ≤11-row discount domain — the
+    // q52/q60 fixed-grid envelope.
+    "q70_discount_lift" -> ("lineitem" -> "l_orderkey"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
