@@ -2882,5 +2882,101 @@ object SimQueries {
           CAST(CASE WHEN n_tomb * 2 > n_total THEN 1 ELSE 0 END AS INT)
             AS compact_flag
         FROM g""")),
+
+    // ---- PQ per-subspace distortion audit ----------------------------------
+    // e08 reports the SQ codec's reconstruction error; the PQ side had
+    // recall evals (e13/e15) but no distortion table — and distortion is
+    // the signal that says WHICH subspace's codebook is starving (a high
+    // per-subspace MSE means those 8 dims need more codewords or a
+    // rotation, the faiss OPQ decision input). Per subspace: vector
+    // count, mean and max squared reconstruction error under e15's
+    // pinned degenerate codebooks (16 lowest-id normalized vectors,
+    // 0 Lloyd steps), so every number is oracle-checkable through the
+    // PRODUCTION pqTrain/pqEncode/pqReconstruct path.
+    //
+    // Scale shape: one narrow scan (encode + reconstruct are literal
+    // codebook arithmetic fused into the projection) explodes onto the
+    // 8-row subspace domain with map-side partial sums — the d64
+    // fixed-grid envelope; nothing after the fold exceeds 8 rows.
+    //
+    // Exactness: per-(vec, subspace) error is a strict ascending-index
+    // fold of (e[i]−r[i])² (the module-contract fold shape, identical
+    // in both engines); errors round at 6 dp and SUM as DECIMAL(18,6)
+    // (order-free); max over rounded values is order-free; mse is one
+    // quotient round.
+    GraftQuery(
+      "e40_pq_distortion",
+      (s, d) => {
+        import graft.operators.VectorSearch
+        val raw = Tables.validEmbeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val base = raw
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("emb", when(col("nrm") === lit(0.0), col("e"))
+            .otherwise(transform(col("e"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("emb"))
+        val books = VectorSearch.pqTrain(base, "vec_id", "emb",
+          m = 8, k = 16, sample = 16, iters = 0)
+        base
+          .withColumn("codes", VectorSearch.pqEncode(col("emb"), books))
+          .withColumn("recon",
+            VectorSearch.pqReconstruct(col("codes"), books))
+          .select(explode(expr(
+            """transform(sequence(0, 7), j -> struct(j AS j,
+                 aggregate(sequence(0, 7), cast(0.0 as double),
+                   (acc, t) -> acc + (emb[j*8+t] - recon[j*8+t])
+                     * (emb[j*8+t] - recon[j*8+t])) AS err))"""))
+            .as("sj"))
+          .select(col("sj.j").cast("bigint").as("subspace"),
+            col("sj.err").as("err"))
+          .groupBy(col("subspace"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(round(col("err"), 6).cast("decimal(18,6)")).as("se"),
+            max(round(col("err"), 6)).as("max_sq_err"))
+          .select(col("subspace"), col("n_vectors"),
+            round(col("se").cast("double")
+              / col("n_vectors").cast("double"), 6).as("mse"),
+            col("max_sq_err"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE $sqlValidEmb),
+        b AS (SELECT vec_id, CASE WHEN ${sqlNorm("e")} = 0 THEN e
+            ELSE list_transform(e, x -> x / ${sqlNorm("e")}) END AS e
+          FROM v),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS ci,
+            e AS ce
+          FROM b ORDER BY vec_id ASC LIMIT 16),
+        sub AS (SELECT ci, j,
+            ce[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS c
+          FROM cb, (SELECT unnest(range(0, 8)) AS j) jj),
+        enc AS (SELECT vec_id, j, ci FROM (
+            SELECT w.vec_id, s.j, s.ci,
+              row_number() OVER (PARTITION BY w.vec_id, s.j ORDER BY
+                (list_sum(list_transform(s.c, x -> x * x))
+                  - 2.0e0 * list_sum(list_transform(list_zip(
+                      w.e[CAST(s.j*8+1 AS INT):CAST(s.j*8+8 AS INT)], s.c),
+                    p -> p[1] * p[2]))) ASC,
+                s.ci ASC) AS rn
+            FROM b w, sub s) t WHERE rn = 1),
+        recon AS (SELECT e.vec_id,
+            flatten(list(s.c ORDER BY e.j)) AS r
+          FROM enc e JOIN sub s ON e.j = s.j AND e.ci = s.ci
+          GROUP BY 1),
+        per AS (SELECT b.vec_id, jj.j,
+            list_sum(list_transform(range(0, 8), t ->
+              (b.e[CAST(jj.j*8+t+1 AS INT)] - r.r[CAST(jj.j*8+t+1 AS INT)])
+              * (b.e[CAST(jj.j*8+t+1 AS INT)]
+                - r.r[CAST(jj.j*8+t+1 AS INT)]))) AS err
+          FROM b JOIN recon r ON b.vec_id = r.vec_id,
+            (SELECT unnest(range(0, 8)) AS j) jj),
+        g AS (SELECT j AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            SUM(CAST(round(err, 6) AS DECIMAL(18,6))) AS se,
+            MAX(round(err, 6)) AS max_sq_err
+          FROM per GROUP BY 1)
+        SELECT CAST(subspace AS BIGINT) AS subspace, n_vectors,
+          round(CAST(se AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mse,
+          max_sq_err
+        FROM g""")),
   )
 }

@@ -5170,6 +5170,101 @@ object TextQueries {
           CAST(CASE WHEN src_a = src_b THEN 0 ELSE 1 END AS INT)
             AS cross_source
         FROM g""")),
+
+    // ---- gate-ensemble agreement audit (d14 vs d48, Cohen's kappa) --------
+    // The engine ships TWO admission gates — d14's composite quality
+    // gate (token floor + quality score + stopword density + lang) and
+    // d48's Gopher rule battery — and a pipeline deploying both needs
+    // the inter-rater readout BEFORE it gates: per source, the 2×2
+    // verdict matrix (both admit / both reject / each alone), raw
+    // agreement, and Cohen's κ (chance-corrected — raw agreement is
+    // inflated wherever both gates admit almost everything). κ ≈ 1 ⇒
+    // one gate is redundant; κ ≈ 0 ⇒ they cut different populations
+    // (keep both); low-κ SOURCES are where the gate choice changes the
+    // corpus. d71 compares the continuous SCORES; this compares the
+    // deployed DECISIONS.
+    //
+    // Scale shape: both verdicts are narrow scan-fused expressions (the
+    // d48/d14 signal sets composed in ONE pass — zero joins on the
+    // Spark side); the fold is a conditional-count collapse onto the
+    // source domain (the d64 envelope).
+    //
+    // Exactness: cell counts exact int64; po/pa/pg are exact-int
+    // divisions; pe and κ are the SAME double expression tree in both
+    // engines; κ can be a tiny negative (the signed-zero round hazard)
+    // so it folds with + 0.0 on both sides; pe = 1 (a constant-verdict
+    // source) guards to NULL.
+    GraftQuery(
+      "d99_gate_agreement",
+      (s, d) => {
+        import graft.functions.TextFunctions
+        val base = TextFunctions
+          .withQualitySignals(Tables.documents(s, d))
+          .withColumn("a", coalesce(TextFunctions.qualityAdmit, lit(false)))
+          .select(col("doc_id"), col("source"), col("text"), col("a"))
+        val cells = gopherMetrics(base.withColumn("toks", tokens(col("text"))))
+          .withColumn("g", coalesce(gopherAdmit, lit(false)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("a") && col("g"), 1L).otherwise(0L))
+              .as("both_admit"),
+            sum(when(!col("a") && !col("g"), 1L).otherwise(0L))
+              .as("both_reject"),
+            sum(when(col("a") && !col("g"), 1L).otherwise(0L))
+              .as("quality_only"),
+            sum(when(!col("a") && col("g"), 1L).otherwise(0L))
+              .as("gopher_only"))
+        cells
+          .withColumn("po", (col("both_admit") + col("both_reject"))
+            .cast("double") / col("n_docs").cast("double"))
+          .withColumn("pa", (col("both_admit") + col("quality_only"))
+            .cast("double") / col("n_docs").cast("double"))
+          .withColumn("pg", (col("both_admit") + col("gopher_only"))
+            .cast("double") / col("n_docs").cast("double"))
+          .withColumn("pe", col("pa") * col("pg")
+            + (lit(1.0) - col("pa")) * (lit(1.0) - col("pg")))
+          .select(col("source"), col("n_docs"), col("both_admit"),
+            col("both_reject"), col("quality_only"), col("gopher_only"),
+            round(col("po"), 6).as("agreement"),
+            when(col("pe") === 1.0, lit(null).cast("double"))
+              .otherwise(round((col("po") - col("pe"))
+                / (lit(1.0) - col("pe")), 6) + lit(0.0)).as("kappa"))
+      },
+      Some(s"""$sqlGatedCte,
+        $sqlGopherCtes,
+        qv AS (SELECT doc_id,
+            COALESCE(n_tokens >= 30 AND quality_score >= 0.5
+              AND stopword_ratio >= 0.05 AND lang_pred = 'en', FALSE) AS a
+          FROM scored),
+        gv AS (SELECT doc_id, source,
+            COALESCE($sqlGopherAdmit, FALSE) AS gg
+          FROM m),
+        j AS (SELECT gv.source, qv.a, gv.gg
+          FROM gv JOIN qv USING (doc_id)),
+        ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN a AND gg THEN 1 ELSE 0 END) AS BIGINT)
+              AS both_admit,
+            CAST(SUM(CASE WHEN NOT a AND NOT gg THEN 1 ELSE 0 END)
+              AS BIGINT) AS both_reject,
+            CAST(SUM(CASE WHEN a AND NOT gg THEN 1 ELSE 0 END) AS BIGINT)
+              AS quality_only,
+            CAST(SUM(CASE WHEN NOT a AND gg THEN 1 ELSE 0 END) AS BIGINT)
+              AS gopher_only
+          FROM j GROUP BY 1),
+        k AS (SELECT *,
+            CAST(both_admit + both_reject AS DOUBLE)
+              / CAST(n_docs AS DOUBLE) AS po,
+            CAST(both_admit + quality_only AS DOUBLE)
+              / CAST(n_docs AS DOUBLE) AS pa,
+            CAST(both_admit + gopher_only AS DOUBLE)
+              / CAST(n_docs AS DOUBLE) AS pg
+          FROM ag),
+        k2 AS (SELECT *, pa * pg + (1.0 - pa) * (1.0 - pg) AS pe FROM k)
+        SELECT source, n_docs, both_admit, both_reject, quality_only,
+          gopher_only, round(po, 6) AS agreement,
+          CASE WHEN pe = 1.0 THEN NULL
+            ELSE round((po - pe) / (1.0 - pe), 6) + 0.0 END AS kappa
+        FROM k2""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

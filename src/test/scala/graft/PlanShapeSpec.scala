@@ -808,14 +808,14 @@ class PlanShapeSpec extends SparkSpec {
     "d90_pair_jaccard_histogram" -> 3, "d91_dup_cluster_sizes" -> 5,
     "e35_ivf_cell_quality" -> 3, "e36_range_search" -> 1,
     "e37_rrf_hybrid" -> 5, "e38_probe_cost_model" -> 2,
-    "e39_cell_staleness" -> 1,
+    "e39_cell_staleness" -> 1, "e40_pq_distortion" -> 1,
     "m16_resolution_audit" -> 2, "m17_loudness_gain" -> 1,
     "m18_keyframe_select" -> 1, "m19_sampling_savings" -> 1,
     "d92_bpe_encode" -> 3, "d93_bpe_fertility_sweep" -> 3,
     "d94_bpe_encode_geometry" -> 2,
     "d95_hash_classifier_score" -> 1, "d96_retrieval_chunks" -> 0,
     "d97_cdc_chunk_dedup" -> 3, "d98_cross_source_neardup" -> 3,
-    "q70_discount_lift" -> 2)
+    "q70_discount_lift" -> 2, "d99_gate_agreement" -> 1)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

@@ -369,7 +369,14 @@ object StressScale {
     "d98_cross_source_neardup" -> ("documents" -> "doc_id"),
     // q70 folds the fact scan onto the ≤11-row discount domain — the
     // q52/q60 fixed-grid envelope.
-    "q70_discount_lift" -> ("lineitem" -> "l_orderkey"))
+    "q70_discount_lift" -> ("lineitem" -> "l_orderkey"),
+    // e40: encode/reconstruct are literal-codebook arithmetic fused into
+    // the scan; the fold lands on the 8-subspace grid (the d64 envelope;
+    // the bounded 16-row pqTrain sample collect is the only driver term).
+    "e40_pq_distortion" -> ("embeddings" -> "vec_id"),
+    // d99: both gate verdicts are scan-fused expressions; one
+    // conditional-count fold onto the source domain (the d64 envelope).
+    "d99_gate_agreement" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
