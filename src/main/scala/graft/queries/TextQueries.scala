@@ -5265,6 +5265,91 @@ object TextQueries {
           CASE WHEN pe = 1.0 THEN NULL
             ELSE round((po - pe) / (1.0 - pe), 6) + 0.0 END AS kappa
         FROM k2""")),
+
+    // ---- b-bit minwise hashing (1-bit signature compression) --------------
+    // Li & König's storage-side trade d38's fidelity eval doesn't cover:
+    // keep only the LOWEST BIT of each minhash value — a 16-sig
+    // signature shrinks from 16 × 128-bit md5 values to 16 BITS (128×) —
+    // and recover jaccard from the bit-agreement rate: P(bits match) =
+    // j + (1−j)/2 for a random parity, so ĵ = 2a − 1 (clamped at 0).
+    // Per verified candidate pair: exact jaccard, the full-sig estimate
+    // (d38's), the 1-bit estimate, and both absolute errors — the
+    // accuracy-per-byte readout that decides whether a 100 TB signature
+    // store ships full values or bits.
+    //
+    // Scale shape: d38's exact envelope (native k-sig expression, capped
+    // buckets, bounded pair table); the bit extraction is one more
+    // narrow transform on the signature array.
+    //
+    // Exactness: the bit is integer md5 arithmetic (last hex char mod
+    // 2, identical in both engines); agreement and both estimators are
+    // exact-int divisions and dyadic arithmetic (a = m/16, ĵ = 2a − 1 —
+    // no rounding anywhere, so no round hazards at all).
+    GraftQuery(
+      "d100_onebit_minwise",
+      (s, d) => {
+        import graft.functions.MinHashExprs
+        import graft.operators.NearDup
+        val withSigs = minhashed(s, d)
+          .withColumn("sigs", MinHashExprs.kMinMd5Sigs(col("toks"), 16))
+          .withColumn("bits", expr(
+            """transform(sigs,
+                 g -> cast(conv(substr(g, 32, 1), 16, 10) as bigint) % 2)"""))
+        val grouped = NearDup.cappedBuckets(
+          withSigs.select(col("doc_id"),
+            MinHashExprs.shingleHashes(col("toks")).as("hs"),
+            col("sigs"), col("bits"),
+            coalesce(col("minhash"), concat(lit("solo:"), col("doc_id")))
+              .as("bucket")),
+          Seq("bucket"),
+          struct(col("doc_id"), col("hs"), col("sigs"), col("bits")),
+          col("doc_id"), lshMaxBucket)
+        NearDup.pairsWithinBuckets(grouped)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            MinHashExprs.jaccardSorted(col("a.hs"), col("b.hs"))
+              .as("jaccard"),
+            (aggregate(zip_with(col("a.sigs"), col("b.sigs"),
+                (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+              lit(0L), _ + _).cast("double") / lit(16.0)).as("est_full"),
+            (aggregate(zip_with(col("a.bits"), col("b.bits"),
+                (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+              lit(0L), _ + _).cast("double") / lit(16.0)).as("agree_1bit"))
+          .withColumn("est_1bit",
+            greatest(lit(0.0), lit(2.0) * col("agree_1bit") - lit(1.0)))
+          .select(col("a_id"), col("b_id"), col("jaccard"),
+            col("est_full"), col("est_1bit"),
+            abs(col("est_full") - col("jaccard")).as("abs_err_full"),
+            abs(col("est_1bit") - col("jaccard")).as("abs_err_1bit"))
+      },
+      Some(s"""$sqlMinhashCte, $sqlMinhashCappedCte,
+        sg AS (SELECT doc_id, list_transform(range(0, 16), i ->
+            list_min(list_transform(shingle_set,
+              g -> md5(CAST(i AS VARCHAR) || '|' || g)))) AS sigs
+          FROM mh),
+        sb AS (SELECT doc_id, sigs, list_transform(sigs,
+            g -> CAST('0x' || substr(g, 32, 1) AS BIGINT) % 2) AS bits
+          FROM sg),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.shingle_set, b.shingle_set))
+              AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.shingle_set,
+              b.shingle_set))) AS DOUBLE) AS jaccard,
+            CAST(list_sum(list_transform(list_zip(xa.sigs, xb.sigs),
+              q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / 16.0 AS est_full,
+            CAST(list_sum(list_transform(list_zip(xa.bits, xb.bits),
+              q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / 16.0 AS agree_1bit
+          FROM mhc a JOIN mhc b
+            ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+          JOIN sb xa ON xa.doc_id = a.doc_id
+          JOIN sb xb ON xb.doc_id = b.doc_id)
+        SELECT a_id, b_id, jaccard, est_full,
+          greatest(0.0, 2.0 * agree_1bit - 1.0) AS est_1bit,
+          abs(est_full - jaccard) AS abs_err_full,
+          abs(greatest(0.0, 2.0 * agree_1bit - 1.0) - jaccard)
+            AS abs_err_1bit
+        FROM p""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -815,7 +815,8 @@ class PlanShapeSpec extends SparkSpec {
     "d94_bpe_encode_geometry" -> 2,
     "d95_hash_classifier_score" -> 1, "d96_retrieval_chunks" -> 0,
     "d97_cdc_chunk_dedup" -> 3, "d98_cross_source_neardup" -> 3,
-    "q70_discount_lift" -> 2, "d99_gate_agreement" -> 1)
+    "q70_discount_lift" -> 2, "d99_gate_agreement" -> 1,
+    "d100_onebit_minwise" -> 1)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

@@ -376,7 +376,11 @@ object StressScale {
     "e40_pq_distortion" -> ("embeddings" -> "vec_id"),
     // d99: both gate verdicts are scan-fused expressions; one
     // conditional-count fold onto the source domain (the d64 envelope).
-    "d99_gate_agreement" -> ("documents" -> "doc_id"))
+    "d99_gate_agreement" -> ("documents" -> "doc_id"),
+    // d100 rides d38's exact envelope (native k-sigs, capped buckets,
+    // pair OUTPUT grows ~8² within caps under text-duplicating replicas
+    // — the d59/d61/d90 rule).
+    "d100_onebit_minwise" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
