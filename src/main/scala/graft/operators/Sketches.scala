@@ -253,4 +253,35 @@ object Sketches {
     df.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col(passCol), 1L).otherwise(0L)).as("n_pass"))
+
+  /** The percentile-resolution bin of a [0,1] quality score:
+    * floor(score·100) ∈ 0..100. Finer than [[qualityBin]]'s 10 monitor
+    * bins because a percentile THRESHOLD needs percentile resolution.
+    * Both engines compute bit-identical score doubles (the d03-pinned
+    * formula), so the floor lands in the same bin everywhere. ONE
+    * definition shared by d101's calibration gate and the streaming
+    * maintenance below. */
+  def calibrationBin(q: Column): Column =
+    floor(q * lit(100.0)).cast("bigint")
+
+  /** Per-(source, percentile-bin) counts of a [0,1] quality score:
+    * ≤ |sources|·101 rows whatever the corpus size. Twelfth member of
+    * the bounded-state sketch family (sum-merge, like [[cmsCells]] /
+    * [[qualityHistogram]]): a pure groupBy-count onto the
+    * source × bin domain, so batch map-side partials and Structured
+    * Streaming state both hold a domain-sized table however long the
+    * crawl runs. This is the LIVE half of the d101 calibration gate:
+    * batch d101 derives its histogram through this function and elects
+    * per-source/global percentile thresholds from it; a deployed gate
+    * instead maintains this frame on the ingest stream and re-elects
+    * the thresholds off the bounded table whenever the calibration
+    * policy re-evaluates — re-calibrating a 100 TB gate never rescans
+    * the corpus. Null scores carry no signal and drop (mirrored as
+    * `bin IS NOT NULL` in the d101 oracle). */
+  def sourceQualityBins(df: DataFrame, srcCol: String,
+      qCol: String): DataFrame =
+    df.filter(col(qCol).isNotNull)
+      .groupBy(col(srcCol).as("source"),
+        calibrationBin(col(qCol)).as("bin"))
+      .agg(count(lit(1)).as("n"))
 }

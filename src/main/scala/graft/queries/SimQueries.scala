@@ -2978,5 +2978,86 @@ object SimQueries {
           round(CAST(se AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mse,
           max_sq_err
         FROM g""")),
+
+    // ---- hard-negative mining (contrastive training pairs) ----------------
+    // The pair-mining pass that feeds embedding-model training (the
+    // in-batch-negatives literature, e.g. SBERT/DPR-style pipelines): for
+    // every anchor, its best SAME-label neighbor (the positive) and its
+    // best OTHER-label neighbor (the hard negative — the most confusable
+    // impostor), plus the margin between them. Anchors with a small or
+    // negative margin are exactly the training pairs worth mining; e18
+    // audits label purity in aggregate, this emits the per-anchor pairs a
+    // trainer consumes.
+    //
+    // Scale shape: candidates come from the e03/e04 sign-LSH bucket join
+    // (corpus-derived bits keep expected bucket size ~TargetBucket, so
+    // pair volume is ~TargetBucket·n, never n²); per-anchor election is
+    // row_number over (anchor, same-label) with map-side WindowGroupLimit
+    // before the anchor shuffle; the final left join-back keeps anchors
+    // whose bucket offered no positive/negative (null columns — real at
+    // scale where a rare label sits alone in its bucket).
+    //
+    // Exactness: cosines are the engine-pinned strict left folds
+    // (bit-identical doubles in both engines), ties break on b_id, and
+    // the margin is a single subtraction of two identical doubles.
+    GraftQuery(
+      "e41_hard_negatives",
+      (s, d) => {
+        val b = Tables.validEmbeddings(s, d).select(
+          col("vec_id"),
+          asDouble(col("embedding")).as("emb"),
+          col("label"),
+          signBucket(col("embedding"), derivedBits(s, d)).as("bucket"))
+        val a = b.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+          col("label").as("a_label"), col("bucket"))
+        val c = b.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+          col("label").as("b_label"), col("bucket").as("bucket_b"))
+        val pairs = a
+          .join(c, col("bucket") === col("bucket_b")
+            && col("a_id") =!= col("b_id"))
+          .select(col("a_id"),
+            (col("a_label") === col("b_label")).cast("int").as("same"),
+            col("b_id"),
+            cosine(col("a_emb"), col("b_emb")).as("cos_sim"))
+        val w = Window.partitionBy(col("a_id"), col("same"))
+          .orderBy(col("cos_sim").desc, col("b_id").asc)
+        val best = pairs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("a_id"))
+          .agg(max(when(col("same") === 1, col("b_id"))).as("pos_id"),
+            max(when(col("same") === 1, col("cos_sim"))).as("pos_cos"),
+            max(when(col("same") === 0, col("b_id"))).as("neg_id"),
+            max(when(col("same") === 0, col("cos_sim"))).as("neg_cos"))
+        b.select(col("vec_id"), col("label"))
+          .join(best, col("vec_id") === col("a_id"), "left")
+          .select(col("vec_id"), col("label"),
+            col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+            (col("pos_cos") - col("neg_cos")).as("margin"))
+      },
+      Some(s"""WITH $sqlBitsCte,
+        b AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+            ${sqlSignBucket("embedding", "bits")} AS bucket
+          FROM embeddings, nb WHERE $sqlValidEmb),
+        p AS (SELECT a.vec_id AS a_id,
+            CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same,
+            b.vec_id AS b_id,
+            ${sqlCos("a.e", "b.e")} AS cos_sim
+          FROM b a JOIN b b
+            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT a_id, same, b_id, cos_sim,
+            row_number() OVER (PARTITION BY a_id, same
+              ORDER BY cos_sim DESC, b_id ASC) AS rn
+          FROM p),
+        ag AS (SELECT a_id,
+            MAX(CASE WHEN same = 1 THEN b_id END) AS pos_id,
+            MAX(CASE WHEN same = 1 THEN cos_sim END) AS pos_cos,
+            MAX(CASE WHEN same = 0 THEN b_id END) AS neg_id,
+            MAX(CASE WHEN same = 0 THEN cos_sim END) AS neg_cos
+          FROM r WHERE rn = 1 GROUP BY 1)
+        SELECT v.vec_id, v.label, pos_id, pos_cos, neg_id, neg_cos,
+          pos_cos - neg_cos AS margin
+        FROM b v LEFT JOIN ag ON v.vec_id = ag.a_id""")),
   )
 }

@@ -5350,6 +5350,120 @@ object TextQueries {
           abs(greatest(0.0, 2.0 * agree_1bit - 1.0) - jaccard)
             AS abs_err_1bit
         FROM p""")),
+
+    // ---- per-source quality calibration (percentile-equalized gate) ------
+    // A single global quality threshold silently reweights the corpus mix:
+    // sources whose score DISTRIBUTION sits lower (different boilerplate,
+    // different length profile — not necessarily worse content) lose a
+    // disproportionate share of documents, so the gate quietly becomes a
+    // source filter (the bias d77 audits after the fact). The standard fix
+    // (FineWeb/DataComp-style pipelines): gate each source at its OWN score
+    // percentile so keep-rates equalize by construction. This query computes
+    // both thresholds — global 70th-percentile and per-source 70th —
+    // and reports, per source, the kept counts/rates under each, i.e. the
+    // before/after table a pipeline owner reads to decide whether to
+    // calibrate.
+    //
+    // Scale shape: ONE corpus pass folds docs onto a (source × score-bin)
+    // integer histogram (bins = floor(score·100) ∈ 0..100, a bounded
+    // domain — the d30/q29 value-histogram quantile trick). EVERYTHING
+    // after that first map-side-combinable exchange runs on the ≤
+    // |sources|·101-row frame: cumulative-count windows elect the
+    // threshold bins, and the kept counts are conditional sums over the
+    // SAME histogram — the corpus is never scanned twice and no doc-grain
+    // row ever shuffles again. At 100 TB the histogram is still ≤ a few
+    // thousand rows regardless of corpus size.
+    //
+    // Exactness: both engines compute bit-identical quality-score doubles
+    // (the d03-pinned formula), so floor(score·100) lands in the same bin
+    // everywhere; thresholds use pure int64 arithmetic
+    // (need = ceil(0.7·n) = (7n+9) div 10 on non-negative n) over exact
+    // counts; rates are single quotients rounded once.
+    GraftQuery(
+      "d101_source_quality_calibration",
+      (s, d) => {
+        val q = lit(7L) // keep the top ~30%: threshold at the 70th pctile
+        // The histogram IS the twelfth bounded-state sketch
+        // (Sketches.sourceQualityBins — the streaming maintenance holds
+        // this exact frame); everything below is threshold election and
+        // conditional sums over that bounded table.
+        val hist = graft.operators.Sketches.sourceQualityBins(
+          Tables.documents(s, d)
+            .select(col("source"), qualityScore(col("text")).as("q")),
+          "source", "q")
+        // Per-source threshold: min bin whose cumulative count reaches
+        // ceil(0.7 · src_docs). Windows run on the bounded histogram.
+        val wSrc = Window.partitionBy(col("source"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("bin"))
+        val tSrc = hist
+          .withColumn("src_docs", sum(col("n")).over(wSrc))
+          .withColumn("cum", sum(col("n")).over(wCum))
+          .filter(col("cum") >=
+            call_function("div", q * col("src_docs") + lit(9L), lit(10L)))
+          .groupBy(col("source")).agg(min(col("bin")).as("t_source"))
+        // Global threshold from the SAME histogram (second tiny fold) —
+        // the unpartitioned window is over the ≤101-row bin domain.
+        val g = hist.groupBy(col("bin")).agg(sum(col("n")).as("gn"))
+        val wAll = Window.partitionBy().orderBy(col("bin"))
+        val wTot = Window.partitionBy()
+        val tGlob = g
+          .withColumn("tot", sum(col("gn")).over(wTot))
+          .withColumn("cum", sum(col("gn")).over(wAll))
+          .filter(col("cum") >=
+            call_function("div", q * col("tot") + lit(9L), lit(10L)))
+          .agg(min(col("bin")).as("t_global"))
+        hist
+          .join(broadcast(tSrc), Seq("source"))
+          .crossJoin(broadcast(tGlob))
+          .groupBy(col("source"), col("t_global"), col("t_source"))
+          .agg(sum(col("n")).as("src_docs"),
+            coalesce(sum(when(col("bin") >= col("t_global"), col("n"))),
+              lit(0L)).as("kept_uncalibrated"),
+            coalesce(sum(when(col("bin") >= col("t_source"), col("n"))),
+              lit(0L)).as("kept_calibrated"))
+          .select(col("source"), col("src_docs"), col("t_global"),
+            col("t_source"), col("kept_uncalibrated"),
+            col("kept_calibrated"),
+            round(col("kept_uncalibrated").cast("double")
+              / col("src_docs").cast("double"), 6)
+              .as("keep_rate_uncalibrated"),
+            round(col("kept_calibrated").cast("double")
+              / col("src_docs").cast("double"), 6)
+              .as("keep_rate_calibrated"))
+      },
+      Some(s"""WITH bn AS (SELECT source,
+            CAST(floor(($sqlQualityOfText) * 100.0) AS BIGINT) AS bin
+          FROM documents),
+        h AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM bn WHERE bin IS NOT NULL GROUP BY 1, 2),
+        hh AS (SELECT source, bin, n,
+            CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
+            CAST(SUM(n) OVER (PARTITION BY source ORDER BY bin)
+              AS BIGINT) AS cum
+          FROM h),
+        ts AS (SELECT source, MIN(bin) AS t_source FROM hh
+          WHERE cum >= (7 * src_docs + 9) // 10 GROUP BY 1),
+        g AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS gn FROM h GROUP BY 1),
+        gg AS (SELECT bin, gn,
+            CAST(SUM(gn) OVER () AS BIGINT) AS tot,
+            CAST(SUM(gn) OVER (ORDER BY bin) AS BIGINT) AS cum
+          FROM g),
+        tg AS (SELECT MIN(bin) AS t_global FROM gg
+          WHERE cum >= (7 * tot + 9) // 10)
+        SELECT h.source, CAST(SUM(n) AS BIGINT) AS src_docs,
+          tg.t_global, ts.t_source,
+          CAST(COALESCE(SUM(CASE WHEN bin >= tg.t_global THEN n END), 0)
+            AS BIGINT) AS kept_uncalibrated,
+          CAST(COALESCE(SUM(CASE WHEN bin >= ts.t_source THEN n END), 0)
+            AS BIGINT) AS kept_calibrated,
+          round(CAST(COALESCE(SUM(CASE WHEN bin >= tg.t_global THEN n
+              END), 0) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+            AS keep_rate_uncalibrated,
+          round(CAST(COALESCE(SUM(CASE WHEN bin >= ts.t_source THEN n
+              END), 0) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+            AS keep_rate_calibrated
+        FROM h JOIN ts USING (source) CROSS JOIN tg
+        GROUP BY 1, 3, 4""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

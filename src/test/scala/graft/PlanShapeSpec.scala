@@ -110,7 +110,11 @@ class PlanShapeSpec extends SparkSpec {
       "q65_priority_mix_drift",
       // d94 cross-joins the 1-row top-4-merge frame onto the vocab scan
       // (the d84 1-row stats pattern).
-      "d94_bpe_encode_geometry")
+      "d94_bpe_encode_geometry",
+      // d101 cross-joins the 1-row global-threshold frame onto the
+      // bounded source × bin histogram (the d84 1-row stats pattern —
+      // both sides domain-sized, never the corpus).
+      "d101_source_quality_calibration")
 
   test("no query plans a CartesianProduct; nested-loop joins only where " +
       "a broadcast probe intends them") {
@@ -816,7 +820,12 @@ class PlanShapeSpec extends SparkSpec {
     "d95_hash_classifier_score" -> 1, "d96_retrieval_chunks" -> 0,
     "d97_cdc_chunk_dedup" -> 3, "d98_cross_source_neardup" -> 3,
     "q70_discount_lift" -> 2, "d99_gate_agreement" -> 1,
-    "d100_onebit_minwise" -> 1)
+    "d100_onebit_minwise" -> 1,
+    // d101: ONE corpus-fold exchange (the source × bin histogram);
+    // the other six all move the ≤ |sources|·101-row frame between
+    // threshold windows/folds — domain-sized traffic, not corpus.
+    "d101_source_quality_calibration" -> 7,
+    "e41_hard_negatives" -> 3)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

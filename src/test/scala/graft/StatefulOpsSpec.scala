@@ -503,4 +503,47 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.size <= 3, "state must stay on the source domain")
     } finally q.stop()
   }
+
+  test("streaming per-source quality-bin counts: maintenance equals the " +
+      "batch build, state bounded by the source x bin domain") {
+    // d101's calibration substrate (Sketches.sourceQualityBins) as a
+    // streaming aggregation — the twelfth bounded-state sketch
+    // (sum-merge onto the source × percentile-bin domain): state is
+    // ≤ |sources|·101 rows however long the crawl runs. The live half
+    // of the calibration gate: batch d101 elects per-source percentile
+    // thresholds from exactly this frame; the deployed gate maintains
+    // it on the stream and re-elects thresholds off the bounded table
+    // at policy time. Null scores drop (no signal).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Option[Double])] // (source, score)
+    val counts = graft.operators.Sketches.sourceQualityBins(
+      in.toDF().toDF("source", "q"), "source", "q")
+    val q = counts.writeStream.format("memory").queryName("srcqbins")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", Some(0.42)), ("a", Some(0.429)), ("b", Some(0.99)),
+        ("a", None))
+      q.processAllAvailable()
+      in.addData(("a", Some(0.43)), ("b", Some(1.0)), ("a", Some(0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("srcqbins")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.sourceQualityBins(
+        Seq(("a", Some(0.42)), ("a", Some(0.429)), ("b", Some(0.99)),
+          ("a", None), ("a", Some(0.43)), ("b", Some(1.0)),
+          ("a", Some(0.0)))
+          .toDF("source", "q"), "source", "q")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed source-quality bins diverge from the batch build")
+      // floor(q·100): 0.42 and 0.429 share bin 42, 0.43 is bin 43,
+      // score 1.0 lands in bin 100 (the top edge the domain includes),
+      // null carries no row.
+      assert(streamed == Set(("a", 42L, 2L), ("a", 43L, 1L),
+        ("a", 0L, 1L), ("b", 99L, 1L), ("b", 100L, 1L)),
+        s"per-(source, bin) counts must fold across micro-batches: " +
+          s"$streamed")
+      assert(streamed.size <= 5, "state must stay on the source x bin grid")
+    } finally q.stop()
+  }
 }

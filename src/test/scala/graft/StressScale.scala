@@ -380,7 +380,17 @@ object StressScale {
     // d100 rides d38's exact envelope (native k-sigs, capped buckets,
     // pair OUTPUT grows ~8² within caps under text-duplicating replicas
     // — the d59/d61/d90 rule).
-    "d100_onebit_minwise" -> ("documents" -> "doc_id"))
+    "d100_onebit_minwise" -> ("documents" -> "doc_id"),
+    // d101: one corpus fold onto the fixed source × 101-bin histogram
+    // (the d64 envelope); replicas duplicate text so the score
+    // distribution — and every threshold window after the fold — is
+    // FIXED; growth is the scoring scan into map-side partials.
+    "d101_source_quality_calibration" -> ("documents" -> "doc_id"),
+    // e41 rides the e03/e04 bucket-join family: 8× vectors over the
+    // same bucket domain → buckets gain 8 replicas each, so PAIR rows
+    // grow ~8² (the d59/d61 output-linear rule) before the per-anchor
+    // WindowGroupLimit cuts them back to 2 rows per anchor.
+    "e41_hard_negatives" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
