@@ -193,4 +193,114 @@ class Round20OpsSpec extends SparkSpec {
           .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
           .distinct().count()))
   }
+
+  test("d101 calibration laws: thresholds are minimal 70th-pctile bins, " +
+      "kept counts recount from raw scores, 30% integer floor holds") {
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "d101_source_quality_calibration").get
+      .run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // Independent per-doc bins straight off the raw corpus (no histogram,
+    // no windows — the election must agree with a plain recount).
+    val bins = Tables.documents(spark, sfDir)
+      .select(col("source"), graft.operators.Sketches.calibrationBin(
+        graft.functions.TextFunctions.qualityScore(col("text"))).as("bin"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val bySource = bins.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def need(n: Long): Long = (7 * n + 9) / 10 // ceil(0.7·n), int64-exact
+    // Global threshold: minimal bin whose ≤-cumulative reaches the need.
+    val tg = out.head.getAs[Long]("t_global")
+    val all = bins.map(_._2)
+    assert(all.count(_ <= tg) >= need(all.length) &&
+      all.count(_ <= tg - 1) < need(all.length),
+      s"t_global=$tg is not the minimal 70th-percentile bin")
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val n = r.getAs[Long]("src_docs")
+      val ts = r.getAs[Long]("t_source")
+      val kc = r.getAs[Long]("kept_calibrated")
+      val ku = r.getAs[Long]("kept_uncalibrated")
+      val b = bySource(src)
+      assert(n == b.length, s"$src: src_docs recount")
+      // threshold minimality (per source)
+      assert(b.count(_ <= ts) >= need(n) && b.count(_ <= ts - 1) < need(n),
+        s"$src: t_source=$ts is not the minimal 70th-percentile bin")
+      // kept counts are plain recounts at the reported thresholds
+      assert(kc == b.count(_ >= ts), s"$src: calibrated recount")
+      assert(ku == b.count(_ >= tg), s"$src: uncalibrated recount")
+      // the calibration guarantee: cum(t−1) < need ⇒ kept ≥ n − need + 1
+      // — every source keeps at least its top ~30%, whatever its
+      // distribution (the uncalibrated column has NO such floor).
+      assert(kc >= n - need(n) + 1 && kc <= n, s"$src: 30% floor")
+    }
+  }
+
+  test("e41 hard-negative laws: elected pairs equal an in-bucket " +
+      "brute-force recompute, labels obey polarity, margin is exact") {
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "e41_hard_negatives").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // Raw corpus, replicated derivations: valid rows only, bucket =
+    // sign bits of the leading dims with the documented corpus-derived
+    // width (clamp(ceilLog2(ceil(n/32)), 4, 16)), cosine = the strict
+    // left fold (bit-identical to the native expression).
+    val rows = Tables.validEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map { r =>
+        (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+          r.getAs[Int]("label"))
+      }
+    assert(out.size == rows.length, "one output row per valid vector")
+    val buckets = math.max(1L, (rows.length + 31L) / 32L)
+    val bits = math.min(16, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    def bucket(e: Array[Float]): Long =
+      (0 until bits).map(i => if (e(i) > 0.0f) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byBucket = rows.groupBy(r => bucket(r._2))
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    var checkedPos = 0
+    rows.foreach { case (id, emb, label) =>
+      val r = out(id)
+      val peers = byBucket(bucket(emb)).filter(_._1 != id)
+      // brute-force election: max cosine, ties to the smaller b_id
+      def best(pred: Int => Boolean): Option[(Long, Double)] =
+        peers.filter(p => pred(p._3))
+          .map(p => (p._1, cos(emb, p._2)))
+          .sortBy { case (bid, c) => (-c, bid) }.headOption
+      (best(_ == label), Option(r.getAs[Long]("pos_id"))
+          .filter(_ => !r.isNullAt(r.fieldIndex("pos_id")))) match {
+        case (Some((bid, c)), Some(gotId)) =>
+          assert(gotId == bid && r.getAs[Double]("pos_cos") == c,
+            s"$id: positive election")
+          assert(labels(gotId) == label, s"$id: positive polarity")
+          checkedPos += 1
+        case (None, None) => ()
+        case (e, g) => fail(s"$id: positive presence mismatch $e vs $g")
+      }
+      (best(_ != label), Option(r.getAs[Long]("neg_id"))
+          .filter(_ => !r.isNullAt(r.fieldIndex("neg_id")))) match {
+        case (Some((bid, c)), Some(gotId)) =>
+          assert(gotId == bid && r.getAs[Double]("neg_cos") == c,
+            s"$id: negative election")
+          assert(labels(gotId) != label, s"$id: negative polarity")
+        case (None, None) => ()
+        case (e, g) => fail(s"$id: negative presence mismatch $e vs $g")
+      }
+      if (!r.isNullAt(r.fieldIndex("margin")))
+        assert(r.getAs[Double]("margin") ==
+          r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"),
+          s"$id: margin identity")
+    }
+    assert(checkedPos > 0, "fixture must exercise elected positives")
+  }
 }
