@@ -5464,6 +5464,105 @@ object TextQueries {
             AS keep_rate_calibrated
         FROM h JOIN ts USING (source) CROSS JOIN tg
         GROUP BY 1, 3, 4""")),
+
+    // ---- context-length budget curve (sequence-length tuning table) -------
+    // The readout a pipeline owner reads BEFORE fixing the training
+    // sequence length: for each candidate context length L, what do the
+    // three standard document→sequence strategies cost on THIS corpus?
+    //   - truncate (one sequence per doc, overflow dropped, tail padded):
+    //     loses trunc_loss_frac of all tokens and pads trunc_pad_frac of
+    //     sequence capacity — cheap but lossy on long docs;
+    //   - doc-aligned chunking (each doc split into ⌈n/L⌉ sequences, last
+    //     one padded — d96's retrieval chunker at stride L): lossless but
+    //     pays chunk_pad_frac padding, worst when docs ≪ L;
+    //   - concat-and-pack (d28's boundary rule in the L→∞ aggregate
+    //     limit: one token stream cut every L): lossless and
+    //     minimal-padding (< 1 sequence's worth corpus-WIDE) — the
+    //     pretraining default.
+    // d28 materializes the pack assignment at ONE budget; this query is
+    // the closed-form sweep that picks the budget (and strategy) first.
+    //
+    // Scale shape: one corpus pass folds per-doc token counts onto the
+    // 3-row L domain (explode of a 3-literal array — map-side-combinable
+    // integer partials, ONE exchange); every strategy aggregate is
+    // arithmetic over (n, L) so the sweep never re-scans text per L and
+    // nothing after the fold exceeds 3 rows.
+    //
+    // Exactness: all token/sequence counts are int64 (⌈n/L⌉ = (n+L−1)
+    // div L on non-negative n); fractions are single double quotients
+    // rounded once; zero-token groups NULL their fractions rather than
+    // ANSI-failing the task (an all-empty source is real at scale).
+    GraftQuery(
+      "d102_context_budget_curve",
+      (s, d) => {
+        val ls = array(lit(128L), lit(512L), lit(2048L))
+        Tables.documents(s, d)
+          .select(size(tokens(col("text"))).cast("bigint").as("n"))
+          .filter(col("n").isNotNull)
+          .select(col("n"), explode(ls).as("context_len"))
+          .groupBy(col("context_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("total_tokens"),
+            sum(least(col("n"), col("context_len")))
+              .as("trunc_kept_tokens"),
+            sum(call_function("div",
+              col("n") + col("context_len") - 1, col("context_len")))
+              .as("chunk_seqs"))
+          .withColumn("pack_seqs", call_function("div",
+            col("total_tokens") + col("context_len") - 1,
+            col("context_len")))
+          .select(col("context_len"), col("n_docs"), col("total_tokens"),
+            col("trunc_kept_tokens"),
+            when(col("total_tokens") > 0L,
+              round((col("total_tokens") - col("trunc_kept_tokens"))
+                .cast("double") / col("total_tokens").cast("double"), 6))
+              .as("trunc_loss_frac"),
+            round((col("n_docs") * col("context_len")
+                - col("trunc_kept_tokens")).cast("double")
+              / (col("n_docs") * col("context_len")).cast("double"), 6)
+              .as("trunc_pad_frac"),
+            col("chunk_seqs"),
+            when(col("chunk_seqs") > 0L,
+              round((col("chunk_seqs") * col("context_len")
+                  - col("total_tokens")).cast("double")
+                / (col("chunk_seqs") * col("context_len")).cast("double"),
+                6)).as("chunk_pad_frac"),
+            col("pack_seqs"),
+            when(col("pack_seqs") > 0L,
+              round((col("pack_seqs") * col("context_len")
+                  - col("total_tokens")).cast("double")
+                / (col("pack_seqs") * col("context_len")).cast("double"),
+                6)).as("pack_pad_frac"))
+      },
+      Some(s"""WITH t AS (SELECT CAST(len($sqlToks) AS BIGINT) AS n
+          FROM documents),
+        x AS (SELECT n, L FROM t, (SELECT unnest([128, 512, 2048]) AS L)
+          WHERE n IS NOT NULL),
+        a AS (SELECT CAST(L AS BIGINT) AS context_len,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS total_tokens,
+            CAST(SUM(least(n, L)) AS BIGINT) AS trunc_kept_tokens,
+            CAST(SUM((n + L - 1) // L) AS BIGINT) AS chunk_seqs
+          FROM x GROUP BY 1),
+        b AS (SELECT *, CAST((total_tokens + context_len - 1)
+            // context_len AS BIGINT) AS pack_seqs FROM a)
+        SELECT context_len, n_docs, total_tokens, trunc_kept_tokens,
+          CASE WHEN total_tokens > 0 THEN
+            round(CAST(total_tokens - trunc_kept_tokens AS DOUBLE)
+              / CAST(total_tokens AS DOUBLE), 6) END AS trunc_loss_frac,
+          round(CAST(n_docs * context_len - trunc_kept_tokens AS DOUBLE)
+            / CAST(n_docs * context_len AS DOUBLE), 6) AS trunc_pad_frac,
+          chunk_seqs,
+          CASE WHEN chunk_seqs > 0 THEN
+            round(CAST(chunk_seqs * context_len - total_tokens AS DOUBLE)
+              / CAST(chunk_seqs * context_len AS DOUBLE), 6)
+            END AS chunk_pad_frac,
+          pack_seqs,
+          CASE WHEN pack_seqs > 0 THEN
+            round(CAST(pack_seqs * context_len - total_tokens AS DOUBLE)
+              / CAST(pack_seqs * context_len AS DOUBLE), 6)
+            END AS pack_pad_frac
+        FROM b""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -825,7 +825,10 @@ class PlanShapeSpec extends SparkSpec {
     // the other six all move the ≤ |sources|·101-row frame between
     // threshold windows/folds — domain-sized traffic, not corpus.
     "d101_source_quality_calibration" -> 7,
-    "e41_hard_negatives" -> 3)
+    "e41_hard_negatives" -> 3,
+    // d102: one map-side-combinable integer fold onto the 3-row
+    // context-length domain; everything after is arithmetic on 3 rows.
+    "d102_context_budget_curve" -> 1)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

@@ -303,4 +303,35 @@ class Round20OpsSpec extends SparkSpec {
     }
     assert(checkedPos > 0, "fixture must exercise elected positives")
   }
+
+  test("d102 strategy ordering laws: packing never needs more sequences " +
+      "or padding than chunking, truncation never keeps more than all") {
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "d102_context_budget_curve").get
+      .run(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("context_len")).toSet ==
+      Set(128L, 512L, 2048L))
+    out.foreach { r =>
+      val l = r.getAs[Long]("context_len")
+      val total = r.getAs[Long]("total_tokens")
+      val chunk = r.getAs[Long]("chunk_seqs")
+      val pack = r.getAs[Long]("pack_seqs")
+      // concat-pack dominates doc-aligned chunking: merging the per-doc
+      // ceilings into one ceiling can only shed padding.
+      assert(pack <= chunk, s"L=$l: pack_seqs > chunk_seqs")
+      assert(r.getAs[Double]("pack_pad_frac") <=
+        r.getAs[Double]("chunk_pad_frac"), s"L=$l: pad ordering")
+      // both lossless strategies cover every token; truncation never
+      // keeps more than the corpus holds.
+      assert(pack * l >= total && chunk * l >= total, s"L=$l: coverage")
+      assert(r.getAs[Long]("trunc_kept_tokens") <= total, s"L=$l: kept")
+      // sequence-count sanity: ≥ the zero-padding lower bound.
+      assert(pack >= (total + l - 1) / l, s"L=$l: pack lower bound")
+    }
+    // monotonicity across the sweep: larger L never needs more packed
+    // sequences (the curve a budget chooser reads is non-increasing).
+    val byL = out.map(r => r.getAs[Long]("context_len") ->
+      r.getAs[Long]("pack_seqs")).toMap
+    assert(byL(128L) >= byL(512L) && byL(512L) >= byL(2048L))
+  }
 }

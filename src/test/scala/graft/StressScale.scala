@@ -390,7 +390,10 @@ object StressScale {
     // same bucket domain → buckets gain 8 replicas each, so PAIR rows
     // grow ~8² (the d59/d61 output-linear rule) before the per-anchor
     // WindowGroupLimit cuts them back to 2 rows per anchor.
-    "e41_hard_negatives" -> ("embeddings" -> "vec_id"))
+    "e41_hard_negatives" -> ("embeddings" -> "vec_id"),
+    // d102: one tokenize-and-count fold onto the fixed 3-row L domain
+    // (the d64 envelope) — growth is the token-count scan alone.
+    "d102_context_budget_curve" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
