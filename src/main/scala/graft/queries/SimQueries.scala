@@ -3059,5 +3059,95 @@ object SimQueries {
         SELECT v.vec_id, v.label, pos_id, pos_cos, neg_id, neg_cos,
           pos_cos - neg_cos AS margin
         FROM b v LEFT JOIN ag ON v.vec_id = ag.a_id""")),
+
+    // ---- semantic-dedup operating-point sweep (SemDeDup-style) ------------
+    // Embedding-level near-dup PRUNING (SemDeDup, Abbas et al. 2023:
+    // paraphrases and re-renders that survive lexical dedup collapse in
+    // embedding space) at three candidate thresholds τ ∈ {0.4, 0.45,
+    // 0.5}, per label: how much survives, and is the pruning biased
+    // against a class? The operating points are fixture-calibrated to
+    // e04's 0.4 near-dup band (the synthetic embeddings' in-bucket
+    // cosines top out ~0.51; a real deployment sweeps its model's dup
+    // band, e.g. 0.9+ — the τ list is a parameter, the machinery is the
+    // operator). e04 emits the pairs at ONE threshold; this is the
+    // operating-point table (d82's gate-sweep move, embedding-side) read
+    // before fixing τ — plus the d77-style bias readout, since semantic
+    // dedup culls whatever the embedding packs densest.
+    //
+    // Keep rule (the scalable one-pass form): drop v iff SOME
+    // smaller-id bucket peer sits at cos ≥ τ — keep-first within the
+    // e03/e04 LSH candidate buckets, the same deterministic election
+    // d05/d15 use for text. Pairs are computed ONCE at the loosest τ and
+    // re-thresholded per operating point (a per-τ rescan would triple
+    // the join for arithmetic the pair row already carries).
+    //
+    // Scale shape: bucket join (capped candidate volume, never n²) →
+    // min-τ filter → the bounded 3-literal τ explode on the PAIR frame →
+    // distinct dropped ids per τ (map-side combinable on (τ, b_id)) →
+    // broadcast-able? no — dropped ids join the vec × τ grid by id
+    // (shuffle on vec_id, linear) → conditional-count fold onto the
+    // (τ × label) grid. Nothing after the pair frame exceeds corpus × 3.
+    //
+    // Exactness: cosines are the pinned strict folds; τ compares are
+    // double ≥ against exact literals; counts int64; retention is one
+    // rounded quotient.
+    GraftQuery(
+      "e42_semantic_dedup_sweep",
+      (s, d) => {
+        val b = Tables.validEmbeddings(s, d).select(
+          col("vec_id"),
+          asDouble(col("embedding")).as("emb"),
+          col("label"),
+          signBucket(col("embedding"), derivedBits(s, d)).as("bucket"))
+        val a = b.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+          col("bucket"))
+        val c = b.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+          col("bucket").as("bucket_b"))
+        val taus = array(lit(0.4), lit(0.45), lit(0.5))
+        val dropped = a
+          .join(c, col("bucket") === col("bucket_b")
+            && col("a_id") < col("b_id"))
+          .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(explode(taus).as("tau"), col("b_id"), col("cos_sim"))
+          .filter(col("cos_sim") >= col("tau"))
+          .select(col("tau"), col("b_id")).distinct()
+          .withColumn("is_dropped", lit(1L))
+        val grid = b.select(col("vec_id"), col("label"),
+          explode(taus).as("tau"))
+        grid
+          .join(dropped, grid("tau") === dropped("tau")
+            && grid("vec_id") === dropped("b_id"), "left")
+          .groupBy(grid("tau").as("tau"), col("label"))
+          .agg(count(lit(1)).as("n_vectors"),
+            coalesce(sum(col("is_dropped")), lit(0L)).as("n_dropped"))
+          .select(col("tau"), col("label"), col("n_vectors"),
+            col("n_dropped"),
+            round((col("n_vectors") - col("n_dropped")).cast("double")
+              / col("n_vectors").cast("double"), 6).as("retention"))
+      },
+      Some(s"""WITH $sqlBitsCte,
+        b AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+            ${sqlSignBucket("embedding", "bits")} AS bucket
+          FROM embeddings, nb WHERE $sqlValidEmb),
+        p AS (SELECT b2.vec_id AS b_id, ${sqlCos("a.e", "b2.e")} AS cos_sim
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE ${sqlCos("a.e", "b2.e")} >= 0.4),
+        dr AS (SELECT DISTINCT t.tau, p.b_id
+          FROM p, (SELECT unnest([0.4e0, 0.45e0, 0.5e0]) AS tau) t
+          WHERE p.cos_sim >= t.tau),
+        g AS (SELECT v.vec_id, v.label, t.tau
+          FROM b v, (SELECT unnest([0.4e0, 0.45e0, 0.5e0]) AS tau) t)
+        SELECT g.tau, g.label,
+          CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          CAST(COALESCE(SUM(CASE WHEN dr.b_id IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_dropped,
+          round(CAST(COUNT(*) - COALESCE(SUM(CASE WHEN dr.b_id IS NOT
+              NULL THEN 1 END), 0) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+        FROM g LEFT JOIN dr ON g.tau = dr.tau AND g.vec_id = dr.b_id
+        GROUP BY 1, 2""")),
   )
 }

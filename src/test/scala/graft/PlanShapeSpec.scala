@@ -828,7 +828,10 @@ class PlanShapeSpec extends SparkSpec {
     "e41_hard_negatives" -> 3,
     // d102: one map-side-combinable integer fold onto the 3-row
     // context-length domain; everything after is arithmetic on 3 rows.
-    "d102_context_budget_curve" -> 1)
+    "d102_context_budget_curve" -> 1,
+    // e42: bucket self-join, the (τ, b_id) distinct, the grid join-back,
+    // and the (τ × label) fold — pair volume bucket-capped throughout.
+    "e42_semantic_dedup_sweep" -> 4)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

@@ -334,4 +334,63 @@ class Round20OpsSpec extends SparkSpec {
       r.getAs[Long]("pack_seqs")).toMap
     assert(byL(128L) >= byL(512L) && byL(512L) >= byL(2048L))
   }
+
+  test("e42 semantic-dedup laws: drops recompute from an in-bucket " +
+      "brute force, tighter τ never drops more, totals cover the corpus") {
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "e42_semantic_dedup_sweep").get
+      .run(spark, sfDir).collect()
+    val rows = Tables.validEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map { r =>
+        (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+          r.getAs[Int]("label"))
+      }
+    // replicated bucket/cosine derivations (the e41 law-test kit)
+    val buckets = math.max(1L, (rows.length + 31L) / 32L)
+    val bits = math.min(16, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    def bucket(e: Array[Float]): Long =
+      (0 until bits).map(i => if (e(i) > 0.0f) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byBucket = rows.groupBy(r => bucket(r._2))
+    // brute-force keep-first drops per τ, folded to (τ, label) counts
+    val expected = Seq(0.4, 0.45, 0.5).flatMap { tau =>
+      rows.map { case (id, emb, label) =>
+        val dropped = byBucket(bucket(emb))
+          .exists(p => p._1 < id && cos(emb, p._2) >= tau)
+        ((tau, label), if (dropped) 1L else 0L)
+      }
+    }.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(out.length == expected.size, "one row per (τ, label)")
+    out.foreach { r =>
+      val key = (r.getAs[Double]("tau"), r.getAs[Int]("label"))
+      val (n, nd) = expected(key)
+      assert(r.getAs[Long]("n_vectors") == n, s"$key: corpus coverage")
+      assert(r.getAs[Long]("n_dropped") == nd, s"$key: drop recount")
+    }
+    // tightening τ can only shrink the dropped set (per label)
+    val byKey = out.map(r => (r.getAs[Double]("tau"),
+      r.getAs[Int]("label")) -> r.getAs[Long]("n_dropped")).toMap
+    byKey.keys.map(_._2).toSet[Int].foreach { lb =>
+      assert(byKey((0.5, lb)) <= byKey((0.45, lb)) &&
+        byKey((0.45, lb)) <= byKey((0.4, lb)), s"label $lb: monotone drops")
+    }
+    // Vacuity guard at the CANDIDATE level: the bucket machinery must
+    // have had pairs to consider or the whole test is a tautology (the
+    // drop counts themselves may legitimately be sparse — the τ points
+    // are calibrated to the corpus's e04 dup band).
+    assert(rows.exists { case (id, emb, _) =>
+      byBucket(bucket(emb)).exists(_._1 < id) },
+      "fixture must offer at least one in-bucket candidate pair")
+  }
 }

@@ -393,7 +393,11 @@ object StressScale {
     "e41_hard_negatives" -> ("embeddings" -> "vec_id"),
     // d102: one tokenize-and-count fold onto the fixed 3-row L domain
     // (the d64 envelope) — growth is the token-count scan alone.
-    "d102_context_budget_curve" -> ("documents" -> "doc_id"))
+    "d102_context_budget_curve" -> ("documents" -> "doc_id"),
+    // e42 rides e41's bucket-join envelope (pair rows ~8² within
+    // buckets) into a distinct on (τ, b_id) and a vec × 3 grid join —
+    // output-linear in the corpus after the pair cut.
+    "e42_semantic_dedup_sweep" -> ("embeddings" -> "vec_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
