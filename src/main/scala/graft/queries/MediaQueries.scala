@@ -1016,5 +1016,109 @@ object MediaQueries {
           round(CAST(tot_shots AS DOUBLE) / CAST(tot_stride AS DOUBLE), 6)
             AS corpus_decode_ratio
         FROM t""")),
+
+    // ---- aspect-ratio bucket plan (batch-shape planning) -------------------
+    // The NaViT/SDXL-style batching trick: a vision encoder batches
+    // same-shape tensors, so images are grouped into a small set of
+    // fixed-aspect target shapes and resize-to-cover + center-crop into
+    // their bucket — the alternative to square-padding everything (m03's
+    // max-edge plan feeds a variable-shape pipeline; this is the
+    // fixed-shape-fleet counterpart). Per image: nearest bucket by
+    // |aspect − bucket aspect| (ties to the lower bucket id); per bucket:
+    // population, share, and the mean/max center-crop pixel loss — the
+    // table that says whether the bucket set fits the corpus or crops
+    // half of it away.
+    //
+    // Scale shape: geometry rides the m01 decode seam (mapPartitions, no
+    // exchange); the 5-bucket literal domain explodes on the image frame
+    // (bounded fan-out), the per-image argmin is a WindowGroupLimit
+    // election on media_id, and the readout folds onto the ≤5-row bucket
+    // grid (one media_id exchange + one domain fold — the m11/m19
+    // envelope). At 100 TB nothing after the election exceeds 5 rows.
+    //
+    // Exactness: aspects and scale factors are double quotients written
+    // in ONE op order in both engines (never a pre-divided decimal
+    // literal — the 1.96² lesson); crop waste is clamped at 0 BEFORE the
+    // 6-dp round (s·w can undershoot bw by 1 ulp, and a −1e-16 round
+    // would split the engines on signed zero); means use the rounded-
+    // term decimal-sum discipline.
+    GraftQuery(
+      "m20_aspect_bucket_plan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val buckets = array(
+          struct(lit(0L).as("b_idx"), lit(64).as("bw"), lit(64).as("bh")),
+          struct(lit(1L).as("b_idx"), lit(80).as("bw"), lit(56).as("bh")),
+          struct(lit(2L).as("b_idx"), lit(56).as("bw"), lit(80).as("bh")),
+          struct(lit(3L).as("b_idx"), lit(96).as("bw"), lit(48).as("bh")),
+          struct(lit(4L).as("b_idx"), lit(48).as("bw"), lit(96).as("bh")))
+        val dw = col("width").cast("double")
+        val dh = col("height").cast("double")
+        val bwD = col("bw").cast("double")
+        val bhD = col("bh").cast("double")
+        val elected = Multimodal.decodeFeatures(
+            Multimodal.syntheticMedia(Tables.documents(s, d)))
+          .filter(col("kind") === "image")
+          .select(col("media_id"), col("width"), col("height"),
+            explode(buckets).as("b"))
+          .select(col("media_id"), col("width"), col("height"),
+            col("b.b_idx").as("b_idx"), col("b.bw").as("bw"),
+            col("b.bh").as("bh"))
+          .withColumn("dist", abs(dw / dh - bwD / bhD))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("media_id"))
+            .orderBy(col("dist").asc, col("b_idx").asc)))
+          .filter(col("rn") === 1)
+          .withColumn("s", greatest(bwD / dw, bhD / dh))
+          .withColumn("waste", round(greatest(lit(0.0),
+            lit(1.0) - (bwD * bhD)
+              / ((col("s") * dw) * (col("s") * dh))), 6))
+        elected
+          .groupBy(col("b_idx"), col("bw").as("bucket_w"),
+            col("bh").as("bucket_h"))
+          .agg(count(lit(1)).as("n_images"),
+            sum(col("waste").cast("decimal(18,6)")).as("sw"),
+            max(col("waste")).as("max_crop_waste"))
+          .withColumn("share", round(col("n_images").cast("double")
+            / sum(col("n_images")).over(Window.partitionBy())
+              .cast("double"), 6))
+          .select(col("b_idx"), col("bucket_w"), col("bucket_h"),
+            col("n_images"), col("share"),
+            round(col("sw").cast("double")
+              / col("n_images").cast("double"), 6).as("mean_crop_waste"),
+            col("max_crop_waste"))
+      },
+      Some(s"""WITH $sqlDecodedCte,
+        bk AS (SELECT * FROM (VALUES (0, 64, 64), (1, 80, 56),
+          (2, 56, 80), (3, 96, 48), (4, 48, 96)) AS t(b_idx, bw, bh)),
+        x AS (SELECT media_id, width, height, b_idx, bw, bh,
+            abs(CAST(width AS DOUBLE) / CAST(height AS DOUBLE)
+              - CAST(bw AS DOUBLE) / CAST(bh AS DOUBLE)) AS dist
+          FROM dec, bk WHERE kind = 'image'),
+        a AS (SELECT *, row_number() OVER (PARTITION BY media_id
+            ORDER BY dist ASC, b_idx ASC) AS rn FROM x),
+        w AS (SELECT b_idx, bw, bh, width, height,
+            greatest(CAST(bw AS DOUBLE) / CAST(width AS DOUBLE),
+              CAST(bh AS DOUBLE) / CAST(height AS DOUBLE)) AS s
+          FROM a WHERE rn = 1),
+        cw AS (SELECT b_idx, bw, bh,
+            round(greatest(0.0, 1.0
+              - (CAST(bw AS DOUBLE) * CAST(bh AS DOUBLE))
+              / ((s * CAST(width AS DOUBLE))
+                * (s * CAST(height AS DOUBLE)))), 6) AS waste
+          FROM w),
+        g AS (SELECT b_idx, bw, bh, CAST(COUNT(*) AS BIGINT) AS n_images,
+            SUM(CAST(waste AS DECIMAL(18,6))) AS sw,
+            MAX(waste) AS max_crop_waste
+          FROM cw GROUP BY 1, 2, 3)
+        SELECT CAST(b_idx AS BIGINT) AS b_idx,
+          CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+          n_images,
+          round(CAST(n_images AS DOUBLE)
+            / CAST(SUM(n_images) OVER () AS DOUBLE), 6) AS share,
+          round(CAST(sw AS DOUBLE) / CAST(n_images AS DOUBLE), 6)
+            AS mean_crop_waste,
+          max_crop_waste
+        FROM g""")),
   )
 }

@@ -393,4 +393,44 @@ class Round20OpsSpec extends SparkSpec {
       byBucket(bucket(emb)).exists(_._1 < id) },
       "fixture must offer at least one in-bucket candidate pair")
   }
+
+  test("m20 aspect-bucket laws: population recounts from a decode-stub " +
+      "brute force, shares cover the image set, waste stays in [0, 1)") {
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "m20_aspect_bucket_plan").get
+      .run(spark, sfDir).collect()
+    // independent election: md5 → stub geometry → nearest-aspect bucket,
+    // in plain Scala (the query's lineage runs the mapPartitions seam +
+    // a window election — none of that machinery is reused here)
+    val bucketDefs = Seq((0L, 64, 64), (1L, 80, 56), (2L, 56, 80),
+      (3L, 96, 48), (4L, 48, 96))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(r => !r.isNullAt(1) && r.getLong(0) % 3 == 0)
+    val expected = docs.map { r =>
+      // syntheticMedia's payload is unhex(md5(text)) — the raw digest
+      val payload = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val w = 64 + (payload(0) & 0x3f)
+      val h = 64 + (payload(payload.length - 1) & 0x3f)
+      bucketDefs.minBy { case (idx, bw, bh) =>
+        (math.abs(w.toDouble / h.toDouble - bw.toDouble / bh.toDouble),
+          idx)
+      }._1
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => r.getAs[Long]("b_idx") ->
+      r.getAs[Long]("n_images")).toMap == expected,
+      s"bucket populations diverge from the stub brute force")
+    assert(out.map(_.getAs[Long]("n_images")).sum == docs.length,
+      "every image lands in exactly one bucket")
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4,
+      "shares cover the image set")
+    out.foreach { r =>
+      val mean = r.getAs[Double]("mean_crop_waste")
+      val mx = r.getAs[Double]("max_crop_waste")
+      assert(mean >= 0.0 && mean <= mx && mx < 1.0,
+        s"bucket ${r.getAs[Long]("b_idx")}: waste bounds")
+    }
+  }
 }

@@ -397,7 +397,11 @@ object StressScale {
     // e42 rides e41's bucket-join envelope (pair rows ~8² within
     // buckets) into a distinct on (τ, b_id) and a vec × 3 grid join —
     // output-linear in the corpus after the pair cut.
-    "e42_semantic_dedup_sweep" -> ("embeddings" -> "vec_id"))
+    "e42_semantic_dedup_sweep" -> ("embeddings" -> "vec_id"),
+    // m20: decode-seam geometry (no exchange) into a bounded 5-bucket
+    // fan-out, one media_id election window (partition COUNT grows,
+    // size is 5 rows — the m11 envelope), then the ≤5-row fold.
+    "m20_aspect_bucket_plan" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
