@@ -1030,11 +1030,14 @@ object MediaQueries {
     // half of it away.
     //
     // Scale shape: geometry rides the m01 decode seam (mapPartitions, no
-    // exchange); the 5-bucket literal domain explodes on the image frame
-    // (bounded fan-out), the per-image argmin is a WindowGroupLimit
-    // election on media_id, and the readout folds onto the ≤5-row bucket
-    // grid (one media_id exchange + one domain fold — the m11/m19
-    // envelope). At 100 TB nothing after the election exceeds 5 rows.
+    // exchange); the per-image argmin is a SCALAR — array_min over the
+    // 5-struct (dist, b_idx, bw, bh) literal array, whose lexicographic
+    // struct order IS the (distance asc, id asc) tie-break — so election
+    // costs zero exchanges (an explode + media_id window would shuffle
+    // every image row for a 5-way comparison); the readout folds onto
+    // the ≤5-row bucket grid. At 100 TB nothing after the seam exceeds
+    // 5 rows, and no per-image row ever shuffles. The oracle states the
+    // same election as a window — DuckDB may plan it however it likes.
     //
     // Exactness: aspects and scale factors are double quotients written
     // in ONE op order in both engines (never a pre-divided decimal
@@ -1046,29 +1049,27 @@ object MediaQueries {
       "m20_aspect_bucket_plan",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val buckets = array(
-          struct(lit(0L).as("b_idx"), lit(64).as("bw"), lit(64).as("bh")),
-          struct(lit(1L).as("b_idx"), lit(80).as("bw"), lit(56).as("bh")),
-          struct(lit(2L).as("b_idx"), lit(56).as("bw"), lit(80).as("bh")),
-          struct(lit(3L).as("b_idx"), lit(96).as("bw"), lit(48).as("bh")),
-          struct(lit(4L).as("b_idx"), lit(48).as("bw"), lit(96).as("bh")))
+        val bucketDefs = Seq((0L, 64, 64), (1L, 80, 56), (2L, 56, 80),
+          (3L, 96, 48), (4L, 48, 96))
         val dw = col("width").cast("double")
         val dh = col("height").cast("double")
+        // (dist, b_idx, bw, bh) structs: lexicographic struct order makes
+        // array_min the (distance asc, id asc) argmin — a pure projection
+        val candidates = array(bucketDefs.map { case (i, bw, bh) =>
+          struct(abs(dw / dh
+              - lit(bw).cast("double") / lit(bh).cast("double")).as("dist"),
+            lit(i).as("b_idx"), lit(bw).as("bw"), lit(bh).as("bh"))
+        }: _*)
         val bwD = col("bw").cast("double")
         val bhD = col("bh").cast("double")
         val elected = Multimodal.decodeFeatures(
             Multimodal.syntheticMedia(Tables.documents(s, d)))
           .filter(col("kind") === "image")
           .select(col("media_id"), col("width"), col("height"),
-            explode(buckets).as("b"))
+            array_min(candidates).as("e"))
           .select(col("media_id"), col("width"), col("height"),
-            col("b.b_idx").as("b_idx"), col("b.bw").as("bw"),
-            col("b.bh").as("bh"))
-          .withColumn("dist", abs(dw / dh - bwD / bhD))
-          .withColumn("rn", row_number().over(Window
-            .partitionBy(col("media_id"))
-            .orderBy(col("dist").asc, col("b_idx").asc)))
-          .filter(col("rn") === 1)
+            col("e.b_idx").as("b_idx"), col("e.bw").as("bw"),
+            col("e.bh").as("bh"))
           .withColumn("s", greatest(bwD / dw, bhD / dh))
           .withColumn("waste", round(greatest(lit(0.0),
             lit(1.0) - (bwD * bhD)

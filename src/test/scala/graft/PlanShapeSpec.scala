@@ -832,9 +832,9 @@ class PlanShapeSpec extends SparkSpec {
     // e42: bucket self-join, the (τ, b_id) distinct, the grid join-back,
     // and the (τ × label) fold — pair volume bucket-capped throughout.
     "e42_semantic_dedup_sweep" -> 4,
-    // m20: the media_id argmin election, the ≤5-row bucket fold, and
-    // the share window on that bounded grid.
-    "m20_aspect_bucket_plan" -> 3)
+    // m20: the ≤5-row bucket fold and the share window on that bounded
+    // grid — the argmin election is a scalar array_min, zero exchanges.
+    "m20_aspect_bucket_plan" -> 2)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>
