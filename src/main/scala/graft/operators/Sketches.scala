@@ -284,4 +284,48 @@ object Sketches {
       .groupBy(col(srcCol).as("source"),
         calibrationBin(col(qCol)).as("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** m20's fixed aspect-bucket set: (bucket id, target width, target
+    * height). ONE definition shared by the batch plan, its oracle
+    * structure, and the streaming maintenance below. */
+  val AspectBuckets: Seq[(Long, Int, Int)] = Seq(
+    (0L, 64, 64), (1L, 80, 56), (2L, 56, 80), (3L, 96, 48), (4L, 48, 96))
+
+  /** The elected aspect bucket of a (width, height) pair — argmin over
+    * [[AspectBuckets]] by |aspect − bucket aspect|, ties to the lower
+    * bucket id — as a SCALAR (dist, b_idx, bw, bh) struct: array_min's
+    * lexicographic struct order IS the tie-break, so election is a pure
+    * codegen'd projection (no explode, no window — the reason this
+    * sketch can stream at all: a per-key rank election can't run inside
+    * a streaming aggregation, a scalar can). */
+  def aspectBucket(w: Column, h: Column): Column = {
+    val dw = w.cast("double")
+    val dh = h.cast("double")
+    array_min(array(AspectBuckets.map { case (i, bw, bh) =>
+      struct(abs(dw / dh
+          - lit(bw).cast("double") / lit(bh).cast("double")).as("dist"),
+        lit(i).as("b_idx"), lit(bw).as("bw"), lit(bh).as("bh"))
+    }: _*))
+  }
+
+  /** Per-aspect-bucket image counts over rows carrying (width, height):
+    * ≤ |[[AspectBuckets]]| rows whatever the corpus size. Thirteenth
+    * member of the bounded-state sketch family (sum-merge, like
+    * [[cmsCells]]): the scalar [[aspectBucket]] election folds straight
+    * into a groupBy-count onto the 5-bucket domain, so batch map-side
+    * partials and Structured Streaming state both hold ≤5 rows however
+    * long the media ingest runs. This is the LIVE half of the m20
+    * batch-shape planner: batch m20 derives its populations through
+    * this election and reads crop-loss stats off the same grid; a
+    * deployed trainer maintains these counts on the ingest stream and
+    * re-checks bucket balance (a starving bucket wastes a fleet's batch
+    * slots) off the bounded table whenever the batching policy
+    * re-evaluates. Null/zero geometry carries no signal and drops. */
+  def aspectBucketCounts(df: DataFrame, wCol: String,
+      hCol: String): DataFrame =
+    df.filter(col(wCol).isNotNull && col(hCol).isNotNull
+        && col(wCol) > 0 && col(hCol) > 0)
+      .groupBy(aspectBucket(col(wCol), col(hCol)).getField("b_idx")
+        .as("b_idx"))
+      .agg(count(lit(1)).as("n_images"))
 }

@@ -1049,24 +1049,20 @@ object MediaQueries {
       "m20_aspect_bucket_plan",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val bucketDefs = Seq((0L, 64, 64), (1L, 80, 56), (2L, 56, 80),
-          (3L, 96, 48), (4L, 48, 96))
         val dw = col("width").cast("double")
         val dh = col("height").cast("double")
-        // (dist, b_idx, bw, bh) structs: lexicographic struct order makes
-        // array_min the (distance asc, id asc) argmin — a pure projection
-        val candidates = array(bucketDefs.map { case (i, bw, bh) =>
-          struct(abs(dw / dh
-              - lit(bw).cast("double") / lit(bh).cast("double")).as("dist"),
-            lit(i).as("b_idx"), lit(bw).as("bw"), lit(bh).as("bh"))
-        }: _*)
+        // The election IS the thirteenth bounded-state sketch's scalar
+        // (Sketches.aspectBucket over Sketches.AspectBuckets — the
+        // streaming maintenance folds the same projection into ≤5-row
+        // state); the crop-loss stats below are the batch-only readout.
         val bwD = col("bw").cast("double")
         val bhD = col("bh").cast("double")
         val elected = Multimodal.decodeFeatures(
             Multimodal.syntheticMedia(Tables.documents(s, d)))
           .filter(col("kind") === "image")
           .select(col("media_id"), col("width"), col("height"),
-            array_min(candidates).as("e"))
+            graft.operators.Sketches
+              .aspectBucket(col("width"), col("height")).as("e"))
           .select(col("media_id"), col("width"), col("height"),
             col("e.b_idx").as("b_idx"), col("e.bw").as("bw"),
             col("e.bh").as("bh"))

@@ -546,4 +546,42 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed.size <= 5, "state must stay on the source x bin grid")
     } finally q.stop()
   }
+
+  test("streaming aspect-bucket counts: maintenance equals the batch " +
+      "build, state bounded by the 5-bucket domain") {
+    // m20's batch-shape substrate (Sketches.aspectBucketCounts) as a
+    // streaming aggregation — the thirteenth bounded-state sketch
+    // (sum-merge onto the fixed aspect-bucket domain): the argmin
+    // election is a SCALAR array_min (a rank window couldn't run inside
+    // a streaming agg), so state is ≤5 rows however long the media
+    // ingest runs. The live half of the m20 batching policy: maintain
+    // populations on the stream, re-check bucket balance off the
+    // bounded table. Null/zero geometry drops.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (width, height)
+    val counts = graft.operators.Sketches.aspectBucketCounts(
+      in.toDF().toDF("width", "height"), "width", "height")
+    val q = counts.writeStream.format("memory").queryName("aspectbuckets")
+      .outputMode("complete").start()
+    try {
+      // 64×64 → bucket 0 exactly; 120×64 (1.875) → bucket 3 (2.0);
+      // 64×120 → bucket 4; 0-height row drops
+      in.addData((64L, 64L), (120L, 64L), (64L, 64L), (64L, 0L))
+      q.processAllAvailable()
+      in.addData((64L, 120L), (120L, 64L))
+      q.processAllAvailable()
+      val streamed = spark.table("aspectbuckets")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.aspectBucketCounts(
+        Seq((64L, 64L), (120L, 64L), (64L, 64L), (64L, 0L),
+          (64L, 120L), (120L, 64L)).toDF("width", "height"),
+        "width", "height")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streamed bucket counts diverge from the batch build")
+      assert(streamed == Set((0L, 2L), (3L, 2L), (4L, 1L)),
+        s"bucket populations must fold across micro-batches: $streamed")
+      assert(streamed.size <= 5, "state must stay on the bucket domain")
+    } finally q.stop()
+  }
 }
