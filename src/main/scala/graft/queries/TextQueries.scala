@@ -5563,6 +5563,102 @@ object TextQueries {
               / CAST(pack_seqs * context_len AS DOUBLE), 6)
             END AS pack_pad_frac
         FROM b""")),
+
+    // ---- duplicate frequency capping (dedup with a repetition budget) ----
+    // Full dedup (d05's keep-first) is not always the right policy:
+    // bounded repetition of genuinely popular documents can be worth
+    // keeping (the "cap at K copies" recipe — up-weighting by natural
+    // frequency, bounded so boilerplate can't dominate an epoch). Per
+    // duplicate group, keep the K hash-elected copies (md5(doc_id) order
+    // — an unbiased deterministic draw, doc_id tie-break) and sweep
+    // K ∈ {1, 2, 4}; per (K, source): docs/tokens kept and retention
+    // rates — K=1 IS full dedup, so the row pair (K=1, K=4) is the
+    // "what does allowing repetition buy" readout a mixing policy reads.
+    //
+    // Scale shape, two branches off one narrow projection: the KEPT
+    // branch ranks within fingerprint partitions and filters on the
+    // LITERAL rn ≤ 4 (max K) — that literal is what buys the map-side
+    // WindowGroupLimit, so a hot boilerplate group crosses the exchange
+    // as ≤5 candidate rows per map partition instead of its full
+    // population (a column-bound rn ≤ k cut would rank and shuffle
+    // every duplicate; d29's election envelope) — then fans out over
+    // the 3-literal K list and folds onto the (K × source) grid. The
+    // TOTALS branch is a window-free per-source fold (map-side
+    // partials). The two bounded tables join at the end; a source whose
+    // every doc lost its group's election to another source keeps 0 —
+    // real at scale, hence the left join. NULL-text docs share one NULL
+    // fingerprint group in both engines (the pinned window convention),
+    // so dirty rows cap like any other dup group.
+    //
+    // Exactness: ranks and counts are int64; kept-token sums skip NULL
+    // token counts identically (SUM over a CASE with no ELSE);
+    // retentions are single rounded quotients, NULL on zero
+    // denominators.
+    GraftQuery(
+      "d103_dup_cap_retention",
+      (s, d) => {
+        val ks = array(lit(1L), lit(2L), lit(4L))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            fingerprint(col("text")).as("fp"),
+            size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+        val totals = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+        val kept = base
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("fp"))
+            .orderBy(md5(col("doc_id").cast("string")).asc,
+              col("doc_id").asc)))
+          .filter(col("rn") <= 4) // literal → map-side WindowGroupLimit
+          .select(col("source"), col("n_tokens"),
+            col("rn").cast("bigint").as("rn"), explode(ks).as("k"))
+          .filter(col("rn") <= col("k"))
+          .groupBy(col("k"), col("source"))
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(col("n_tokens")).as("kept_tokens"))
+        totals
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            explode(ks).as("k"))
+          .join(kept, Seq("k", "source"), "left")
+          .select(col("k"), col("source"), col("n_docs"),
+            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+            col("total_tokens"),
+            col("kept_tokens"),
+            when(col("n_docs") > 0L,
+              round(coalesce(col("kept_docs"), lit(0L)).cast("double")
+                / col("n_docs").cast("double"), 6)).as("doc_retention"),
+            when(col("total_tokens") > 0L,
+              round(coalesce(col("kept_tokens"), lit(0L)).cast("double")
+                / col("total_tokens").cast("double"), 6))
+              .as("token_retention"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source, $sqlFingerprint AS fp,
+            CAST(len($sqlToks) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (SELECT source, n_tokens,
+            CAST(row_number() OVER (PARTITION BY fp
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+              AS BIGINT) AS rn
+          FROM f),
+        x AS (SELECT source, n_tokens, rn, k
+          FROM r, (SELECT unnest([1, 2, 4]) AS k) t),
+        g AS (SELECT CAST(k AS BIGINT) AS k, source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COALESCE(SUM(CASE WHEN rn <= k THEN 1 END), 0)
+              AS BIGINT) AS kept_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(SUM(CASE WHEN rn <= k THEN n_tokens END) AS BIGINT)
+              AS kept_tokens
+          FROM x GROUP BY 1, 2)
+        SELECT k, source, n_docs, kept_docs, total_tokens, kept_tokens,
+          CASE WHEN n_docs > 0 THEN
+            round(CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+            END AS doc_retention,
+          CASE WHEN total_tokens > 0 THEN
+            round(CAST(COALESCE(kept_tokens, 0) AS DOUBLE)
+              / CAST(total_tokens AS DOUBLE), 6) END AS token_retention
+        FROM g""")),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

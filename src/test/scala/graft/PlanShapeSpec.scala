@@ -834,7 +834,11 @@ class PlanShapeSpec extends SparkSpec {
     "e42_semantic_dedup_sweep" -> 4,
     // m20: the ≤5-row bucket fold and the share window on that bounded
     // grid — the argmin election is a scalar array_min, zero exchanges.
-    "m20_aspect_bucket_plan" -> 2)
+    "m20_aspect_bucket_plan" -> 2,
+    // d103: the fp election exchange (map-side WindowGroupLimit-cut to
+    // ≤5 candidates per group), the (K × source) kept fold, and the
+    // window-free per-source totals fold; the grid join broadcasts.
+    "d103_dup_cap_retention" -> 3)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

@@ -433,4 +433,69 @@ class Round20OpsSpec extends SparkSpec {
         s"bucket ${r.getAs[Long]("b_idx")}: waste bounds")
     }
   }
+
+  test("d103 cap laws on a constructed dup corpus: hash election keeps " +
+      "exactly min(K, group size) per group, monotone in K, cross-source") {
+    // The sf fixtures are exact-dup-free (d05 keeps every doc), so the
+    // cap's semantics are pinned on a corpus BUILT to exercise them:
+    // one text duplicated 6× across two sources (3+3), one duplicated
+    // 2× in one source, two uniques. The elected survivors are the K
+    // smallest md5(doc_id) keys GLOBALLY per group — which source they
+    // land in is the election's, not the source's, choice.
+    val dupA = "the same boilerplate page every mirror serves"
+    val dupB = "a smaller duplicate pair"
+    val docs = Seq(
+      (1L, dupA, "srcA"), (2L, dupA, "srcA"), (3L, dupA, "srcA"),
+      (4L, dupA, "srcB"), (5L, dupA, "srcB"), (6L, dupA, "srcB"),
+      (7L, dupB, "srcA"), (8L, dupB, "srcA"),
+      (9L, "unique nine", "srcA"), (10L, "unique ten", "srcB"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val schema = Tables.documents(spark, sfDir).schema
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(docs.map { case (id, t, src) =>
+      org.apache.spark.sql.Row(id, t, "en", src, t.length.toLong)
+    }.asJava, schema).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "d103_dup_cap_retention").get
+      .run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("kept_docs"))).toMap
+
+    // replicate the election: per group, survivors = K smallest
+    // (md5(id), id) keys, counted back into their sources
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def expected(k: Int): Map[String, Long] =
+      docs.groupBy(_._2).values.flatMap { g =>
+        g.sortBy(d => (md5hex(d._1.toString), d._1)).take(k)
+      }.toSeq.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    Seq(1, 2, 4).foreach { k =>
+      val exp = expected(k)
+      Seq("srcA", "srcB").foreach { src =>
+        val (n, kept) = out((k.toLong, src))
+        assert(n == docs.count(_._3 == src).toLong, s"k=$k $src: totals")
+        assert(kept == exp.getOrElse(src, 0L),
+          s"k=$k $src: kept $kept, election says ${exp.getOrElse(src, 0L)}")
+      }
+      // group-level law: Σ kept = Σ min(K, |group|)
+      assert(exp.values.sum ==
+        docs.groupBy(_._2).values.map(g => math.min(k, g.size).toLong).sum)
+    }
+    // monotone in K, and K=1 is full dedup (one survivor per group)
+    Seq("srcA", "srcB").foreach { src =>
+      assert(out((1L, src))._2 <= out((2L, src))._2 &&
+        out((2L, src))._2 <= out((4L, src))._2, s"$src: monotone in K")
+    }
+    assert(out((1L, "srcA"))._2 + out((1L, "srcB"))._2 == 4L,
+      "K=1 keeps exactly one survivor per distinct text")
+    // the 6-dup group must split its survivors across sources at K=4
+    // (global election, not per-source) — guaranteed here because each
+    // source holds only 3 copies of dupA yet 4 survive somewhere
+    assert(out((4L, "srcA"))._2 + out((4L, "srcB"))._2 == 8L,
+      "K=4 keeps 4 of 6 dupA + both dupB + both uniques")
+  }
 }

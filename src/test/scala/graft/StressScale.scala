@@ -401,7 +401,12 @@ object StressScale {
     // m20: decode-seam geometry (no exchange) into a bounded 5-bucket
     // fan-out, one media_id election window (partition COUNT grows,
     // size is 5 rows — the m11 envelope), then the ≤5-row fold.
-    "m20_aspect_bucket_plan" -> ("documents" -> "doc_id"))
+    "m20_aspect_bucket_plan" -> ("documents" -> "doc_id"),
+    // d103: replicas duplicate text, so every fingerprint group gains
+    // 8 members — the adversarial corner for the election exchange,
+    // which the literal rn ≤ 4 WindowGroupLimit must cut map-side;
+    // totals ride a window-free source fold.
+    "d103_dup_cap_retention" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
