@@ -3000,10 +3000,15 @@ object SimQueries {
     // Exactness: cosines are the engine-pinned strict left folds
     // (bit-identical doubles in both engines), ties break on b_id, and
     // the margin is a single subtraction of two identical doubles.
+    // NULL labels are excluded on BOTH sides (the e23 convention): a
+    // vector without a label can be neither anchor nor partner in
+    // supervised pair mining — and an unguarded NULL diverges the
+    // engines (Spark's === yields NULL where SQL's CASE gives 0).
     GraftQuery(
       "e41_hard_negatives",
       (s, d) => {
-        val b = Tables.validEmbeddings(s, d).select(
+        val b = Tables.validEmbeddings(s, d)
+          .filter(col("label").isNotNull).select(
           col("vec_id"),
           asDouble(col("embedding")).as("emb"),
           col("label"),
@@ -3039,7 +3044,8 @@ object SimQueries {
         b AS (SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
             ${sqlSignBucket("embedding", "bits")} AS bucket
-          FROM embeddings, nb WHERE $sqlValidEmb),
+          FROM embeddings, nb
+          WHERE $sqlValidEmb AND label IS NOT NULL),
         p AS (SELECT a.vec_id AS a_id,
             CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same,
             b.vec_id AS b_id,
@@ -3131,10 +3137,12 @@ object SimQueries {
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
             ${sqlSignBucket("embedding", "bits")} AS bucket
           FROM embeddings, nb WHERE $sqlValidEmb),
-        p AS (SELECT b2.vec_id AS b_id, ${sqlCos("a.e", "b2.e")} AS cos_sim
-          FROM b a JOIN b b2
-            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-          WHERE ${sqlCos("a.e", "b2.e")} >= 0.4),
+        p AS (SELECT b_id, cos_sim FROM (
+            SELECT b2.vec_id AS b_id,
+              ${sqlCos("a.e", "b2.e")} AS cos_sim
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) pt
+          WHERE cos_sim >= 0.4),
         dr AS (SELECT DISTINCT t.tau, p.b_id
           FROM p, (SELECT unnest([0.4e0, 0.45e0, 0.5e0]) AS tau) t
           WHERE p.cos_sim >= t.tau),

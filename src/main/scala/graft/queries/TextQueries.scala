@@ -5597,7 +5597,14 @@ object TextQueries {
     GraftQuery(
       "d103_dup_cap_retention",
       (s, d) => {
-        val ks = array(lit(1L), lit(2L), lit(4L))
+        // CapK is BOTH the largest swept K and the literal rank cut —
+        // one constant so a wider sweep can't silently outrun the
+        // pre-cut (the oracle has no cut and would expose the mismatch,
+        // but only where an oracle runs). It must stay a compile-time
+        // literal: the rn ≤ CapK filter below is what buys the
+        // map-side WindowGroupLimit.
+        val CapK = 4L
+        val ks = array(lit(1L), lit(2L), lit(CapK))
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             fingerprint(col("text")).as("fp"),
@@ -5610,7 +5617,7 @@ object TextQueries {
             .partitionBy(col("fp"))
             .orderBy(md5(col("doc_id").cast("string")).asc,
               col("doc_id").asc)))
-          .filter(col("rn") <= 4) // literal → map-side WindowGroupLimit
+          .filter(col("rn") <= CapK) // literal → map-side WindowGroupLimit
           .select(col("source"), col("n_tokens"),
             col("rn").cast("bigint").as("rn"), explode(ks).as("k"))
           .filter(col("rn") <= col("k"))

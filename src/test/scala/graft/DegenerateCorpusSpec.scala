@@ -33,7 +33,12 @@ class DegenerateCorpusSpec extends SparkSpec {
       (3L, Array(0.5f), 1),
       (4L, Array.tabulate(64)(i => (i % 7 - 3).toFloat / 4f), 2),
       (5L, Array.fill(64)(0f), 3), // zero vector: cosine 0/0 guard
-      (6L, Array.tabulate(64)(i => (i % 5 - 2).toFloat / 3f), 1))
+      (6L, Array.tabulate(64)(i => (i % 5 - 2).toFloat / 3f), 1),
+      // null label on a VALID 64-dim vector: survives the dimension
+      // guard, so every label-consuming query (e18/e23/e41/e42 grouping
+      // and polarity logic) must handle it — a null riding a null
+      // vector (row 1) never reaches them
+      (7L, Array.tabulate(64)(i => ((i + 3) % 9 - 4).toFloat / 5f), null))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val failures = sweepFailures(dir, q => "dem".contains(q.name.head))

@@ -30,6 +30,30 @@ class Round20OpsSpec extends SparkSpec {
   private val sennrich: Seq[(String, Long)] =
     Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
 
+  // Shared e41/e42 law-test recompute kit. Replicated from the spec'd
+  // derivations ON PURPOSE — the independence argument is against
+  // reusing PRODUCTION code, not against the two law tests sharing one
+  // recompute (two drifting copies would let one test silently pin
+  // stale semantics): corpus-derived LSH bits
+  // (clamp(ceilLog2(ceil(n/32)), 4, 16)), the sign-bucket fold over the
+  // leading dims, and the strict-left-fold cosine (bit-identical to the
+  // native expression).
+  private def lshBits(n: Int): Int = {
+    val buckets = math.max(1L, (n + 31L) / 32L)
+    math.min(16, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  }
+  private def signBucketOf(e: Array[Float], bits: Int): Long =
+    (0 until bits).map(i => if (e(i) > 0.0f) 1L << i else 0L).sum
+  private def cosOf(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def enc(w: String, merges: Seq[Bpe.Merge]): Seq[String] =
     TextOps.bpeEncode(UTF8String.fromString(w),
         merges.map(m => Array(m.left, m.right)).toArray)
@@ -241,11 +265,12 @@ class Round20OpsSpec extends SparkSpec {
       .find(_.name == "e41_hard_negatives").get
       .run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r).toMap
-    // Raw corpus, replicated derivations: valid rows only, bucket =
-    // sign bits of the leading dims with the documented corpus-derived
-    // width (clamp(ceilLog2(ceil(n/32)), 4, 16)), cosine = the strict
-    // left fold (bit-identical to the native expression).
+    // Raw corpus through the shared recompute kit; e41 additionally
+    // excludes NULL labels on both sides (the e23 convention the query
+    // pins — no null labels exist in the fixture, so the count law
+    // still covers every valid vector).
     val rows = Tables.validEmbeddings(spark, sfDir)
+      .filter(col("label").isNotNull)
       .select(col("vec_id"), col("embedding"), col("label"))
       .collect().map { r =>
         (r.getAs[Long]("vec_id"),
@@ -253,19 +278,11 @@ class Round20OpsSpec extends SparkSpec {
           r.getAs[Int]("label"))
       }
     assert(out.size == rows.length, "one output row per valid vector")
-    val buckets = math.max(1L, (rows.length + 31L) / 32L)
-    val bits = math.min(16, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
-    def bucket(e: Array[Float]): Long =
-      (0 until bits).map(i => if (e(i) > 0.0f) 1L << i else 0L).sum
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // bits derive from the DIMENSION-valid count (the label filter is
+    // applied after sizing in the query, matching its nb CTE)
+    val bits = lshBits(Tables.validEmbeddings(spark, sfDir).count().toInt)
+    def bucket(e: Array[Float]): Long = signBucketOf(e, bits)
+    def cos(a: Array[Float], b: Array[Float]): Double = cosOf(a, b)
     val byBucket = rows.groupBy(r => bucket(r._2))
     val labels = rows.map(r => r._1 -> r._3).toMap
     var checkedPos = 0
@@ -347,20 +364,11 @@ class Round20OpsSpec extends SparkSpec {
           r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
           r.getAs[Int]("label"))
       }
-    // replicated bucket/cosine derivations (the e41 law-test kit)
-    val buckets = math.max(1L, (rows.length + 31L) / 32L)
-    val bits = math.min(16, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
-    def bucket(e: Array[Float]): Long =
-      (0 until bits).map(i => if (e(i) > 0.0f) 1L << i else 0L).sum
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // the shared law-test recompute kit (e42 keeps NULL-label rows:
+    // the drop decision is label-free and labels only key the readout)
+    val bits = lshBits(rows.length)
+    def bucket(e: Array[Float]): Long = signBucketOf(e, bits)
+    def cos(a: Array[Float], b: Array[Float]): Double = cosOf(a, b)
     val byBucket = rows.groupBy(r => bucket(r._2))
     // brute-force keep-first drops per τ, folded to (τ, label) counts
     val expected = Seq(0.4, 0.45, 0.5).flatMap { tau =>

@@ -398,9 +398,9 @@ object StressScale {
     // buckets) into a distinct on (τ, b_id) and a vec × 3 grid join —
     // output-linear in the corpus after the pair cut.
     "e42_semantic_dedup_sweep" -> ("embeddings" -> "vec_id"),
-    // m20: decode-seam geometry (no exchange) into a bounded 5-bucket
-    // fan-out, one media_id election window (partition COUNT grows,
-    // size is 5 rows — the m11 envelope), then the ≤5-row fold.
+    // m20: decode-seam geometry (no exchange) into the SCALAR
+    // array_min bucket election (a projection — no fan-out, no window,
+    // nothing that grows per image), then the ≤5-row bucket fold.
     "m20_aspect_bucket_plan" -> ("documents" -> "doc_id"),
     // d103: replicas duplicate text, so every fingerprint group gains
     // 8 members — the adversarial corner for the election exchange,
