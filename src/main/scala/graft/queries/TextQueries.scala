@@ -5666,6 +5666,110 @@ object TextQueries {
             round(CAST(COALESCE(kept_tokens, 0) AS DOUBLE)
               / CAST(total_tokens AS DOUBLE), 6) END AS token_retention
         FROM g""")),
+
+    // ---- decontamination n-gram sweep (the eval-overlap report) ----------
+    // d21 DROPS at one gram width; this is the REPORT a pipeline owner
+    // reads before choosing that width (the GPT-3-appendix style
+    // contamination table): per (n, source), the fraction of training
+    // docs sharing at least one n-gram with the held-out suite, for
+    // n ∈ {3, 5, 8} — small n overcounts (common phrases), large n
+    // undercounts (misses partial copies); the curve's knee picks the
+    // policy. The "eval suite" is d21's deterministic md5 split (~1/16
+    // of docs), so the two queries audit the same boundary.
+    //
+    // Scale shape: ONE corpus pass builds all three gram widths as
+    // tagged (n, gram) structs in a single projection (not one
+    // scan-explode lineage per n): the bench side folds to a distinct
+    // (n, gram) set (broadcast — eval suites are small by definition),
+    // the train side semi-joins it and collapses to distinct
+    // contaminated (n, doc) BEFORE the (n, source) fold, so a doc
+    // matching a thousand bench grams costs one row. Totals ride a
+    // window-free source fold; the 3-row n grid joins at the end.
+    //
+    // Exactness: counts int64; rates single rounded quotients; docs
+    // with NULL/short text yield empty gram arrays in both engines
+    // (the CASE guard) and count only in the denominator.
+    GraftQuery(
+      "d104_decontam_sweep",
+      (s, d) => {
+        val ns = Seq(3, 5, 8)
+        def gramsN(n: Int): String =
+          s"""CASE WHEN size(toks) >= $n THEN
+               transform(sequence(0, size(toks) - $n),
+                 i -> named_struct('n', cast($n as bigint),
+                   'gram', array_join(slice(toks, i + 1, $n), ' ')))
+             ELSE cast(array() as array<struct<n: bigint, gram: string>>)
+             END"""
+        val tagged = ns.map(gramsN).mkString("concat(", ", ", ")")
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("is_bench",
+            substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+          .withColumn("ngrams", expr(tagged))
+        val bench = docs.filter(col("is_bench"))
+          .select(explode(col("ngrams")).as("p"))
+          .select(col("p.n").as("n"), col("p.gram").as("gram")).distinct()
+        // No array_distinct before the explode: per-row struct dedup is
+        // quadratic in the gram count (structs don't hash-dedup), and
+        // the post-join (n, doc) DISTINCT already collapses repeat
+        // matches — only rows that actually hit the bench set pay it.
+        val contaminated = docs.filter(!col("is_bench"))
+          .select(col("doc_id"), col("source"),
+            explode(col("ngrams")).as("p"))
+          .select(col("doc_id"), col("source"), col("p.n").as("n"),
+            col("p.gram").as("gram"))
+          .join(broadcast(bench), Seq("n", "gram"))
+          .select(col("n"), col("doc_id"), col("source")).distinct()
+          .groupBy(col("n"), col("source"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        docs.filter(!col("is_bench"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .select(col("source"), col("n_docs"),
+            explode(array(ns.map(n => lit(n.toLong)): _*)).as("n"))
+          .join(contaminated, Seq("n", "source"), "left")
+          .select(col("n"), col("source"), col("n_docs"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            when(col("n_docs") > 0L,
+              round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+                / col("n_docs").cast("double"), 6))
+              .as("contamination_rate"))
+      },
+      Some {
+        def sqlGramsN(n: Int): String =
+          s"""CASE WHEN len(toks) >= $n THEN
+               list_transform(range(1, len(toks) - $n + 2),
+                 i -> struct_pack(n := CAST($n AS BIGINT),
+                   gram := array_to_string(toks[i : i + $n - 1], ' ')))
+             ELSE CAST([] AS STRUCT(n BIGINT, gram VARCHAR)[]) END"""
+        // list_concat is binary in DuckDB: nest two calls for three lists
+        val tagged = Seq(3, 5, 8).map(sqlGramsN) match {
+          case Seq(a, b, c) => s"list_concat(list_concat($a, $b), $c)"
+        }
+        s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+          FROM documents),
+        g AS (SELECT doc_id, source, is_bench, $tagged AS ngrams FROM t),
+        bench AS (SELECT DISTINCT p.n, p.gram
+          FROM (SELECT unnest(ngrams) AS p FROM g WHERE is_bench)),
+        corpus AS (SELECT DISTINCT doc_id, source, p.n, p.gram
+          FROM (SELECT doc_id, source, unnest(ngrams) AS p
+            FROM g WHERE NOT is_bench)),
+        hits AS (SELECT c.n, c.source,
+            CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated
+          FROM corpus c JOIN bench b ON c.n = b.n AND c.gram = b.gram
+          GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM t WHERE NOT is_bench GROUP BY 1),
+        grid AS (SELECT n, source, n_docs
+          FROM tot, (SELECT unnest([3, 5, 8]) AS n))
+        SELECT CAST(grid.n AS BIGINT) AS n, grid.source, grid.n_docs,
+          COALESCE(h.n_contaminated, 0) AS n_contaminated,
+          CASE WHEN grid.n_docs > 0 THEN
+            round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+              / CAST(grid.n_docs AS DOUBLE), 6) END AS contamination_rate
+        FROM grid LEFT JOIN hits h
+          ON grid.n = h.n AND grid.source = h.source"""
+      }),
   )
 
   /** d84/e37's fixed BM25 query-term set (fixture-vocabulary words with

@@ -838,7 +838,11 @@ class PlanShapeSpec extends SparkSpec {
     // d103: the fp election exchange (map-side WindowGroupLimit-cut to
     // ≤5 candidates per group), the (K × source) kept fold, and the
     // window-free per-source totals fold; the grid join broadcasts.
-    "d103_dup_cap_retention" -> 3)
+    "d103_dup_cap_retention" -> 3,
+    // d104: the bench (n, gram) distinct, the contaminated (n, doc)
+    // distinct, the (n, source) fold, and the totals fold — the bench
+    // set and the 3-row n grid broadcast.
+    "d104_decontam_sweep" -> 4)
 
   test("round-19/20 queries hold their exchange budgets") {
     val over = exchangeBudgets.flatMap { case (name, budget) =>

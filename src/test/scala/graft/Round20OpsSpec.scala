@@ -506,4 +506,46 @@ class Round20OpsSpec extends SparkSpec {
     assert(out((4L, "srcA"))._2 + out((4L, "srcB"))._2 == 8L,
       "K=4 keeps 4 of 6 dupA + both dupB + both uniques")
   }
+
+  test("d104 contamination laws on a constructed leak: verbatim copies " +
+      "flag at every n, short overlaps only at small n, clean docs never") {
+    // doc 27 is the bench doc (md5('27') starts with '0' — the d21
+    // split); ids 1-3 are train docs: 1 copies an 8-token bench passage
+    // verbatim (contaminated at n = 3, 5, 8), 2 shares only a 4-token
+    // phrase (contaminated at 3, clean at 5 and 8 — the overcount the
+    // sweep exists to expose), 3 shares nothing.
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (27L, s"benchmark question text $passage and its answer", "eval"),
+      (1L, s"a crawled page that pasted $passage word for word", "web"),
+      (2L, "the quick brown fox went elsewhere entirely today friends",
+        "web"),
+      (3L, "completely unrelated content about parquet row groups here",
+        "web"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    val schema = Tables.documents(spark, sfDir).schema
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(docs.map { case (id, t, src) =>
+      org.apache.spark.sql.Row(id, t, "en", src, t.length.toLong)
+    }.asJava, schema).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // split sanity: exactly doc 27 is the bench side
+    assert(java.security.MessageDigest.getInstance("MD5")
+      .digest("27".getBytes).map("%02x".format(_)).mkString.head == '0')
+    assert(docs.map(_._1).filterNot(_ == 27L).forall { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_))
+        .mkString.head != '0' })
+
+    val out = graft.queries.GraftQuery.all
+      .find(_.name == "d104_decontam_sweep").get
+      .run(spark, dir).collect()
+      .map(r => r.getAs[Long]("n") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"))).toMap
+    // 3 train docs in one source; doc 1 leaks at every n, doc 2's
+    // 4-token overlap ('the quick brown fox') only yields 3-grams
+    assert(out(3L) == (3L, 2L), s"n=3: ${out(3L)}")
+    assert(out(5L) == (3L, 1L), s"n=5: ${out(5L)}")
+    assert(out(8L) == (3L, 1L), s"n=8: ${out(8L)}")
+  }
 }

@@ -406,7 +406,13 @@ object StressScale {
     // 8 members — the adversarial corner for the election exchange,
     // which the literal rn ≤ 4 WindowGroupLimit must cut map-side;
     // totals ride a window-free source fold.
-    "d103_dup_cap_retention" -> ("documents" -> "doc_id"))
+    "d103_dup_cap_retention" -> ("documents" -> "doc_id"),
+    // d104: replicas duplicate text, so the (n, gram) domains — bench
+    // set and distinct-corpus side alike — are FIXED (the d21/d60
+    // envelope); growth is the tagged-gram explode into the distinct
+    // pre-folds. Replica ids shuffle the md5 bench split but keep it
+    // ~1/16 of the corpus at any scale.
+    "d104_decontam_sweep" -> ("documents" -> "doc_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
